@@ -1,0 +1,58 @@
+"""Fixture-table catalog: one place that knows how to load each
+driver table from a scale-factor directory.
+
+All query builders go through :func:`table` so that per-table fixups
+(the nanosecond-timestamp events table) and session preparation happen
+exactly once, regardless of which SparkSession the caller owns.
+
+Scale notes
+-----------
+- Loads are plain ``spark.read.parquet`` with the explicit schema's
+  column order; Catalyst prunes columns and pushes predicates into the
+  scan, so ``table()`` callers should ``select``/``filter`` freely and
+  let pushdown do its thing (verify with
+  ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+- At 100 TB the same API reads a partitioned lake directory; nothing
+  here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import prepare
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
+    (via ``nanosAsLong``) and we truncate to microseconds — the exact
+    behavior DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
+    oracle comparisons agree."""
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load fixture table ``name`` from ``sf_dir`` (parquet)."""
+    prepare(spark)
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def tables(
+    spark: SparkSession, names: list[str], sf_dir: str | None = None
+) -> dict[str, DataFrame]:
+    return {n: table(spark, n, sf_dir) for n in names}

@@ -1,0 +1,76 @@
+"""Point-in-interval (range) join — season attribution.
+
+Replaces the reference's row-at-a-time Python lookup
+(/root/reference/src/helper_functions.py:76-85, applied per row at
+/root/reference/src/api_extract.py:215) with a broadcast non-equi
+join: ``fact.ts BETWEEN dim.start AND dim.end``.
+
+Scale notes (100 TB)
+--------------------
+- The interval dim (a season calendar) is O(10²) rows → ALWAYS
+  broadcast. Without the hint Catalyst would plan a broadcast
+  nested-loop join anyway for a pure range predicate, but only if the
+  dim fits the auto-broadcast threshold — we hint explicitly so the
+  plan never degrades to a cartesian sort-merge.
+- With a broadcast dim the fact side streams through map-side with NO
+  shuffle — verify: plan shows ``BroadcastNestedLoopJoin`` with no
+  Exchange on the fact side.
+- If the dim were large (millions of intervals), switch to the
+  equi-prejoin trick: bucket both sides by ``month(ts)`` so the range
+  predicate becomes an equi key + residual filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def interval_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "sn_start_date",
+    end_col: str = "sn_end_date",
+    how: str = "left",
+) -> DataFrame:
+    """Attach interval attributes to each fact row whose ``ts_col``
+    falls inside ``[start_col, end_col]`` (both inclusive, matching
+    helper_functions.py:83). ``how='left'`` keeps facts outside every
+    interval with NULL attribution (helper_functions.py:85 returns
+    None)."""
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    return fact.join(F.broadcast(intervals), cond, how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (per equality keys ``on``). Composition of
+    built-in ops: range-join candidates → max-by window. No UDF.
+
+    Scale: shuffles both sides on ``on`` once; candidate blow-up is
+    bounded by ``tolerance_seconds`` — always set it for dense right
+    sides.
+    """
+    from pyspark.sql.window import Window
+
+    cond = [left[k] == right[k] for k in on]
+    time_cond: Column = right[right_ts] <= left[left_ts]
+    if tolerance_seconds is not None:
+        time_cond = time_cond & (
+            right[right_ts]
+            >= left[left_ts] - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        )
+    joined = left.join(right, [*cond, time_cond], "left")
+    w = Window.partitionBy(*[left[k] for k in on], left[left_ts]).orderBy(
+        right[right_ts].desc()
+    )
+    return joined.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    ).drop("__rn")

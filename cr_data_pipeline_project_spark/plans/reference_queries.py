@@ -1,0 +1,858 @@
+"""Reference-parity queries (SURVEY.md §2) on the driver fixture
+tables, each with a DuckDB oracle twin.
+
+Cross-engine hash-parity rules applied throughout (validated by
+``tools/check_oracle.py`` probes):
+
+- NEVER output a raw ``sum(double)`` / ``avg(double)`` — partial-sum
+  order makes the last ulp nondeterministic. Cast to decimal before
+  summing (exact, associative), cast the result back to double. Both
+  engines round double→decimal half-up, verified.
+- ``round()`` on positive doubles agrees (half-away-from-zero).
+- Timestamp→string rendering is always pinned via
+  ``date_format``/``strftime`` — never default casts.
+- Every LIMIT/top-k query carries a unique tie-break key.
+- Sums of integers are cast to BIGINT in DuckDB (its SUM(int) yields
+  HUGEINT).
+
+Reference citations (file:line) point at /root/reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.calendar import season_calendar
+from ..operators import mutations
+from ..operators.rangejoin import interval_join
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        fn.__query_name__ = name
+        return fn
+
+    return deco
+
+
+def _dec_sum(col, scale: str = "decimal(28,6)"):
+    """Exact, order-independent sum of a double column: cast to
+    decimal, sum, return decimal (caller casts to double)."""
+    return F.sum(F.col(col).cast(scale) if isinstance(col, str) else col.cast(scale))
+
+
+# --------------------------------------------------------------------
+# A5/A10/P18 — grouped aggregate suite (TPC-H Q1 shape).
+# Reference shape: usp_player_win_rate's SUM/COUNT/ROUND over a fact
+# table (db_creation_script.sql:209-221) generalized to multi-measure.
+# Scale: partial (map-side) + final hash agg, no sort until the tiny
+# grouped result; ~6 groups → broadcastable output.
+# --------------------------------------------------------------------
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           (SUM(l_quantity::DECIMAL(28,6)))::DOUBLE            AS sum_qty,
+           (SUM(l_extendedprice::DECIMAL(28,6)))::DOUBLE       AS sum_base_price,
+           (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE AS sum_disc_price,
+           (SUM((l_extendedprice*(1-l_discount)*(1+l_tax))::DECIMAL(28,6)))::DOUBLE AS sum_charge,
+           (SUM(l_quantity::DECIMAL(28,6)))::DOUBLE / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").cast("double").alias("sum_qty"),
+            _dec_sum("l_extendedprice").cast("double").alias("sum_base_price"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            _dec_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (_dec_sum("l_quantity").cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# FLAGSHIP — usp_card_usage_wins re-targeted (J4+J6+A6+P18+O2;
+# db_creation_script.sql:224-241): usage share of a "season" total via
+# scalar-subquery denominator + win rate, 3-way join, 2-key sort.
+# Scale: part dim broadcast; single shuffle for the groupBy; the
+# 1-row denominator cross-joins map-side.
+# --------------------------------------------------------------------
+@q(
+    "q02_brand_usage_wins",
+    """
+    WITH season AS (
+        SELECT l.l_partkey, l.l_returnflag
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    ),
+    total AS (SELECT COUNT(*) AS total_cnt FROM season)
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS usage_cnt,
+           ROUND(100.0 * COUNT(*) / t.total_cnt, 2) AS usage_rate,
+           ROUND(100.0 * (SUM(CASE WHEN s.l_returnflag = 'N' THEN 1 ELSE 0 END))::BIGINT / COUNT(*), 2) AS win_rate
+    FROM season s JOIN part p ON s.l_partkey = p.p_partkey
+    CROSS JOIN total t
+    GROUP BY p.p_brand, t.total_cnt
+    ORDER BY usage_rate DESC, win_rate DESC, brand
+    """,
+)
+def q02_brand_usage_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    part = table(spark, "part", sf_dir)
+    season = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_partkey", "l_returnflag")
+    )
+    total = season.agg(F.count(F.lit(1)).alias("total_cnt"))
+    return (
+        season.join(F.broadcast(part), season.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(total))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("total_cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("usage_cnt"),
+            F.round(100.0 * F.count(F.lit(1)) / F.first("total_cnt"), 2).alias(
+                "usage_rate"
+            ),
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+                / F.count(F.lit(1)),
+                2,
+            ).alias("win_rate"),
+        )
+        .drop("total_cnt")
+        .orderBy(F.desc("usage_rate"), F.desc("win_rate"), "brand")
+    )
+
+
+# --------------------------------------------------------------------
+# A5/P17/P18 — usp_player_win_rate (db_creation_script.sql:209-221):
+# per-entity win rate with the exact CASE/ROUND/cast placement.
+# --------------------------------------------------------------------
+@q(
+    "q03_player_win_rate",
+    """
+    SELECT o_custkey AS player_id,
+           COUNT(*) AS battles,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE ROUND((SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END))::BIGINT * 100.0 / COUNT(*), 2)
+           END AS win_rate
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q03_player_win_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    cnt = F.count(F.lit(1))
+    wins = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return (
+        orders.groupBy(F.col("o_custkey").alias("player_id"))
+        .agg(
+            cnt.alias("battles"),
+            F.when(cnt == F.lit(0), F.lit(None).cast("double"))
+            .otherwise(F.round(wins * 100.0 / cnt, 2))
+            .alias("win_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# O1+J2+J5 — vw_recent_rankings (db_creation_script.sql:185-194):
+# scalar-subquery latest season + join + TOP 100.
+# Scale: the MAX() is a 1-row broadcast; top-k is a TakeOrdered, no
+# full sort.
+# --------------------------------------------------------------------
+@q(
+    "q04_recent_rankings_top100",
+    """
+    WITH latest AS (
+        SELECT strftime(MAX(o_orderdate), '%Y-%m') AS max_month FROM orders
+    )
+    SELECT o.o_orderkey AS rank_key, c.c_name AS player_name,
+           o.o_totalprice AS rating
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    CROSS JOIN latest
+    WHERE strftime(o.o_orderdate, '%Y-%m') = latest.max_month
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q04_recent_rankings_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    customer = table(spark, "customer", sf_dir)
+    latest = orders.agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM").alias("max_month")
+    )
+    return (
+        orders.crossJoin(F.broadcast(latest))
+        .where(F.date_format("o_orderdate", "yyyy-MM") == F.col("max_month"))
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("rank_key"),
+            F.col("c_name").alias("player_name"),
+            F.col("o_totalprice").alias("rating"),
+        )
+        .orderBy(F.desc("rating"), "rank_key")
+        .limit(100)
+    )
+
+
+# J3/P1 — vw_player_clan (db_creation_script.sql:197-205).
+@q(
+    "q05_player_clan_view",
+    """
+    SELECT c.c_custkey AS player_id, c.c_name AS player_name,
+           n.n_name AS clan_name, r.r_name AS region_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q05_player_clan_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    r = table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("player_id"),
+            F.col("c_name").alias("player_name"),
+            F.col("n_name").alias("clan_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+# A1/A2 — SELECT DISTINCT single column (db_ops.py:32-35).
+@q("q06_distinct_single", "SELECT DISTINCT c_mktsegment FROM customer")
+def q06_distinct_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, "customer", sf_dir).select("c_mktsegment").distinct()
+
+
+# A3 — dedup by key subset, made deterministic (drop_duplicates at
+# etl_pipeline_script.py:40 keeps pandas row order; the distributed
+# analog pins an explicit order).
+@q(
+    "q07_dedup_by_key",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate FROM (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def q07_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# A4 — composite-subset dedup count (etl_pipeline_script.py:134-135).
+@q(
+    "q08_dedup_composite_count",
+    """
+    SELECT COUNT(*) AS unique_battles FROM (
+        SELECT DISTINCT o_custkey, o_orderstatus FROM orders) t
+    """,
+)
+def q08_dedup_composite_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    return (
+        orders.dropDuplicates(["o_custkey", "o_orderstatus"])
+        .agg(F.count(F.lit(1)).alias("unique_battles"))
+    )
+
+
+# P6/J8 — the NOT-IN incremental gate as a left-anti join
+# (etl_pipeline_script.py:43-44,128-130).
+@q(
+    "q09_anti_join_new_keys",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q09_anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# P5/J9 — isin-keep gate as a left-semi join
+# (etl_pipeline_script.py:48,133,143).
+@q(
+    "q10_semi_join_kept_keys",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def q10_semi_join_kept_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return c.join(
+        o.where(F.col("o_orderstatus") == "P").select("o_custkey"),
+        c.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+# A8/A9 — set union + dedup (etl_pipeline_script.py:66,74).
+@q(
+    "q11_union_dedup",
+    """
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier) t
+    """,
+)
+def q11_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# P10+P12 — match_key synthesis: str(timestamp)+'_'+id
+# (api_extract.py:216). String form pinned to second precision.
+@q(
+    "q12_key_synthesis",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') || '_' || user_id AS match_key
+    FROM events
+    """,
+)
+def q12_key_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("_"),
+            F.col("user_id").cast("string"),
+        ).alias("match_key"),
+    )
+
+
+# P12 — strict timestamp parse with coercion-to-null
+# (api_extract.py:213-214): corrupt inputs parse to NULL, not error.
+@q(
+    "q13_ts_parse_strict",
+    """
+    SELECT o_orderkey,
+           try_strptime(
+             CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-time'
+                  ELSE strftime(o_orderdate, '%Y%m%dT%H%M%S.%g') || 'Z' END,
+             '%Y%m%dT%H%M%S.%gZ') AS battle_time
+    FROM orders
+    """,
+)
+def q13_ts_parse_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    wire = F.when(F.col("o_orderkey") % 97 == 0, F.lit("not-a-time")).otherwise(
+        F.date_format("o_orderdate", "yyyyMMdd'T'HHmmss.SSS'Z'")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.try_to_timestamp(wire, F.lit("yyyyMMdd'T'HHmmss.SSS'Z'")).alias(
+            "battle_time"
+        ),
+    )
+
+
+# P11 — URL-encode/decode ids ('#'↔'%23', api_extract.py:62,128).
+@q(
+    "q14_url_encode",
+    """
+    SELECT c_custkey,
+           replace(c_name, 'Customer', '#Customer') AS tagged,
+           replace(replace(c_name, 'Customer', '#Customer'), '#', '%23') AS encoded
+    FROM customer
+    """,
+)
+def q14_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import url_encode_id
+
+    c = table(spark, "customer", sf_dir)
+    tagged = F.replace(F.col("c_name"), F.lit("Customer"), F.lit("#Customer"))
+    return c.select(
+        "c_custkey",
+        tagged.alias("tagged"),
+        url_encode_id(tagged).alias("encoded"),
+    )
+
+
+# J7 — the broadcast range join replacing battle_time_to_sid
+# (helper_functions.py:76-85): attribute each order to the season
+# interval containing its date, then aggregate per season.
+@q(
+    "q15_range_join_season",
+    """
+    WITH months AS (
+        SELECT ms FROM range(TIMESTAMP '1994-11-01', TIMESTAMP '2001-12-01',
+                             INTERVAL 1 MONTH) t(ms)
+    ),
+    mondays AS (
+        SELECT ms + ((8 - isodow(ms)) % 7) * INTERVAL 1 DAY
+                  + INTERVAL 9 HOUR + INTERVAL 5 MINUTE AS sn_start_date
+        FROM months
+    ),
+    seasons AS (
+        SELECT strftime(sn_start_date, '%Y-%m') AS season_id, sn_start_date,
+               lead(sn_start_date) OVER (ORDER BY sn_start_date)
+                 - INTERVAL 1 SECOND AS sn_end_date
+        FROM mondays
+    )
+    SELECT s.season_id,
+           COUNT(*) AS n_orders,
+           (SUM(o.o_totalprice::DECIMAL(28,6)))::DOUBLE AS season_total
+    FROM orders o
+    JOIN seasons s ON o.o_orderdate BETWEEN s.sn_start_date AND s.sn_end_date
+    GROUP BY s.season_id
+    """,
+)
+def q15_range_join_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    seasons = season_calendar(spark, "1994-11-01", 84)
+    joined = interval_join(
+        orders, seasons, "o_orderdate", how="inner"
+    )
+    return joined.groupBy("season_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice").cast("double").alias("season_total"),
+    )
+
+
+# P13 — array element with bounds default (api_extract.py:218-219).
+@q(
+    "q16_element_at_default",
+    """
+    SELECT vec_id,
+           COALESCE(embedding[1], 0)::DOUBLE AS tower1_hp,
+           COALESCE(embedding[65], 0)::DOUBLE AS tower2_hp,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def q16_element_at_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import tower_hp
+
+    emb = table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        tower_hp("embedding", 0).cast("double").alias("tower1_hp"),
+        tower_hp("embedding", 64).cast("double").alias("tower2_hp"),
+        F.size("embedding").cast("int").alias("dim"),
+    )
+
+
+# P1 (nested JSON access) — get_json_object over the props column.
+@q(
+    "q17_json_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+    FROM events
+    """,
+)
+def q17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# P15/P16 — conditional null mask + fill (api_extract.py:157,
+# db_ops.py:129).
+@q(
+    "q18_null_mask_fill",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS masked,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS filled
+    FROM customer
+    """,
+)
+def q18_null_mask_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    masked = F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double")).otherwise(
+        F.col("c_acctbal")
+    )
+    return c.select(
+        "c_custkey", masked.alias("masked"), F.coalesce(masked, F.lit(0.0)).alias("filled")
+    )
+
+
+# P17/P18 — CASE + ROUND arithmetic (db_creation_script.sql:214-217).
+@q(
+    "q19_case_round",
+    """
+    SELECT l_linestatus,
+           ROUND(100.0 * (SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))::BIGINT
+                 / COUNT(*), 2) AS pct_returned,
+           ROUND((SUM(l_quantity::DECIMAL(28,6)))::DOUBLE / COUNT(*), 2) AS avg_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q19_case_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            100.0 * F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)) / cnt,
+            2,
+        ).alias("pct_returned"),
+        F.round(_dec_sum("l_quantity").cast("double") / cnt, 2).alias("avg_qty"),
+    )
+
+
+# §2.5 — ranking window: per-group top-k (the per-season
+# generalization of vw_recent_rankings' TOP 100).
+@q(
+    "q20_window_rank",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer) t
+    WHERE rn <= 3
+    """,
+)
+def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+# O2 — multi-key sort + limit (db_creation_script.sql:240).
+@q(
+    "q21_multikey_sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+)
+def q21_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+# J6 — scalar-subquery denominator (db_creation_script.sql:231-233).
+@q(
+    "q22_priority_share",
+    """
+    WITH total AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           ROUND(100.0 * COUNT(*) / t.n, 2) AS share
+    FROM orders CROSS JOIN total t
+    GROUP BY o_orderpriority, t.n
+    """,
+)
+def q22_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    total = orders.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        orders.crossJoin(F.broadcast(total))
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(100.0 * F.count(F.lit(1)) / F.first("n"), 2).alias("share"),
+        )
+        .drop("n")
+    )
+
+
+# M6 — deterministic surrogate keys (IDENTITY replacement,
+# db_creation_script.sql:87 + etl_pipeline_script.py:141-145).
+@q(
+    "q23_surrogate_keys",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '_' || o_custkey AS match_key,
+           row_number() OVER (
+               ORDER BY strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '_' || o_custkey,
+                        o_orderkey) AS match_view_id
+    FROM orders
+    """,
+)
+def q23_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import synth_match_key
+
+    orders = table(spark, "orders", sf_dir)
+    keyed = orders.select(
+        "o_orderkey",
+        synth_match_key("o_orderdate", F.col("o_custkey").cast("string")).alias(
+            "match_key"
+        ),
+    )
+    return mutations.add_surrogate_keys(
+        keyed, ["match_key", "o_orderkey"], "match_view_id"
+    )
+
+
+# M1-M3 — MERGE upsert as a pure relational expression
+# (db_ops.py:62-93): source rows win, unmatched target rows survive.
+@q(
+    "q24_merge_upsert",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM (
+        SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 0) t
+    """,
+)
+def q24_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    source = c.where(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    )
+    return mutations.upsert(c, source, ["c_custkey"])
+
+
+# M4 — insert-if-absent (etl_pipeline_script.py:43-50).
+@q(
+    "q25_insert_if_absent",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey % 5 = 0
+      AND NOT EXISTS (SELECT 1 FROM orders e
+                      WHERE e.o_orderkey % 10 = 0
+                        AND e.o_orderkey = orders.o_orderkey)
+    """,
+)
+def q25_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    incoming = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    existing = orders.where(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+    return mutations.insert_if_absent(incoming, existing, ["o_orderkey"])
+
+
+# M5 — cascade purge child-first (db_ops.py:53-59): surviving row
+# counts per table after purging a set of keys.
+@q(
+    "q26_cascade_delete",
+    """
+    WITH purge AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+    surviving_orders AS (
+        SELECT * FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM purge)
+    )
+    SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM purge)
+    UNION ALL
+    SELECT 'orders' AS tbl, COUNT(*) AS n FROM surviving_orders
+    UNION ALL
+    SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM surviving_orders)
+    """,
+)
+def q26_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    purge = c.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("player_id")
+    )
+    kept_c = c.join(purge, c.c_custkey == purge.player_id, "left_anti")
+    kept_o = o.join(purge, o.o_custkey == purge.player_id, "left_anti")
+    kept_li = li.join(
+        kept_o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+    return (
+        kept_c.agg(F.count(F.lit(1)).alias("n")).select(F.lit("customer").alias("tbl"), "n")
+        .unionByName(kept_o.agg(F.count(F.lit(1)).alias("n")).select(F.lit("orders").alias("tbl"), "n"))
+        .unionByName(kept_li.agg(F.count(F.lit(1)).alias("n")).select(F.lit("lineitem").alias("tbl"), "n"))
+    )
+
+
+# helper_functions.py:7-73 — the season-calendar generator itself.
+@q(
+    "q27_season_calendar",
+    """
+    WITH months AS (
+        SELECT ms FROM range(TIMESTAMP '2025-01-01', TIMESTAMP '2026-02-01',
+                             INTERVAL 1 MONTH) t(ms)
+    ),
+    mondays AS (
+        SELECT ms + ((8 - isodow(ms)) % 7) * INTERVAL 1 DAY
+                  + INTERVAL 9 HOUR + INTERVAL 5 MINUTE AS sn_start_date
+        FROM months
+    )
+    SELECT strftime(sn_start_date, '%Y-%m') AS season_id, sn_start_date,
+           lead(sn_start_date) OVER (ORDER BY sn_start_date)
+             - INTERVAL 1 SECOND AS sn_end_date
+    FROM mondays
+    QUALIFY sn_end_date IS NOT NULL
+    """,
+)
+def q27_season_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return season_calendar(spark, "2025-01-01", 12)
+
+
+# §2.8 — tumbling event-time window over the events table.
+@q(
+    "q28_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           (SUM(value::DECIMAL(28,6)))::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value").cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# Sessionization (gaps-and-islands; batch twin of the streaming
+# session_window operator) — 30-minute inactivity gap per user.
+@q(
+    "q29_sessionization",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               (SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q29_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = seq.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+# Sliding event-time window (1h window, 30m slide) — each event lands
+# in exactly 2 windows.
+@q(
+    "q30_sliding_window",
+    """
+    WITH slid AS (
+        SELECT make_timestamp(((floor(epoch(ts) / 1800) - off) * 1800 * 1000000)::BIGINT)
+                   AS window_start, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) offs
+    )
+    SELECT window_start, COUNT(*) AS n,
+           (SUM(value::DECIMAL(28,6)))::DOUBLE AS sum_value
+    FROM slid
+    GROUP BY window_start
+    """,
+)
+def q30_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value").cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )

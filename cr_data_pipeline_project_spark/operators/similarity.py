@@ -1,0 +1,262 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, IVF (inverted
+file) partitioned search as the scale path, plus cosine near-dup
+pairing.
+
+All dot products run JVM-side via ``zip_with``/``aggregate`` fold on
+double arrays — sequential left-to-right summation, bit-reproducible
+across engines (verified exactly equal to DuckDB's
+list_cosine_similarity on the fixture data). A Pandas-UDF variant
+(:func:`cosine_topk_pandas`) exists for wide embeddings where BLAS
+beats codegen.
+
+Scale notes (100 TB / billions of vectors)
+------------------------------------------
+- Brute force is O(Q·N) — only for small query sets (broadcast the
+  queries, never the corpus; the corpus side streams map-side with NO
+  shuffle).
+- IVF: corpus is pre-assigned to centroids (one shuffle, or better:
+  written bucketed by cluster_id); a query probes ``nprobe``
+  clusters → candidate set shrinks by ~ncentroids/nprobe. Centroid
+  count should be ~sqrt(N) at scale; here centroids are a
+  deterministic id-prefix sample standing in for a k-means fit
+  (pluggable — any centroid DataFrame works).
+- Normalize once, store the norm: cosine becomes a pure dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def as_double_vec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast; ranking
+    tie-breaks on neighbor id for full determinism.
+    Returns (query_id, neighbor_id, rank, score)."""
+    spark = corpus.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    ).repartition(nparts)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 6).alias("score"),
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — O(N²) verification
+    baseline. Scale path: run :func:`ivf_assign` first and only pair
+    within clusters, or LSH (random hyperplanes = SimHash on floats).
+    Returns (vec_a, vec_b, score).
+
+    Plan shape: norms are computed once per vector (not per pair), so
+    each pair costs a single dot-product fold; the streaming side is
+    repartitioned so the O(N²) loop parallelizes across all cores
+    (a small parquet input would otherwise be one partition doing the
+    whole cross product). cos = dot/(na·nb) keeps the exact
+    expression the oracle uses — bit-identical results."""
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    v = v.withColumn("nrm", norm(F.col("v")))
+    a = v.repartition(nparts).select(
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("score"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid.
+    Centroids broadcast; tie-break on centroid id.
+    Returns (vec_id, cluster_id)."""
+    v = corpus.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    cents = centroids.select(
+        F.col(centroid_id), as_double_vec(centroid_vec).alias("cvd")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        centroid_id,
+        cosine(F.col("v"), F.col("cvd")).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.col(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(centroid_id).alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: each query probes its ``nprobe``
+    closest centroids and ranks only vectors assigned there.
+    Returns (query_id, neighbor_id, rank, score)."""
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    cents = centroids.select("cid", as_double_vec("cv").alias("cvd"))
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cvd")).alias("cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("cid"))
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cluster_id"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    ).join(
+        assign.select(F.col(id_col).alias("neighbor_id"), "cluster_id"),
+        "neighbor_id",
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cluster_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+        # a vector may sit in several probed clusters only if listed
+        # twice; assignment is unique so no dedup needed
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Arrow-batched variant: per-partition numpy GEMM against the
+    broadcast query matrix — the fast path for wide embeddings
+    (d ≥ ~256) where BLAS wins over codegen folds. Semantics match
+    :func:`brute_force_topk` except scores are float64 numpy."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_norm)
+
+    def score_part(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ b_mat.value.T  # (n_corpus, n_queries)
+            n, m = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(b_ids.value, n),
+                    "neighbor_id": np.tile(pdf[id_col].values, m),
+                    "cos": sims.T.ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score_part, "query_id long, neighbor_id long, cos double"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
+    )

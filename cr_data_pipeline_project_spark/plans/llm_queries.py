@@ -1,7 +1,29 @@
-"""LLM-data-pipeline queries (dedup, similarity, text analysis,
-multimodal) over the documents/embeddings fixture tables."""
+"""LLM-data-pipeline queries over the documents/embeddings fixture
+tables: deduplication (exact / fingerprint / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search (brute-force, IVF,
+Pandas-GEMM), text analysis (quality, lang-id, token counts,
+fingerprints), multimodal metadata.
+
+Oracle-parity notes:
+- Cosine similarity: Spark's sequential zip_with/aggregate fold is
+  bit-identical to DuckDB's list_cosine_similarity on DOUBLE[]
+  (verified exhaustively on the fixture data); ranking additionally
+  tie-breaks on id.
+- MinHash-LSH and SimHash chunk-banding have *provable* recall at the
+  declared thresholds (banding math / pigeonhole), so their outputs
+  equal the exact all-pairs oracle.
+- The Pandas-GEMM ANN variant sums in a different order (BLAS) →
+  rows-only check by design; a pytest asserts its neighbor sets match
+  the fold-based query.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..operators import dedup, multimodal, similarity, textstats
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -16,3 +38,356 @@ def q(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+# Shared DuckDB CTE: distinct word-5-gram shingles per document.
+_SHINGLES_CTE = """
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(words)-4, 1))) AS i) t
+    )
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+"""
+
+
+# ------------------------------------------------------------------ #
+# dedup                                                               #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q31_dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q31_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    return dedup.exact_dedup_groups(docs, "text", "doc_id")
+
+
+@q(
+    "q32_dedup_fingerprint_keep",
+    """
+    SELECT doc_id, fp FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def q32_dedup_fingerprint_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    fp = textstats.fingerprint(docs, "text")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@q("q33_ngram_jaccard_pairs", _JACCARD_SQL)
+def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-index n-gram Jaccard (verification baseline)."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.7)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q("q34_minhash_lsh_pairs", _JACCARD_SQL)
+def q34_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup path — same oracle as q33 because LSH
+    recall at j≥0.7 is ≈1-4e-10 with 32×2 banding and candidates are
+    verified with exact Jaccard."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, num_hashes=64, bands=32, threshold=0.7
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    shi = ", ".join(
+        f"SUM(((hi // {1 << k}) % 2) * 2 - 1) AS shi{k}, "
+        f"SUM(((lo // {1 << k}) % 2) * 2 - 1) AS slo{k}"
+        for k in range(32)
+    )
+    hi_sig = " + ".join(
+        f"CASE WHEN shi{k} >= 0 THEN {1 << k} ELSE 0 END" for k in range(32)
+    )
+    lo_sig = " + ".join(
+        f"CASE WHEN slo{k} >= 0 THEN {1 << k} ELSE 0 END" for k in range(32)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo
+        FROM sh
+    ),
+    sums AS (SELECT doc_id, {shi} FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, ({hi_sig})::BIGINT AS sim_hi,
+                   ({lo_sig})::BIGINT AS sim_lo FROM sums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)))::INT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)) <= 6
+    """
+
+
+@q("q35_simhash_pairs", _simhash_oracle())
+def q35_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: md5-based 64-bit signatures; candidates via
+    8×8-bit chunk pigeonhole (exact recall for hamming ≤ 7) then
+    exact hamming ≤ 6 — equals the oracle's brute-force all-pairs."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id", n=5, max_hamming=6)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ------------------------------------------------------------------ #
+# similarity search                                                   #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q36_ann_bruteforce_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               list_cosine_similarity(qv, ve) AS cos
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank::INT AS rank, ROUND(cos, 6) AS score
+    FROM (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def q36_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@q(
+    "q37_embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.ve, b.ve), 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.ve, b.ve) >= 0.45
+    """,
+)
+def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.45)
+
+
+@q(
+    "q42_ann_ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    cents AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, cid AS cluster_id FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid) AS rn
+            FROM v CROSS JOIN cents c) t
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, cid AS cluster_id FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+            FROM q CROSS JOIN cents c) t
+        WHERE rn <= 4),
+    scored AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, v.ve) AS cos
+        FROM probes p
+        JOIN assign a ON a.cluster_id = p.cluster_id
+        JOIN v ON v.vec_id = a.vec_id
+        WHERE v.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, rank::INT AS rank, ROUND(cos, 6) AS score
+    FROM (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: deterministic centroid set (id < 16,
+    k-means stand-in), nprobe=4. Oracle replicates the same plan."""
+    emb = table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=4)
+
+
+@q("q44_ann_pandas_gemm_topk")  # rows-only: BLAS sum order ≠ fold order
+def q44_ann_pandas_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk_pandas(emb, queries, k=5)
+
+
+# ------------------------------------------------------------------ #
+# text analysis                                                       #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q38_text_quality",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' '))::INT AS n_tokens,
+           ROUND((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           ROUND(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
+                 / len(string_split(text, ' ')), 4))
+                 * least(len(string_split(text, ' '))::DOUBLE, 200.0) / 200.0,
+                 4) AS quality_score
+    FROM documents
+    """,
+)
+def q38_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return textstats.quality_score(docs, "text").drop("text")
+
+
+def _langid_oracle() -> str:
+    from ..operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({})))::INT AS score_{}".format(
+            ",".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    whens = " ".join(
+        "WHEN score_{l} > 0 AND {conds} THEN '{l}'".format(
+            l=lang,
+            conds=" AND ".join(
+                f"score_{lang} >= score_{o}" for o in langs if o != lang
+            ),
+        )
+        for lang in langs
+    )
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+    SELECT doc_id, lang, {cols},
+           CASE {whens} ELSE 'und' END AS predicted_lang
+    FROM (SELECT doc_id, lang, {score_cols} FROM documents) t
+    """
+
+
+@q("q39_lang_id", _langid_oracle())
+def q39_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    return textstats.lang_id(docs, "text").drop("text")
+
+
+@q(
+    "q40_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' '))::INT AS n_tokens,
+           len(regexp_split_to_array(text, '\\s+'))::INT AS n_ws_tokens,
+           length(text)::INT AS n_chars,
+           (length(text) + 3) // 4 AS bpe_est
+    FROM documents
+    """,
+)
+def q40_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split("text", "\\s+")).alias("n_ws_tokens"),
+        n_chars.alias("n_chars"),
+        F.floor((n_chars + 3) / 4).cast("bigint").alias("bpe_est"),
+    )
+
+
+@q(
+    "q41_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, "documents", sf_dir)
+    return docs.select("doc_id", textstats.fingerprint(docs, "text").alias("fp"))
+
+
+# ------------------------------------------------------------------ #
+# multimodal plumbing                                                 #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q43_multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q43_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path: text→bytes stands in for a media
+    payload; byte length + content hash are the JVM-side (pre-decode)
+    metadata every multimodal pipeline computes first."""
+    docs = table(spark, "documents", sf_dir)
+    payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.attach_payload_meta(payload, "payload").select(
+        "doc_id", "n_bytes", "payload_md5"
+    )

@@ -482,7 +482,7 @@ def q15_range_join_season(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            COALESCE(embedding[1], 0)::DOUBLE AS tower1_hp,
            COALESCE(embedding[65], 0)::DOUBLE AS tower2_hp,
-           len(embedding) AS dim
+           len(embedding)::INT AS dim
     FROM embeddings
     """,
 )
@@ -564,7 +564,7 @@ def q19_case_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q20_window_rank",
     """
-    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn::INT AS rn FROM (
         SELECT c_mktsegment, c_custkey, c_acctbal,
                row_number() OVER (PARTITION BY c_mktsegment
                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
@@ -635,9 +635,9 @@ def q22_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '_' || o_custkey AS match_key,
-           row_number() OVER (
+           (row_number() OVER (
                ORDER BY strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '_' || o_custkey,
-                        o_orderkey) AS match_view_id
+                        o_orderkey))::INT AS match_view_id
     FROM orders
     """,
 )

@@ -1,0 +1,90 @@
+"""Dedup operators on synthetic corpora with planted duplicates."""
+
+from pyspark.sql import functions as F
+
+from cr_data_pipeline_project_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles rows across partitions and joins tables with hash keys"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # 1-word change → high jaccard
+FAR = (
+    "completely different content about databases columns vectors batch "
+    "processing stream windows watermark state and checkpoint recovery path"
+)
+
+
+def _docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, FAR), (5, FAR + " extra")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {
+        r["keep_id"]: r["dup_count"]
+        for r in dedup.exact_dedup_groups(_docs(spark), "text", "doc_id").collect()
+    }
+    assert out[1] == 2  # docs 1,2 identical
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_exact_dedup_keep(spark):
+    kept = sorted(
+        r["doc_id"] for r in dedup.exact_dedup_keep(_docs(spark), "text", "doc_id").collect()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
+    sh = dedup.shingle_set(df, "text", "doc_id", n=5).collect()
+    assert len(sh) == 1 and sh[0]["shingle"] == "only three words"
+
+
+def test_ngram_jaccard_finds_near_pair(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dups
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (2, 3) in pairs
+    assert (4, 5) in pairs  # shared prefix → near dup
+    # no cross-pairs between the BASE family and the FAR family
+    assert not any(a in (1, 2, 3) and b in (4, 5) for a, b in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(_docs(spark), "text", "doc_id").collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    # 50 identical docs → one giant bucket; cap must drop it.
+    rows = [(i, BASE) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "text", "doc_id")
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=10)
+    assert cand.count() == 0

@@ -1,0 +1,74 @@
+"""Similarity-search operators: brute force vs Pandas-GEMM vs IVF."""
+
+from pyspark.sql import functions as F
+
+from cr_data_pipeline_project_spark.catalog import table
+from cr_data_pipeline_project_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return table(spark, "embeddings", SF)
+
+
+def test_bruteforce_topk_self_excluded_and_ranked(spark):
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(emb, queries, k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pandas_gemm_matches_fold_neighbors(spark):
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    fold = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in similarity.cosine_topk_pandas(emb, queries, k=5).collect()
+    }
+    assert set(fold) == set(gemm)
+    for k in fold:
+        assert fold[k][0] == gemm[k][0], k  # same neighbor
+        assert abs(fold[k][1] - gemm[k][1]) < 1e-9, k  # BLAS vs fold ulp
+
+
+def test_ivf_assign_unique_cluster(spark):
+    emb = _emb(spark)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = similarity.ivf_assign(emb, cents)
+    assert assign.count() == emb.count()
+    assert assign.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_recall_reasonable(spark):
+    """nprobe=4 of 16 clusters should recover most true neighbors —
+    sanity floor, not a tuned guarantee."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, queries, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, recall

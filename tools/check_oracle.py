@@ -74,6 +74,19 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _canon_dtype(dt) -> str:
+    k = dt.kind if hasattr(dt, "kind") else "O"
+    if k == "M":
+        return "timestamp"
+    if k in ("i", "u"):
+        return str(dt)
+    if k == "f":
+        return "float64"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
 def compare(name, spark_pdf, duck_pdf, verbose=False):
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -83,6 +96,10 @@ def compare(name, spark_pdf, duck_pdf, verbose=False):
         problems.append(f"columns: spark={sc} duck={dc}")
         return problems
     duck_pdf = duck_pdf.rename(columns=dict(zip(dc, sc)))
+    for c in sc:
+        a, b = _canon_dtype(spark_pdf[c].dtype), _canon_dtype(duck_pdf[c].dtype)
+        if a != b:
+            problems.append(f"dtype[{c}]: spark={a} duck={b}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if a != b:
         n_diff = sum(1 for x, y in zip(a, b) if x != y) + abs(len(a) - len(b))

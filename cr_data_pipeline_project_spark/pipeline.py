@@ -1,0 +1,228 @@
+"""End-to-end ETL pipeline — the Spark re-expression of the
+reference's ``run_etl_script()`` (/root/reference/
+etl_pipeline_script.py:34-155, lifecycle E1 in SURVEY.md §3).
+
+Each stage is a lazy DataFrame DAG ending in a lake write; the
+reference's FK-driven stage ordering survives as *write ordering*
+(comments at etl_pipeline_script.py:37,55,88,137). Extraction is
+injected as plain DataFrames (the REST layer in ``sources.rest``
+produces them), so the pipeline itself is pure Spark and fully
+testable offline.
+
+Scale notes (100 TB lake)
+-------------------------
+- Facts (matches, match_cards) are append-only with an anti-join
+  incremental gate — the scan of existing keys projects ONLY the key
+  column (column-pruned parquet scan), and AQE broadcasts the delta
+  side (per-run deltas are tiny vs the accumulated fact table).
+- At real scale, partition facts by ``season_id`` so the
+  existing-keys scan prunes to recent partitions, and the quality
+  audit reads only the partitions the run touched.
+- Dims (players, clans, cards) are rewrite-on-upsert — fine while
+  dims ≪ facts; a transactional format (Delta/Iceberg MERGE) slots in
+  behind ``Lake.overwrite`` without touching pipeline logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schemas
+from .functions.calendar import season_calendar
+from .operators import mutations, quality
+from .sources.battlelog import flatten_match_cards, flatten_matches
+
+FACTS = ("matches", "match_cards")
+DIMS = ("seasons", "players", "clans", "cards", "season_rankings")
+
+
+class Lake:
+    """Minimal parquet lake: one directory per table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.exists(name):
+            return self.spark.read.parquet(self.path(name))
+        return self.spark.createDataFrame([], schemas.DOMAIN[name])
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Upsert sink for dims. The plan typically reads the files
+        being replaced, and Spark invalidates caches via
+        refreshByPath on write — so cut lineage with an eager
+        localCheckpoint before overwriting (a .cache() would be
+        dropped by the refresh and recompute against clobbered
+        files)."""
+        out = df.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(self.path(name))
+
+
+def run_etl(
+    spark: SparkSession,
+    lake: Lake,
+    *,
+    rankings: DataFrame,
+    players: DataFrame,
+    clans: DataFrame,
+    cards: DataFrame,
+    battlelogs: DataFrame,
+    failed_players: list[str] | None = None,
+    calendar_from: str,
+    calendar_months: int,
+) -> dict[str, int]:
+    """One pipeline run. Returns per-stage inserted/updated row counts
+    (the reference's log metrics, S13)."""
+    from .session import prepare
+
+    prepare(spark)  # UTC rendering of match_key regardless of host tz
+    stats: dict[str, int] = {}
+    failed_players = failed_players or []
+
+    # 1. seasons — generate + dedup + insert-if-absent
+    #    (etl_pipeline_script.py:38-53)
+    cal = season_calendar(spark, calendar_from, calendar_months).dropDuplicates(
+        ["season_id"]
+    )
+    new_seasons = mutations.insert_if_absent(
+        cal, lake.read("seasons").select("season_id"), ["season_id"]
+    )
+    stats["seasons_inserted"] = new_seasons.count()
+    if stats["seasons_inserted"]:
+        lake.append("seasons", new_seasons)
+
+    # 2. clans — MERGE upsert (etl_pipeline_script.py:72-86)
+    merged_clans = mutations.upsert(
+        lake.read("clans"), clans.select(*lake.read("clans").columns), ["clan_id"]
+    )
+    stats["clans_total"] = merged_clans.count()
+    lake.overwrite("clans", merged_clans)
+
+    # 3. players — MERGE upsert (etl_pipeline_script.py:89-93)
+    merged_players = mutations.upsert(
+        lake.read("players"),
+        players.select(*lake.read("players").columns),
+        ["player_id"],
+    )
+    stats["players_total"] = merged_players.count()
+    lake.overwrite("players", merged_players)
+
+    # 4. season_rankings — insert-if-absent by season
+    #    (etl_pipeline_script.py:96-107)
+    new_rank = mutations.insert_if_absent(
+        rankings,
+        lake.read("season_rankings").select("season_id").distinct(),
+        ["season_id"],
+    )
+    stats["rankings_inserted"] = new_rank.count()
+    if stats["rankings_inserted"]:
+        lake.append("season_rankings", new_rank)
+
+    # 4b. purge failed players child-first (db_ops.py:53-59;
+    #     etl_pipeline_script.py:109-112)
+    if failed_players:
+        purge = spark.createDataFrame(
+            [(p,) for p in failed_players], "player_id string"
+        )
+        current = {
+            n: lake.read(n)
+            for n in ("match_cards", "matches", "season_rankings", "players")
+        }
+        purged = mutations.cascade_delete(current, "player_id", purge)
+        for name in ("match_cards", "matches", "season_rankings", "players"):
+            if lake.exists(name):
+                lake.overwrite(name, purged[name])
+        stats["players_purged"] = len(failed_players)
+
+    # 5. cards — MERGE upsert with null→0 coercion (db_ops.py:128-149)
+    cards_clean = cards.withColumn(
+        "elixir_cost", F.coalesce(F.col("elixir_cost"), F.lit(0))
+    )
+    merged_cards = mutations.upsert(
+        lake.read("cards"),
+        cards_clean.select(*lake.read("cards").columns),
+        ["card_id"],
+    )
+    stats["cards_total"] = merged_cards.count()
+    lake.overwrite("cards", merged_cards)
+
+    # 6. matches + match_cards — flatten, incremental-gate, append
+    #    (etl_pipeline_script.py:119-153)
+    seasons_dim = lake.read("seasons")
+    matches = flatten_matches(battlelogs, seasons=seasons_dim)
+    existing_keys = lake.read("matches").select("match_key")
+    # localCheckpoint (not cache): appending to the matches path
+    # below triggers refreshByPath, which would invalidate a cache
+    # whose lineage reads that same path — the anti-join would then
+    # recompute against the just-appended file and yield nothing.
+    new_matches = mutations.insert_if_absent(
+        matches, existing_keys, ["match_key"]
+    ).localCheckpoint(eager=True)
+    n_new = new_matches.count()
+    stats["matches_inserted"] = n_new
+    if n_new:
+        # deterministic surrogate ids continuing from the current max
+        # (M6: IDENTITY replacement)
+        start = (
+            lake.read("matches")
+            .agg(F.coalesce(F.max("match_view_id"), F.lit(0)))
+            .collect()[0][0]
+        )
+        keyed = mutations.add_surrogate_keys(
+            new_matches, ["match_key"], "match_view_id", start_at=int(start)
+        )
+        lake.append("matches", keyed.select(*[f.name for f in schemas.MATCHES]))
+
+        # match_cards only for the new match views (second-pass
+        # extraction, etl_pipeline_script.py:141-147)
+        cards_flat = flatten_match_cards(battlelogs)
+        new_cards = cards_flat.join(
+            new_matches.select("match_key"), "match_key", "left_semi"
+        )
+        mapping = keyed.select("match_key", "match_view_id")
+        with_ids = new_cards.join(F.broadcast(mapping), "match_key")  # J1
+        stats["match_cards_inserted"] = with_ids.count()
+        lake.append(
+            "match_cards",
+            with_ids.select("match_view_id", "match_key", "player_id", "card_id"),
+        )
+    else:
+        stats["match_cards_inserted"] = 0
+    return stats
+
+
+def audit(spark: SparkSession, lake: Lake) -> dict[str, int]:
+    """Post-load data-quality audit mirroring the DDL constraints
+    (SURVEY.md §1.3). Returns violation counts (all should be 0)."""
+    matches = lake.read("matches")
+    match_cards = lake.read("match_cards")
+    players = lake.read("players")
+    seasons = lake.read("seasons")
+    return {
+        "dup_match_keys": quality.duplicate_keys(matches, ["match_key"]).count(),
+        "dup_season_ids": quality.duplicate_keys(seasons, ["season_id"]).count(),
+        "orphan_match_players": quality.fk_orphans(
+            matches.select(F.col("player_id")), players, ["player_id"]
+        ).count(),
+        "bad_crowns": quality.check_violations(
+            matches, F.col("crowns").between(0, 3)
+        ).count(),
+        "bad_decks": quality.deck_size_violations(
+            match_cards, ["match_key", "player_id"]
+        ).count(),
+        "season_date_violations": quality.check_violations(
+            seasons, F.col("sn_start_date") < F.col("sn_end_date")
+        ).count(),
+    }

@@ -1,0 +1,117 @@
+"""Streaming incremental load — the Spark-native version of the
+reference's twice-daily NOT-IN-gated batch (SURVEY.md §2.8).
+
+The reference's semantics are already micro-batch: fetch last-30
+matches, drop keys already in the DB, append
+(/root/reference/etl_pipeline_script.py:128-137; the README even
+notes a ~90-minute cadence would capture everything, README.md:125).
+Structured Streaming gives the same thing with exactly-once state:
+
+    file/Kafka source → withWatermark(battle_time)
+        → dropDuplicates([match_key])          # stateful dedup gate
+        → foreachBatch(append / MERGE)         # idempotent sink
+
+Scale notes
+-----------
+- ``dropDuplicates`` state is bounded by the watermark horizon —
+  without a watermark the key state grows forever; the horizon should
+  exceed the source's max replay window (30 matches ≈ hours-days).
+- ``foreachBatch`` re-uses the batch mutation operators, so the
+  streaming and batch paths share one code path (and one set of
+  tests); the anti-join inside makes the sink idempotent under
+  micro-batch retries even on plain parquet.
+- Event-time windowed aggregates (:func:`windowed_event_counts`)
+  emit append-mode finalized windows once the watermark passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.mutations import insert_if_absent
+from ..sources.battlelog import PLAYER_BATTLELOG, flatten_matches
+
+
+def stream_battlelog_json(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of landed battlelog JSON (swap for Kafka by
+    changing only this reader)."""
+    from ..session import prepare
+
+    prepare(spark)  # UTC match_key rendering on any session
+    return spark.readStream.schema(PLAYER_BATTLELOG).json(path)
+
+
+def streaming_match_load(
+    raw_stream: DataFrame,
+    lake_matches_path: str,
+    checkpoint: str,
+    seasons: DataFrame | None = None,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Watermarked, stateful-deduped, idempotent match ingestion."""
+    matches = (
+        flatten_matches(raw_stream, seasons=seasons)
+        .withWatermark("battle_time", watermark)
+        .dropDuplicates(["match_key"])
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(lake_matches_path).select("match_key")
+            fresh = insert_if_absent(batch_df, existing, ["match_key"])
+        except Exception:
+            fresh = batch_df  # first batch: lake doesn't exist yet
+        fresh.write.mode("append").parquet(lake_matches_path)
+
+    return (
+        matches.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    event_stream: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling/sliding windowed counts with late-data
+    handling — append-mode finalized results."""
+    win = (
+        F.window(ts_col, window_len)
+        if slide is None
+        else F.window(ts_col, window_len, slide)
+    )
+    return (
+        event_stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sessionized_event_counts(
+    event_stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows (inactivity gap) — the streaming twin of the
+    batch gaps-and-islands query (q29)."""
+    return (
+        event_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

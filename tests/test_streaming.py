@@ -1,0 +1,122 @@
+"""Structured Streaming: watermarked stateful dedup + idempotent
+foreachBatch sink, windowed/sessionized aggregates — the §2.8
+re-expression of the reference's incremental load."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cr_data_pipeline_project_spark.streaming.incremental import (
+    sessionized_event_counts,
+    stream_battlelog_json,
+    streaming_match_load,
+    windowed_event_counts,
+)
+
+from helpers import battle, write_battlelog_json
+
+
+def _run_stream(spark, src_dir, lake_dir, ckpt):
+    q = streaming_match_load(
+        stream_battlelog_json(spark, src_dir), lake_dir, ckpt
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "in")
+    lake = os.path.join(str(tmp_path), "matches")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    write_battlelog_json(
+        os.path.join(src, "b1.json"),
+        [("#ME", [battle(), battle()])],  # in-batch duplicate
+    )
+    _run_stream(spark, src, lake, ckpt)
+    assert spark.read.parquet(lake).count() == 1
+
+    # second micro-batch: same battle again + a new one → only the
+    # new one lands (checkpointed dedup state + anti-join sink)
+    write_battlelog_json(
+        os.path.join(src, "b2.json"),
+        [("#ME", [battle(), battle(battle_time="20250113T120000.000Z")])],
+    )
+    _run_stream(spark, src, lake, ckpt)
+    got = spark.read.parquet(lake)
+    assert got.count() == 2
+    assert got.select("match_key").distinct().count() == 2
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "events")
+    os.makedirs(src)
+    import json
+
+    out_dir = os.path.join(str(tmp_path), "win_out")
+
+    def run_batch():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string"
+        ).json(src)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_w"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(os.path.join(src, "e1.json"), "w") as f:
+        for ts, et in [
+            ("2024-01-01 00:10:00", "click"),
+            ("2024-01-01 00:20:00", "click"),
+            ("2024-01-01 01:05:00", "view"),
+        ]:
+            f.write(json.dumps({"ts": ts, "event_type": et}) + "\n")
+    run_batch()  # advances the watermark to 00:35 (01:05 - 30m)
+
+    with open(os.path.join(src, "e2.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 02:00:00", "event_type": "view"}) + "\n")
+    run_batch()  # batch 2 emits the now-finalized 00:00 window
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got.get(("2024-01-01 00:00:00", "click")) == 2
+
+
+def test_sessionized_stream_builds(spark, tmp_path):
+    """session_window streaming aggregation: plan must be streamable
+    (state format support); executed with availableNow."""
+    src = os.path.join(str(tmp_path), "sess")
+    os.makedirs(src)
+    import json
+
+    with open(os.path.join(src, "e.json"), "w") as f:
+        for minute in (0, 5, 50):
+            f.write(
+                json.dumps(
+                    {"ts": f"2024-01-01 00:{minute:02d}:00", "user_id": 1}
+                )
+                + "\n"
+            )
+        f.write(json.dumps({"ts": "2024-01-01 03:00:00", "user_id": 2}) + "\n")
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(src)
+    out = sessionized_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions where user_id = 1").collect()
+    # events at :00/:05 merge into one session; :50 starts another
+    assert {r["n_events"] for r in rows} == {2, 1}

@@ -212,6 +212,89 @@ def ivf_topk(
     )
 
 
+def hyperplane_lsh_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for cosine near-dup: random-hyperplane LSH (SimHash
+    on floats). ``n_tables`` independent signatures of ``n_planes``
+    sign bits each; vectors agreeing on any full signature are
+    candidates, then exact cosine ≥ threshold verifies.
+
+    P(bit agrees) = 1 − θ/π, so candidate recall =
+    1 − (1 − (1−θ/π)^planes)^tables — tune (planes, tables) to the
+    threshold. Unlike MinHash banding this is not provably ≈1 at
+    modest sizes, so the query surface treats it as approximate
+    (rows-only check) with measured recall in tests.
+
+    Scale: corpus never self-joins — only signature buckets do. One
+    narrow shuffle on (table_idx, signature)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = [
+        [
+            [rng.choice((-1.0, 1.0)) for _ in range(dim)]
+            for _ in range(n_planes)
+        ]
+        for _ in range(n_tables)
+    ]
+    v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    v = v.withColumn("nrm", norm(F.col("v")))
+    sig_cols = []
+    for t in range(n_tables):
+        bits = None
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in planes[t][p]])
+            bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+            bits = bit if bits is None else bits + bit
+        sig_cols.append(
+            F.struct(F.lit(t).alias("table_idx"), bits.alias("sig"))
+        )
+    buckets = v.select(
+        "id", "v", "nrm", F.explode(F.array(*sig_cols)).alias("b")
+    ).select("id", "v", "nrm", "b.table_idx", "b.sig")
+    a = buckets.select(
+        F.col("id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "table_idx",
+        "sig",
+    )
+    b = buckets.select(
+        F.col("id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "table_idx",
+        "sig",
+    )
+    cand = (
+        a.join(b, ["table_idx", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("score"))
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -268,6 +268,30 @@ def q44_ann_pandas_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_pandas(emb, queries, k=5)
 
 
+@q("q47_approx_distinct")  # rows-only: HLL sketch is engine-specific
+def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting — the sketch-based scale path
+    for A1/A2-style DISTINCTs (one pass, mergeable state, no wide
+    shuffle). Exact twin alongside so the error is observable; a
+    pytest bounds it at 5%."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@q("q48_ann_hyperplane_lsh")  # rows-only: probabilistic recall by design
+def q48_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (SimHash on floats) — the
+    bucketed scale path whose exact twin is q37; recall is measured
+    in tests, not asserted by the gate."""
+    emb = table(spark, "embeddings", sf_dir)
+    return similarity.hyperplane_lsh_neardup(
+        emb, threshold=0.45, n_planes=8, n_tables=8
+    )
+
+
 # ------------------------------------------------------------------ #
 # text analysis                                                       #
 # ------------------------------------------------------------------ #

@@ -830,6 +830,97 @@ def q29_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S5/P1 — nested array-of-struct flatten (the battlelog ingest shape)
+# expressed in-gate: build, explode, field-access.
+@q(
+    "q45_nested_flatten",
+    """
+    SELECT o_orderkey, (x).kind AS kind, (x).val AS val FROM (
+        SELECT o_orderkey,
+               unnest([{'kind': 'base', 'val': o_totalprice},
+                       {'kind': 'doubled', 'val': o_totalprice * 2}]) AS x
+        FROM orders) t
+    """,
+)
+def q45_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, "orders", sf_dir)
+    arr = F.array(
+        F.struct(F.lit("base").alias("kind"), F.col("o_totalprice").alias("val")),
+        F.struct(
+            F.lit("doubled").alias("kind"),
+            (F.col("o_totalprice") * 2).alias("val"),
+        ),
+    )
+    return orders.select("o_orderkey", F.explode(arr).alias("x")).select(
+        "o_orderkey", F.col("x.kind").alias("kind"), F.col("x.val").alias("val")
+    )
+
+
+# Rollup / grouping sets — the idiomatic Spark generalization of the
+# reference's per-entity aggregates (subtotals + grand total in one
+# pass; partial aggregation handles it server-side at scale).
+@q(
+    "q46_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::INT AS g_flag,
+           grouping(l_linestatus)::INT AS g_status,
+           COUNT(*) AS n,
+           (SUM(l_quantity::DECIMAL(28,6)))::DOUBLE AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q46_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+# E3 — the SQL-text/view surface: temp views + spark.sql, the engine's
+# equivalent of querying vw_recent_rankings over ODBC
+# (db_creation_script.sql:185-194).
+@q(
+    "q49_sql_view_api",
+    """
+    WITH latest AS (
+        SELECT strftime(MAX(o_orderdate), '%Y-%m') AS max_month FROM orders
+    )
+    SELECT o.o_orderkey AS rank_key, c.c_name AS player_name,
+           o.o_totalprice AS rating
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    CROSS JOIN latest
+    WHERE strftime(o.o_orderdate, '%Y-%m') = latest.max_month
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q49_sql_view_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH latest AS (
+            SELECT date_format(MAX(o_orderdate), 'yyyy-MM') AS max_month
+            FROM v_orders
+        )
+        SELECT o.o_orderkey AS rank_key, c.c_name AS player_name,
+               o.o_totalprice AS rating
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        CROSS JOIN latest
+        WHERE date_format(o.o_orderdate, 'yyyy-MM') = latest.max_month
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+        """
+    )
+
+
 # Sliding event-time window (1h window, 30m slide) — each event lands
 # in exactly 2 windows.
 @q(

@@ -54,6 +54,39 @@ def test_ivf_assign_unique_cluster(spark):
     assert assign.select("vec_id").distinct().count() == emb.count()
 
 
+def test_hyperplane_lsh_finds_planted_neardups(spark):
+    """Plant genuinely-close vectors (cos ≈ 0.99): hyperplane LSH at
+    8 planes × 8 tables must recover them (theoretical recall ≈ 1 at
+    high cosine)."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v], 0))
+        noisy = [float(x + rng.gauss(0, 0.05)) for x in v]  # near-dup twin
+        rows.append((i * 2 + 1, noisy, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.hyperplane_lsh_neardup(
+            df, threshold=0.9, n_planes=8, n_tables=8
+        ).collect()
+    }
+    planted = {(i * 2, i * 2 + 1) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, (recall, found)
+    # verification step guarantees no false positives
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_neardup_pairs(df, threshold=0.9).collect()
+    }
+    assert found <= exact
+
+
 def test_ivf_recall_reasonable(spark):
     """nprobe=4 of 16 clusters should recover most true neighbors —
     sanity floor, not a tuned guarantee."""

@@ -131,7 +131,11 @@ def ngram_jaccard_pairs(
     scale prefer :func:`minhash_lsh_pairs`, which is this operator's
     sublinear twin; keep this one for verification and small inputs.
     """
-    sh = shingle_set(df, text_col, id_col, n)
+    # The shingle table feeds the inverted index AND both sides of
+    # the verification join — persist it instead of re-exploding the
+    # corpus three times (at scale: write it once, it's the reusable
+    # index artifact).
+    sh = shingle_set(df, text_col, id_col, n).persist()
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     cand = (
@@ -168,11 +172,14 @@ def minhash_signatures(
     n: int = 5,
     num_hashes: int = 64,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — classic universal-hash
     MinHash over word n-gram shingles. All JVM-side: xxhash64 →
-    64 parallel min-aggregates; one shuffle (groupBy id)."""
-    sh = shingle_set(df, text_col, id_col, n)
+    64 parallel min-aggregates; one shuffle (groupBy id). Pass a
+    prebuilt (persisted) ``shingles`` table to share the explode with
+    the verification join."""
+    sh = shingles if shingles is not None else shingle_set(df, text_col, id_col, n)
     h32 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
     coeffs = _perm_coeffs(num_hashes, seed)
     mins = [
@@ -249,9 +256,11 @@ def minhash_lsh_pairs(
     The sublinear scale path: corpus never self-joins — only LSH
     buckets do."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    sh = shingle_set(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, seed, shingles=sh
+    )
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sh = shingle_set(df, text_col, id_col, n)
     return _jaccard_on_pairs(cand, sh, id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -312,7 +321,9 @@ def simhash_pairs(
     for max_hamming ≤ 7), then exact hamming verification.
     Returns (doc_a, doc_b, hamming)."""
     assert max_hamming <= 7, "8-chunk pigeonhole guarantees recall only to 7"
-    sigs = simhash_signatures(df, text_col, id_col, n)
+    # sigs feed chunk-banding AND both sides of the hamming verify —
+    # persist to avoid recomputing the 64 bit-sum aggregates 3×.
+    sigs = simhash_signatures(df, text_col, id_col, n).persist()
     chunk_cols = []
     for c in range(4):
         chunk_cols.append(

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from ..catalog import table
 from ..functions.calendar import season_calendar
 from ..operators import mutations
-from ..operators.rangejoin import interval_join
+from ..operators.rangejoin import interval_join, interval_join_bucketed
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -466,9 +466,10 @@ def q14_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_range_join_season(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, "orders", sf_dir)
     seasons = season_calendar(spark, "1994-11-01", 84)
-    joined = interval_join(
-        orders, seasons, "o_orderdate", how="inner"
-    )
+    # bucketed (equi-prejoin on month + residual range filter): a
+    # BroadcastHashJoin instead of comparing every order against all
+    # 84 intervals — see operators/rangejoin.py
+    joined = interval_join_bucketed(orders, seasons, "o_orderdate", how="inner")
     return joined.groupBy("season_id").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _dec_sum("o_totalprice").cast("double").alias("season_total"),

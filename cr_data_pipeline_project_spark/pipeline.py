@@ -39,7 +39,13 @@ DIMS = ("seasons", "players", "clans", "cards", "season_rankings")
 
 
 class Lake:
-    """Minimal parquet lake: one directory per table."""
+    """Minimal parquet lake: one directory per table. Facts are
+    hive-partitioned (matches by ``season_id`` — SURVEY §1.4 and the
+    reference's own future-work note, README.md:127) so incremental
+    gates and audits prune to touched partitions; verify with the
+    plan's ``PartitionFilters``."""
+
+    PARTITIONING: dict[str, list[str]] = {"matches": ["season_id"]}
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -57,7 +63,11 @@ class Lake:
         return self.spark.createDataFrame([], schemas.DOMAIN[name])
 
     def append(self, name: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path(name))
+        w = df.write.mode("append")
+        parts = self.PARTITIONING.get(name)
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(self.path(name))
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Upsert sink for dims. The plan typically reads the files
@@ -67,7 +77,11 @@ class Lake:
         dropped by the refresh and recompute against clobbered
         files)."""
         out = df.localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(self.path(name))
+        w = out.write.mode("overwrite")
+        parts = self.PARTITIONING.get(name)
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(self.path(name))
 
 
 def run_etl(

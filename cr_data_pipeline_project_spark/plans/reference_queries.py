@@ -922,6 +922,64 @@ def q49_sql_view_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Single-pass column profiler — per-column row/null/distinct/min/max
+# (the ingestion-audit shape; one scan, not N).
+@q(
+    "q50_column_profile",
+    """
+    SELECT 'l_returnflag' AS column_name, COUNT(*) AS n_rows,
+           (SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_nulls,
+           COUNT(DISTINCT l_returnflag) AS n_distinct,
+           MIN(l_returnflag)::VARCHAR AS min_str, MAX(l_returnflag)::VARCHAR AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', COUNT(*),
+           (SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END))::BIGINT,
+           COUNT(DISTINCT l_linenumber),
+           MIN(l_linenumber)::VARCHAR, MAX(l_linenumber)::VARCHAR
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*),
+           (SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END))::BIGINT,
+           COUNT(DISTINCT l_shipdate),
+           MIN(l_shipdate)::VARCHAR, MAX(l_shipdate)::VARCHAR
+    FROM lineitem
+    """,
+)
+def q50_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    li = table(spark, "lineitem", sf_dir)
+    return profile_columns(li, ["l_returnflag", "l_linenumber", "l_shipdate"])
+
+
+# Salted join — skew mitigation whose output must be EXACTLY the
+# plain join (the oracle is the unsalted SQL).
+@q(
+    "q51_salted_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           (SUM(o.o_orderkey::DECIMAL(28,0)))::DOUBLE AS key_sum
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q51_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, ["c_custkey"], salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").cast("decimal(28,0)"))
+        .cast("double")
+        .alias("key_sum"),
+    )
+
+
 # Sliding event-time window (1h window, 30m slide) — each event lands
 # in exactly 2 windows.
 @q(

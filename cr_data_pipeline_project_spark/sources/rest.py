@@ -80,6 +80,11 @@ def fetch_distributed(
     nullable ``fetch_ok boolean`` column; rows for failed ids carry
     fetch_ok=false so downstream can route them to the blacklist."""
     import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    # resolved driver-side, closed over: batches where every fetch
+    # failed must still carry all schema columns (as nulls)
+    out_cols = [f.name for f in _parse_datatype_string(result_schema).fields]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         rate = RateLimiter(per_partition_rate)
@@ -95,6 +100,6 @@ def fetch_distributed(
                     out.append({id_col: i, "fetch_ok": False})
                 else:
                     out.append({**doc, id_col: i, "fetch_ok": True})
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out).reindex(columns=out_cols)
 
     return id_df.mapInPandas(run, result_schema)

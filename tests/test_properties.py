@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the
+oracle gate can't express: calendar tiling for arbitrary dates,
+upsert algebra, jaccard bounds/symmetry."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cr_data_pipeline_project_spark.functions.calendar import season_calendar
+from cr_data_pipeline_project_spark.operators import dedup, mutations
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    year=st.integers(2000, 2030),
+    month=st.integers(1, 12),
+    n_months=st.integers(2, 8),
+)
+@SLOW
+def test_calendar_tiles_any_range(spark, year, month, n_months):
+    rows = season_calendar(
+        spark, f"{year:04d}-{month:02d}-01", n_months
+    ).collect()
+    assert len(rows) == n_months
+    rows.sort(key=lambda r: r["sn_start_date"])
+    for r in rows:
+        s = r["sn_start_date"]
+        assert s.weekday() == 0  # first Monday
+        assert (s.hour, s.minute, s.second) == (9, 5, 0)
+        assert s.day <= 7
+        assert r["season_id"] == s.strftime("%Y-%m")
+    for a, b in zip(rows, rows[1:]):
+        assert a["sn_end_date"] + dt.timedelta(seconds=1) == b["sn_start_date"]
+
+
+@given(
+    target_keys=st.sets(st.integers(0, 20), max_size=8),
+    source_keys=st.sets(st.integers(0, 20), max_size=8),
+)
+@SLOW
+def test_upsert_algebra(spark, target_keys, source_keys):
+    target = spark.createDataFrame(
+        [(k, "old") for k in sorted(target_keys)], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(k, "new") for k in sorted(source_keys)], "k long, v string"
+    )
+    out = {r["k"]: r["v"] for r in mutations.upsert(target, source, ["k"]).collect()}
+    # key set is the union; source wins on overlap
+    assert set(out) == target_keys | source_keys
+    for k in source_keys:
+        assert out[k] == "new"
+    for k in target_keys - source_keys:
+        assert out[k] == "old"
+
+
+@given(
+    words_a=st.lists(st.sampled_from("a b c d e f g h".split()), min_size=5, max_size=20),
+    words_b=st.lists(st.sampled_from("a b c d e f g h".split()), min_size=5, max_size=20),
+)
+@SLOW
+def test_jaccard_bounds_and_identity(spark, words_a, words_b):
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b)), (3, " ".join(words_a))],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.0
+        ).collect()
+    }
+    for j in pairs.values():
+        assert 0.0 < j <= 1.0
+    assert pairs[(1, 3)] == 1.0  # identical docs
+    if (1, 2) in pairs:
+        assert pairs[(1, 2)] == pairs.get((1, 2))  # computed once per pair

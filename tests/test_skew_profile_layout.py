@@ -1,0 +1,75 @@
+"""Salted join equivalence, column profiler, partitioned-lake
+pruning."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cr_data_pipeline_project_spark.operators.profile import profile_columns
+from cr_data_pipeline_project_spark.operators.skew import salted_join
+from cr_data_pipeline_project_spark.pipeline import Lake
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavy skew: one hot key dominating
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 10)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 10)], "k long, name string"
+    )
+    plain = sorted(
+        tuple(r) for r in skewed.join(small, "k").select("k", "payload", "name").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(skewed, small, ["k"], salt=4)
+        .select("k", "payload", "name")
+        .collect()
+    )
+    assert plain == salted
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    skewed = spark.createDataFrame([(1, 1), (99, 2)], "k long, payload long")
+    small = spark.createDataFrame([(1, "one")], "k long, name string")
+    out = {
+        r["k"]: r["name"]
+        for r in salted_join(skewed, small, ["k"], salt=4, how="left").collect()
+    }
+    assert out == {1: "one", 99: None}
+
+
+def test_profile_columns_single_pass(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("a", 3)], "s string, x int"
+    )
+    out = {r["column_name"]: r for r in profile_columns(df, ["s", "x"]).collect()}
+    assert out["s"]["n_rows"] == 3 and out["s"]["n_nulls"] == 0
+    assert out["s"]["n_distinct"] == 2
+    assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 2
+    assert out["x"]["min_str"] == "1" and out["x"]["max_str"] == "3"
+
+
+def test_lake_partitioned_matches_prunes(spark, tmp_path):
+    import datetime as dt
+
+    from cr_data_pipeline_project_spark import schemas
+
+    lake = Lake(spark, os.path.join(str(tmp_path), "lake"))
+    rows = [
+        (1, "k1", dt.datetime(2025, 1, 10), True, 7, "#A", "#B", "2025-01",
+         1, 1800, 25, 2, 1, 5000, 100, 200, None),
+        (2, "k2", dt.datetime(2025, 2, 10), False, 7, "#A", "#B", "2025-02",
+         1, 1825, -20, 0, 3, 4000, 0, 0, None),
+    ]
+    lake.append("matches", spark.createDataFrame(rows, schemas.MATCHES))
+    # hive layout on disk
+    assert os.path.isdir(os.path.join(lake.path("matches"), "season_id=2025-01"))
+    got = lake.read("matches").where(F.col("season_id") == "2025-01")
+    assert got.count() == 1
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "season_id" in plan.split(
+        "PartitionFilters"
+    )[1][:120]

@@ -21,6 +21,18 @@ def read_blacklist(path: str) -> list[str]:
         return list(json.load(f))
 
 
+def filter_blacklisted(df, id_col: str, blacklist: list[str]):
+    """P7 — pre-extraction blacklist filter (api_extract.py:79):
+    drop ids on the blacklist BEFORE fetching, so no API budget is
+    wasted. Broadcast ~isin for the O(10²) list; switch to a
+    left-anti join if the blacklist ever grows large."""
+    from pyspark.sql import functions as F
+
+    if not blacklist:
+        return df
+    return df.where(~F.col(id_col).isin(blacklist))
+
+
 def merge_blacklist(path: str, new_ids: list[str]) -> list[str]:
     """Union + dedup + rewrite (A8; etl_pipeline_script.py:66-69).
     Returns the merged list (sorted for determinism)."""

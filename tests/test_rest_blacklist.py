@@ -64,6 +64,14 @@ def test_blacklist_union_rewrite(tmp_path):
     assert blacklist.read_blacklist(p) == ["#A", "#B", "#C"]
 
 
+def test_filter_blacklisted_prefetch_gate(spark):
+    ids = spark.createDataFrame([("#A",), ("#B",), ("#C",)], "player_id string")
+    kept = blacklist.filter_blacklisted(ids, "player_id", ["#B"])
+    assert sorted(r["player_id"] for r in kept.collect()) == ["#A", "#C"]
+    # empty blacklist is a no-op (no filter node added)
+    assert blacklist.filter_blacklisted(ids, "player_id", []).count() == 3
+
+
 def test_rate_limiter_paces():
     import time
 

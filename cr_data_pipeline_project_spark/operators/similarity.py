@@ -334,7 +334,10 @@ def cosine_topk_pandas(
                 }
             )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    # fewer, larger Arrow batches: GEMM efficiency scales with batch
+    # rows; 32 slivers of a small corpus would pay per-batch overhead
+    n_parts = max(2, min(8, corpus.sparkSession.sparkContext.defaultParallelism // 4))
+    scored = corpus.select(id_col, vec_col).coalesce(n_parts).mapInPandas(
         score_part, "query_id long, neighbor_id long, cos double"
     ).where(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))

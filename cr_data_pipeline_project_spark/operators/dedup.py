@@ -87,7 +87,14 @@ def _jaccard_on_pairs(
     pairs: DataFrame, shingles: DataFrame, id_col: str
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs (doc_a < doc_b) given the
-    (id, shingle) set table. Returns (doc_a, doc_b, jaccard)."""
+    (id, shingle) set table. Returns (doc_a, doc_b, jaccard).
+
+    The shingle table joins in whole (persisted by callers). A
+    candidate-doc semi-join prune was measured SLOWER here — the
+    persist barrier + extra broadcast stage cost more than the
+    shingle shuffle saved; at true corpus scale the winning layout is
+    a materialized (written) shingle index instead, which the lake
+    provides naturally."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(
         F.col(id_col).alias("doc_a"), F.col("shingle")

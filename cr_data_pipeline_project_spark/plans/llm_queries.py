@@ -292,6 +292,39 @@ def q48_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q52_hash_split",
+    """
+    WITH labeled AS (
+        SELECT doc_id,
+               CASE WHEN b >= 0 AND b < 80 THEN 'train'
+                    WHEN b >= 80 AND b < 90 THEN 'val'
+                    WHEN b >= 90 AND b < 100 THEN 'test'
+                    ELSE 'rest' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+              FROM documents) t)
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM labeled GROUP BY split
+    """,
+)
+def q52_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split — stable across
+    runs, partitionings, and engines (unlike randomSplit). The split
+    label is a pure function of the id; the oracle reproduces it."""
+    from ..operators.sampling import hash_split
+
+    docs = table(spark, "documents", sf_dir)
+    labeled = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # ------------------------------------------------------------------ #
 # text analysis                                                       #
 # ------------------------------------------------------------------ #

@@ -1,0 +1,41 @@
+"""Hash-split determinism: the property randomSplit lacks."""
+
+from cr_data_pipeline_project_spark.operators.sampling import hash_split
+
+
+def test_split_stable_under_repartitioning(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df.repartition(17), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b  # same id → same split, any partitioning
+
+
+def test_split_fractions_roughly_hold(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    assert abs(counts["test"] / 5000 - 0.1) < 0.03
+
+
+def test_splits_are_disjoint_and_total(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.5, "test": 0.5})
+    assert out.count() == 1000
+    assert out.where("split NOT IN ('train','test')").count() == 0

@@ -1,0 +1,74 @@
+"""Group-wise statistics: per-group z-score normalization.
+
+Two implementations with identical semantics:
+
+- :func:`zscore_exact` — pure DataFrame: decimal-exact group sums →
+  broadcast join back → double arithmetic. Deterministic to the bit,
+  so it carries a DuckDB oracle.
+- :func:`zscore_pandas` — ``applyInPandas`` (grouped Arrow batches →
+  numpy). The idiomatic shape for group-wise Python (per-group model
+  scoring, resampling, curve fitting); numerically equal to ~1e-12
+  but not bitwise (BLAS reductions), so it is checked rows-only +
+  tolerance tests.
+
+Scale notes: the exact path is one partial+final aggregation plus a
+broadcast of the tiny group-stats table — no second shuffle of the
+fact rows. ``applyInPandas`` shuffles rows by group key: fine for
+many medium groups, a straggler hazard for one giant group (pre-split
+hot groups by salting and merge moments afterwards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def group_moments(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-key (n, mean, stddev) from decimal-exact sums (sample
+    stddev, n-1 denominator)."""
+    sum_d = F.sum(F.col(value).cast("decimal(28,6)")).cast("double")
+    sumsq_d = F.sum((F.col(value) * F.col(value)).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    n = F.count(F.lit(1))
+    agg = df.groupBy(key).agg(
+        n.alias("n"), sum_d.alias("s"), sumsq_d.alias("ss")
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        key,
+        "n",
+        mean.alias("mean"),
+        F.sqrt(var).alias("stddev"),
+    )
+
+
+def zscore_exact(df: DataFrame, key: str, value: str, id_col: str) -> DataFrame:
+    stats = group_moments(df, key, value)
+    return (
+        df.join(F.broadcast(stats), key)
+        .select(
+            id_col,
+            key,
+            F.round(
+                (F.col(value) - F.col("mean")) / F.col("stddev"), 6
+            ).alias("zscore"),
+        )
+    )
+
+
+def zscore_pandas(df: DataFrame, key: str, value: str, id_col: str) -> DataFrame:
+    """Grouped-map Arrow path (applyInPandas)."""
+    import pandas as pd
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf[value]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {id_col: pdf[id_col], key: pdf[key], "zscore": z.round(6)}
+        )
+
+    return df.select(id_col, key, value).groupBy(key).applyInPandas(
+        norm, f"{id_col} long, {key} string, zscore double"
+    )

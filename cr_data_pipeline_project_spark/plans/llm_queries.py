@@ -293,6 +293,39 @@ def q48_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q53_group_zscore",
+    """
+    WITH stats AS (
+        SELECT event_type, COUNT(*) AS n,
+               (SUM(value::DECIMAL(28,6)))::DOUBLE AS s,
+               (SUM((value*value)::DECIMAL(38,12)))::DOUBLE AS ss
+        FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - t.s / t.n)
+                 / sqrt((t.ss - t.s * t.s / t.n) / (t.n - 1)), 6) AS zscore
+    FROM events e JOIN stats t ON e.event_type = t.event_type
+    """,
+)
+def q53_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization, exact path: decimal-exact moments +
+    broadcast join back — deterministic to the bit (oracled)."""
+    from ..operators.groupstats import zscore_exact
+
+    ev = table(spark, "events", sf_dir)
+    return zscore_exact(ev, "event_type", "value", "event_id")
+
+
+@q("q54_group_zscore_pandas")  # rows-only: numpy reductions ≠ bitwise
+def q54_group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas twin of q53 — the grouped-map Arrow surface;
+    equality to ~1e-9 asserted in tests."""
+    from ..operators.groupstats import zscore_pandas
+
+    ev = table(spark, "events", sf_dir)
+    return zscore_pandas(ev, "event_type", "value", "event_id")
+
+
+@q(
     "q52_hash_split",
     """
     WITH labeled AS (

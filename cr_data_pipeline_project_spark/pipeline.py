@@ -69,6 +69,21 @@ class Lake:
             w = w.partitionBy(*parts)
         w.parquet(self.path(name))
 
+    def compact(self, name: str, target_files: int = 1) -> int:
+        """Small-file compaction — the 100 TB housekeeping operator:
+        incremental appends accumulate per-batch files; rewrite the
+        table into ``target_files`` per partition. Returns the file
+        count before compaction. (On a transactional format this is
+        OPTIMIZE; on plain parquet it's a guarded rewrite.)"""
+        import glob
+
+        before = len(
+            glob.glob(os.path.join(self.path(name), "**", "*.parquet"), recursive=True)
+        )
+        df = self.read(name).coalesce(target_files)
+        self.overwrite(name, df)
+        return before
+
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Upsert sink for dims. The plan typically reads the files
         being replaced, and Spark invalidates caches via

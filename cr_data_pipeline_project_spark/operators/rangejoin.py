@@ -98,10 +98,17 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     tolerance_seconds: int | None = None,
+    left_id: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (per equality keys ``on``). Composition of
     built-in ops: range-join candidates → max-by window. No UDF.
+
+    Pass ``left_id`` (a unique left key) whenever left rows can share
+    (on, left_ts) — the max-by window must partition by a per-row
+    identity or colliding rows would collapse into one. For a fully
+    deterministic result the right side must be unique per
+    (on, right_ts); pre-aggregate ties away.
 
     Scale: shuffles both sides on ``on`` once; candidate blow-up is
     bounded by ``tolerance_seconds`` — always set it for dense right
@@ -117,9 +124,12 @@ def as_of_join(
             >= left[left_ts] - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
         )
     joined = left.join(right, [*cond, time_cond], "left")
-    w = Window.partitionBy(*[left[k] for k in on], left[left_ts]).orderBy(
-        right[right_ts].desc()
+    part = (
+        [left[left_id]]
+        if left_id is not None
+        else [*[left[k] for k in on], left[left_ts]]
     )
+    w = Window.partitionBy(*part).orderBy(right[right_ts].desc())
     return joined.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") == 1
     ).drop("__rn")

@@ -456,6 +456,84 @@ def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", textstats.fingerprint(docs, "text").alias("fp"))
 
 
+@q(
+    "q55_curation_pipeline",
+    """
+    WITH fp AS (
+        SELECT doc_id, lang, n_chars,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id <> keep_id THEN 'duplicate'
+                WHEN n_chars < 100 THEN 'too_short'
+                WHEN n_chars > 400 THEN 'too_long'
+                WHEN lang NOT IN ('de','en','es','fr') THEN 'unsupported_lang'
+                ELSE 'kept' END AS status
+    FROM fp
+    """,
+)
+def q55_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style curation: exact-dup gate → length bounds →
+    language allowlist, emitting the FIRST failing rule per document
+    (the audit trail a training-data pipeline keeps). One scan + one
+    window; rules are pure expressions."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, "documents", sf_dir)
+    keep_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    status = (
+        F.when(F.col("doc_id") != keep_id, F.lit("duplicate"))
+        .when(F.col("n_chars") < 100, F.lit("too_short"))
+        .when(F.col("n_chars") > 400, F.lit("too_long"))
+        .when(
+            ~F.col("lang").isin("de", "en", "es", "fr"),
+            F.lit("unsupported_lang"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return docs.select("doc_id", status.alias("status"))
+
+
+@q(
+    "q56_asof_join",
+    """
+    WITH r AS (
+        SELECT o_custkey AS user_id, o_orderdate,
+               MAX(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, r.last_orderkey,
+           r.o_orderdate AS last_orderdate
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
+    """,
+)
+def q56_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: each event joined to its user's latest prior
+    order (DuckDB's native ASOF JOIN is the oracle). Right side
+    pre-deduped per (user, ts) so ties are deterministic."""
+    from ..operators.rangejoin import as_of_join
+
+    ev = table(spark, "events", sf_dir)
+    orders = (
+        table(spark, "orders", sf_dir)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = as_of_join(
+        ev, orders, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        left_id="event_id",
+    )
+    return joined.select(
+        "event_id",
+        ev["user_id"],
+        "last_orderkey",
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
 # ------------------------------------------------------------------ #
 # multimodal plumbing                                                 #
 # ------------------------------------------------------------------ #

@@ -52,6 +52,32 @@ def test_profile_columns_single_pass(spark):
     assert out["x"]["min_str"] == "1" and out["x"]["max_str"] == "3"
 
 
+def test_asof_join_keeps_colliding_left_rows(spark):
+    """Two left rows sharing (key, ts) must BOTH survive — the max-by
+    window partitions by the unique left id, not (key, ts)."""
+    import datetime as dt
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import as_of_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t), (2, 7, t), (3, 7, dt.datetime(2023, 1, 1))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1, 0, 0), "recent"),
+         (7, dt.datetime(2020, 1, 1), "old")],
+        "k long, rts timestamp, tag string",
+    )
+    out = {
+        r["event_id"]: r["tag"]
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", left_id="event_id"
+        ).collect()
+    }
+    assert out == {1: "recent", 2: "recent", 3: "old"}
+
+
 def test_lake_partitioned_matches_prunes(spark, tmp_path):
     import datetime as dt
 

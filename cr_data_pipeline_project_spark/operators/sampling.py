@@ -51,3 +51,35 @@ def hash_split(
     """Adds a ``split`` column. Deterministic: the same id lands in
     the same split forever, regardless of partitioning or engine."""
     return df.withColumn("split", split_column(id_col, fractions, buckets))
+
+
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic dataset mixing: subsample each source to its
+    target weight (fraction kept) by thresholding the id's hash
+    bucket — the curriculum/mixture step of a training-data pipeline
+    (e.g. upweight curated sources, downsample web crawl).
+
+    Per-row decision, no shuffle, reproducible across runs and
+    engines; a document keeps or drops identically no matter how the
+    corpus is partitioned or which sources are re-weighted later
+    (hash depends only on the id)."""
+    b = hash_bucket(id_col, buckets)
+    thresh = None
+    for src, w in weights.items():
+        t = F.when(F.col(source_col) == src, F.lit(int(round(w * buckets))))
+        thresh = t if thresh is None else thresh.when(
+            F.col(source_col) == src, F.lit(int(round(w * buckets)))
+        )
+    thresh = (
+        thresh.otherwise(F.lit(int(round(default_weight * buckets))))
+        if thresh is not None
+        else F.lit(int(round(default_weight * buckets)))
+    )
+    return df.where(b < thresh)

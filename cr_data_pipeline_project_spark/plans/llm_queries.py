@@ -457,6 +457,42 @@ def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q57_dataset_mixing",
+    """
+    WITH hashed AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        FROM documents),
+    kept AS (
+        SELECT doc_id, source FROM hashed
+        WHERE b < CASE WHEN source = 'src0' THEN 100
+                       WHEN source = 'src1' THEN 50
+                       WHEN source = 'src2' THEN 25
+                       ELSE 10 END)
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+    FROM kept GROUP BY source
+    """,
+)
+def q57_dataset_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: upweight src0 (keep all),
+    downsample the rest to target fractions — per-source kept counts
+    as the audit output."""
+    from ..operators.sampling import mix_sources
+
+    docs = table(spark, "documents", sf_dir)
+    mixed = mix_sources(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
+    )
+
+
+@q(
     "q55_curation_pipeline",
     """
     WITH fp AS (

@@ -34,6 +34,31 @@ def test_split_fractions_roughly_hold(spark):
     assert abs(counts["test"] / 5000 - 0.1) < 0.03
 
 
+def test_mix_sources_deterministic_and_weighted(spark):
+    from cr_data_pipeline_project_spark.operators.sampling import mix_sources
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {
+        r["doc_id"]
+        for r in mix_sources(df, "doc_id", "source", {"heavy": 1.0, "light": 0.2}).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in mix_sources(
+            df.repartition(9), "doc_id", "source", {"heavy": 1.0, "light": 0.2}
+        ).collect()
+    }
+    assert kept1 == kept2  # partitioning-independent
+    heavy = sum(1 for i in kept1 if i % 2 == 0)
+    light = len(kept1) - heavy
+    assert heavy == 1000  # weight 1.0 keeps everything
+    assert abs(light / 1000 - 0.2) < 0.05
+    # default weight drops unknown sources entirely
+    df2 = spark.createDataFrame([(1, "mystery")], "doc_id long, source string")
+    assert mix_sources(df2, "doc_id", "source", {"heavy": 1.0}).count() == 0
+
+
 def test_splits_are_disjoint_and_total(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     out = hash_split(df, "doc_id", {"train": 0.5, "test": 0.5})

@@ -3,6 +3,19 @@
 Every query keyed here has (a) a Spark builder ``(spark, sf_dir) ->
 DataFrame`` and (b), where ANSI-SQL-expressible, a DuckDB oracle twin
 with identical column names and value semantics.
+
+Registration order is part of the driver contract: the correctness
+gate compares only the FIRST ``GATE_SLOTS`` entries of ``queries()``
+against their oracles, so
+
+1. the gate window holds oracled queries only (a rows-only query in
+   a slot would waste it),
+2. rows-only queries (no oracle by design — BLAS/ sketch /
+   probabilistic results) are registered last,
+3. when more oracled queries exist than slots, the overflow set is
+   chosen deliberately (``GATE_OVERFLOW``): trivial scalar
+   projections that stay covered by ``tests/test_oracle_parity.py``
+   and ``tools/check_oracle.py``, which always run the FULL surface.
 """
 
 from __future__ import annotations
@@ -15,12 +28,45 @@ from . import llm_queries, reference_queries
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
+# The driver's correctness gate reads this many leading entries.
+GATE_SLOTS = 50
 
-def all_queries() -> dict[str, Builder]:
+# Oracled queries deliberately registered past the gate window —
+# single-scan scalar projections / casts whose regressions the pytest
+# oracle-parity suite catches identically. Everything NOT listed here
+# (and oracled) must fit in the gate window.
+GATE_OVERFLOW: tuple[str, ...] = (
+    "q06_distinct_single",
+    "q12_key_synthesis",
+    "q13_ts_parse_strict",
+    "q14_url_encode",
+    "q16_element_at_default",
+    "q17_json_extract",
+    "q18_null_mask_fill",
+)
+
+
+def _merged() -> dict[str, Builder]:
     out: dict[str, Builder] = {}
     out.update(reference_queries.QUERIES)
     out.update(llm_queries.QUERIES)
     return out
+
+
+def all_queries() -> dict[str, Builder]:
+    merged = _merged()
+    oracles = all_oracles()
+    gated = [
+        n for n in merged if n in oracles and n not in GATE_OVERFLOW
+    ]
+    if len(gated) > GATE_SLOTS:
+        raise RuntimeError(
+            f"{len(gated)} oracled queries for {GATE_SLOTS} gate slots — "
+            "move stable ones to GATE_OVERFLOW in plans/__init__.py"
+        )
+    overflow = [n for n in GATE_OVERFLOW if n in merged]
+    rows_only = [n for n in merged if n not in oracles]
+    return {n: merged[n] for n in (*gated, *overflow, *rows_only)}
 
 
 def all_oracles() -> dict[str, str]:

@@ -79,25 +79,38 @@ def add_surrogate_keys(
 
 def assign_dense_ids(df: DataFrame, id_col: str, start_at: int = 0) -> DataFrame:
     """Scale path for dense unique ids: zipWithIndex semantics without
-    a global sort — per-partition offsets computed from partition
-    sizes. Ids are dense + unique but ordering is partition order (not
-    a total key order); pair with a ``repartitionByRange`` upstream
-    when a sorted id space is wanted."""
-    spark = df.sparkSession
-    parts = df.rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]
-    ).collect()
-    offsets = {}
-    acc = start_at
-    for i, n in sorted(parts):
-        offsets[i] = acc
-        acc += n
-    boff = spark.sparkContext.broadcast(offsets)
-    schema = df.schema.add(id_col, "long", False)
+    a global sort — per-partition offsets + in-partition positions,
+    entirely JVM-side (no RDD round-trip, no Python rows, no window
+    over the data).
 
-    def attach(i, it):
-        base = boff.value[i]
-        for j, row in enumerate(it):
-            yield (*row, base + j + 1)
-
-    return spark.createDataFrame(df.rdd.mapPartitionsWithIndex(attach), schema)
+    ``monotonically_increasing_id()`` encodes
+    ``partition_id * 2^33 + row_position``, so the in-partition
+    position is recovered arithmetically; the only shuffle moves one
+    (partition_id, count) row per partition, and the offset map joins
+    back as a broadcast. Ids are dense + unique but ordering is
+    partition order (not a total key order); pair with a
+    ``repartitionByRange(...).sortWithinPartitions(...)`` upstream
+    when a sorted id space is wanted (then ids equal the global
+    ``row_number`` over that key — see q58)."""
+    tagged = df.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+    )
+    pos = F.col("__mid") - F.col("__pid").cast("long") * F.lit(1 << 33)
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            id_col,
+            (F.col("__off") + pos + F.lit(1 + start_at)).cast("long"),
+        )
+        .select(*df.columns, id_col)
+    )

@@ -1006,3 +1006,26 @@ def q30_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
+
+
+# M6 scale path — dense surrogate ids WITHOUT a global window:
+# range-partition + sort-within gives ids equal to the global
+# row_number over the key (assign_dense_ids is pure JVM arithmetic on
+# monotonically_increasing_id; the only shuffle is one count row per
+# partition). The per-batch-delta twin is q23 (window-based).
+@q(
+    "q58_dense_ids_scale",
+    """
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) AS dense_id
+    FROM orders
+    """,
+)
+def q58_dense_ids_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        table(spark, "orders", sf_dir)
+        .select("o_orderkey")
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    return mutations.assign_dense_ids(orders, "dense_id")

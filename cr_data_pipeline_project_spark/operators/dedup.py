@@ -124,18 +124,48 @@ def _jaccard_on_pairs(
     )
 
 
+def ngram_candidate_pairs(
+    shingles: DataFrame, id_col: str, max_doc_freq: int = 1000
+) -> DataFrame:
+    """Inverted-index candidate pairs: documents sharing ≥1 shingle
+    with document frequency ≤ ``max_doc_freq``.
+
+    The frequency cap is the hot-shingle guard (standard for
+    inverted-index Jaccard): one boilerplate 5-gram shared by 10⁵
+    docs would otherwise emit 10¹⁰ candidate rows. A shingle with
+    df > cap contributes ~0 Jaccard information anyway (it is in
+    everything), and the verification join still counts it — only
+    candidate *generation* skips it, so scores stay exact; recall is
+    lost only for pairs whose every shared shingle is hotter than the
+    cap, which at any useful threshold are non-duplicates."""
+    sized = shingles.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).where(F.col("__df") <= max_doc_freq)
+    a = sized.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sized.select(F.col(id_col).alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 5,
     threshold: float = 0.7,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
-    index (all pairs sharing ≥1 shingle are candidates).
+    index (all pairs sharing ≥1 sub-cap shingle are candidates;
+    Jaccard itself is computed over FULL shingle sets).
 
-    Scale: candidate count explodes on frequent shingles — at corpus
-    scale prefer :func:`minhash_lsh_pairs`, which is this operator's
+    Scale: candidate count explodes on frequent shingles —
+    ``max_doc_freq`` bounds that (see :func:`ngram_candidate_pairs`);
+    at corpus scale prefer :func:`minhash_lsh_pairs`, this operator's
     sublinear twin; keep this one for verification and small inputs.
     """
     # The shingle table feeds the inverted index AND both sides of
@@ -143,14 +173,7 @@ def ngram_jaccard_pairs(
     # corpus three times (at scale: write it once, it's the reusable
     # index artifact).
     sh = shingle_set(df, text_col, id_col, n).persist()
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = ngram_candidate_pairs(sh, id_col, max_doc_freq)
     return _jaccard_on_pairs(cand, sh, id_col).where(
         F.col("jaccard") >= threshold
     )

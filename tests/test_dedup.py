@@ -88,3 +88,28 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     sigs = dedup.minhash_signatures(df, "text", "doc_id")
     cand = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=10)
     assert cand.count() == 0
+
+
+def test_ngram_hot_shingle_cap_bounds_candidates(spark):
+    """Planted boilerplate: every doc shares one hot 5-gram ("this
+    document is licensed under") but is otherwise unique. With the
+    cap below the corpus size the hot shingle is excluded from the
+    inverted index, so candidate count collapses from O(N²) to 0."""
+    boiler = "this document is licensed under"
+    rows = [
+        (i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingle_set(docs, "text", "doc_id", n=5)
+    uncapped = dedup.ngram_candidate_pairs(sh, "doc_id", max_doc_freq=1000)
+    capped = dedup.ngram_candidate_pairs(sh, "doc_id", max_doc_freq=10)
+    assert uncapped.count() == 30 * 29 // 2  # hot shingle pairs everyone
+    assert capped.count() == 0
+
+    # End-to-end: capped run still finds nothing ≥ threshold (the
+    # boilerplate-only overlaps are far below 0.7 jaccard anyway).
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.7, max_doc_freq=10
+    )
+    assert pairs.count() == 0

@@ -43,7 +43,23 @@ class Lake:
     hive-partitioned (matches by ``season_id`` — SURVEY §1.4 and the
     reference's own future-work note, README.md:127) so incremental
     gates and audits prune to touched partitions; verify with the
-    plan's ``PartitionFilters``."""
+    plan's ``PartitionFilters``.
+
+    Rewritten tables (dim upserts, purges, compaction) use a
+    versioned layout with an atomic pointer commit, matching the
+    transactionality of the reference's DB-side MERGE/DELETE
+    (src/db_ops.py:62-149)::
+
+        <root>/<table>/_VERSION   # text pointer, os.replace()-atomic
+        <root>/<table>/v<N>/      # immutable parquet snapshot
+
+    ``overwrite`` stages the full new snapshot into ``v<N+1>`` while
+    readers keep using ``v<N>``; the commit point is ONE atomic
+    rename of the pointer file, so a crash at any instant leaves the
+    previous snapshot intact and readable (crash-injection tested).
+    Old versions are GC'd after commit. Append-only facts stay flat
+    until first rewritten; appends land inside the current snapshot.
+    (A Delta/Iceberg backend would replace exactly this class.)"""
 
     PARTITIONING: dict[str, list[str]] = {"matches": ["season_id"]}
 
@@ -54,12 +70,28 @@ class Lake:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self.path(name), "_VERSION")
+
+    def current_version(self, name: str) -> int:
+        """0 = unversioned (legacy flat dir or absent)."""
+        try:
+            with open(self._pointer(name)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def data_dir(self, name: str) -> str:
+        """Directory holding the table's current data files."""
+        v = self.current_version(name)
+        return os.path.join(self.path(name), f"v{v}") if v else self.path(name)
+
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
 
     def read(self, name: str) -> DataFrame:
         if self.exists(name):
-            return self.spark.read.parquet(self.path(name))
+            return self.spark.read.parquet(self.data_dir(name))
         return self.spark.createDataFrame([], schemas.DOMAIN[name])
 
     def append(self, name: str, df: DataFrame) -> None:
@@ -67,36 +99,68 @@ class Lake:
         parts = self.PARTITIONING.get(name)
         if parts:
             w = w.partitionBy(*parts)
-        w.parquet(self.path(name))
+        w.parquet(self.data_dir(name))
 
     def compact(self, name: str, target_files: int = 1) -> int:
         """Small-file compaction — the 100 TB housekeeping operator:
         incremental appends accumulate per-batch files; rewrite the
         table into ``target_files`` per partition. Returns the file
         count before compaction. (On a transactional format this is
-        OPTIMIZE; on plain parquet it's a guarded rewrite.)"""
+        OPTIMIZE; on plain parquet it's the atomic snapshot swap.)"""
         import glob
 
         before = len(
-            glob.glob(os.path.join(self.path(name), "**", "*.parquet"), recursive=True)
+            glob.glob(
+                os.path.join(self.data_dir(name), "**", "*.parquet"),
+                recursive=True,
+            )
         )
         df = self.read(name).coalesce(target_files)
         self.overwrite(name, df)
         return before
 
     def overwrite(self, name: str, df: DataFrame) -> None:
-        """Upsert sink for dims. The plan typically reads the files
-        being replaced, and Spark invalidates caches via
-        refreshByPath on write — so cut lineage with an eager
-        localCheckpoint before overwriting (a .cache() would be
-        dropped by the refresh and recompute against clobbered
-        files)."""
-        out = df.localCheckpoint(eager=True)
-        w = out.write.mode("overwrite")
+        """Atomic full-table rewrite (upsert sink for dims).
+
+        The plan may read the table's CURRENT files — safe, because
+        the new snapshot is staged into a sibling directory (never
+        clobbering its own input, so no localCheckpoint needed and
+        existing caches stay valid). Commit = one ``os.replace`` of
+        the pointer; a crash before it leaves ``v<N>`` untouched, a
+        re-run after it simply restages ``v<N+1>`` over the orphan."""
+        root = self.path(name)
+        os.makedirs(root, exist_ok=True)
+        cur = self.current_version(name)
+        new_v = cur + 1
+        staged = os.path.join(root, f"v{new_v}")
+        w = df.write.mode("overwrite")  # clobbers an orphaned stage
         parts = self.PARTITIONING.get(name)
         if parts:
             w = w.partitionBy(*parts)
-        w.parquet(self.path(name))
+        w.parquet(staged)
+        tmp = os.path.join(root, "_VERSION.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer(name))  # ← the commit point
+        self._gc(name, keep=new_v)
+
+    def _gc(self, name: str, keep: int) -> None:
+        """Drop superseded snapshots (and the legacy flat files once
+        the first versioned snapshot commits)."""
+        import re
+        import shutil
+
+        root = self.path(name)
+        for entry in os.listdir(root):
+            p = os.path.join(root, entry)
+            m = re.fullmatch(r"v(\d+)", entry)
+            if m and int(m.group(1)) != keep and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif entry not in ("_VERSION", f"v{keep}") and not m:
+                # legacy flat-layout files superseded by the snapshot
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
 
 
 def run_etl(

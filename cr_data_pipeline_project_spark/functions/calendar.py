@@ -64,6 +64,55 @@ def season_calendar(
     return out
 
 
+def _month_floor(d: _dt.datetime, months_back: int) -> str:
+    """'yyyy-MM-01' for ``months_back`` months before ``d``'s month."""
+    idx = d.year * 12 + (d.month - 1) - months_back
+    return f"{idx // 12:04d}-{idx % 12 + 1:02d}-01"
+
+
+def last_n_completed_seasons(
+    spark: SparkSession, n: int = 3, ref_date: _dt.datetime | None = None
+) -> DataFrame:
+    """Seasons fully completed before ``ref_date`` — the reference's
+    only pure-function test seam (helper_functions.py:7-38):
+    ``completed`` means ``sn_end_date < ref_date``.
+
+    Faithful to the reference quirk: it builds the ``n + 1`` seasons
+    starting in the ``n + 1`` months before the ref month and keeps
+    every completed one, so the result has ``n + 1`` rows once the
+    ref month's own rollover (first Monday 09:05) has passed, and
+    ``n`` rows before it.
+    """
+    ref_date = ref_date or _dt.datetime.utcnow()
+    cal = season_calendar(spark, _month_floor(ref_date, n + 1), n + 1)
+    return cal.where(F.col("sn_end_date") < F.lit(ref_date))
+
+
+def current_plus_n_seasons(
+    spark: SparkSession, n: int = 3, ref_date: _dt.datetime | None = None
+) -> DataFrame:
+    """The season containing ``ref_date`` plus its next ``n``
+    successors (helper_functions.py:40-74: the current row is the one
+    with ``sn_start_date <= ref_date <= sn_end_date``; futures are
+    the first ``n`` seasons with ``sn_start_date > ref_date``).
+
+    Generates with the reference's same margins (2 months back,
+    ``n + 4`` forward) so boundary placements of the first Monday
+    can't drop the current season."""
+    ref_date = ref_date or _dt.datetime.utcnow()
+    cal = season_calendar(spark, _month_floor(ref_date, 2), n + 6)
+    ref = F.lit(ref_date)
+    current = cal.where(
+        (F.col("sn_start_date") <= ref) & (ref <= F.col("sn_end_date"))
+    )
+    future = (
+        cal.where(F.col("sn_start_date") > ref)
+        .orderBy("sn_start_date")
+        .limit(n)
+    )
+    return current.unionByName(future)
+
+
 def seasons_for_range(
     spark: SparkSession, min_ts: _dt.datetime, max_ts: _dt.datetime
 ) -> DataFrame:

@@ -1029,3 +1029,81 @@ def q58_dense_ids_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("o_orderkey")
     )
     return mutations.assign_dense_ids(orders, "dense_id")
+
+
+# Ref-date-relative calendar entry points (helper_functions.py:7-74)
+# with the reference's pinned-ref-date test seam. Completed = end <
+# ref (strict); ref mid-June 2025 puts 4 completed seasons in the
+# n=3 build window (the reference's own n+1 quirk).
+@q(
+    "q59_last_completed_seasons",
+    """
+    WITH months AS (
+        SELECT ms FROM range(TIMESTAMP '2025-02-01', TIMESTAMP '2025-07-01',
+                             INTERVAL 1 MONTH) t(ms)
+    ),
+    mondays AS (
+        SELECT ms + ((8 - isodow(ms)) % 7) * INTERVAL 1 DAY
+                  + INTERVAL 9 HOUR + INTERVAL 5 MINUTE AS sn_start_date
+        FROM months
+    ),
+    cal AS (
+        SELECT strftime(sn_start_date, '%Y-%m') AS season_id, sn_start_date,
+               lead(sn_start_date) OVER (ORDER BY sn_start_date)
+                 - INTERVAL 1 SECOND AS sn_end_date
+        FROM mondays
+    )
+    SELECT season_id, sn_start_date, sn_end_date
+    FROM cal
+    WHERE sn_end_date IS NOT NULL
+      AND sn_end_date < TIMESTAMP '2025-06-15'
+    """,
+)
+def q59_last_completed_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from ..functions.calendar import last_n_completed_seasons
+
+    return last_n_completed_seasons(spark, 3, _dt.datetime(2025, 6, 15))
+
+
+@q(
+    "q60_current_plus_seasons",
+    """
+    WITH months AS (
+        SELECT ms FROM range(TIMESTAMP '2025-04-01', TIMESTAMP '2026-02-01',
+                             INTERVAL 1 MONTH) t(ms)
+    ),
+    mondays AS (
+        SELECT ms + ((8 - isodow(ms)) % 7) * INTERVAL 1 DAY
+                  + INTERVAL 9 HOUR + INTERVAL 5 MINUTE AS sn_start_date
+        FROM months
+    ),
+    cal AS (
+        SELECT strftime(sn_start_date, '%Y-%m') AS season_id, sn_start_date,
+               lead(sn_start_date) OVER (ORDER BY sn_start_date)
+                 - INTERVAL 1 SECOND AS sn_end_date
+        FROM mondays
+        QUALIFY sn_end_date IS NOT NULL
+    ),
+    ranked AS (
+        SELECT *, CASE WHEN sn_start_date > TIMESTAMP '2025-06-15'
+                       THEN row_number() OVER (
+                            PARTITION BY sn_start_date > TIMESTAMP '2025-06-15'
+                            ORDER BY sn_start_date)
+                       ELSE 0 END AS frank
+        FROM cal
+    )
+    SELECT season_id, sn_start_date, sn_end_date
+    FROM ranked
+    WHERE (sn_start_date <= TIMESTAMP '2025-06-15'
+           AND TIMESTAMP '2025-06-15' <= sn_end_date)
+       OR frank BETWEEN 1 AND 3
+    """,
+)
+def q60_current_plus_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from ..functions.calendar import current_plus_n_seasons
+
+    return current_plus_n_seasons(spark, 3, _dt.datetime(2025, 6, 15))

@@ -52,3 +52,76 @@ def test_seasons_cover_range(spark):
     rows.sort(key=lambda r: r["sn_start_date"])
     for a, b in zip(rows, rows[1:]):
         assert a["sn_end_date"] + dt.timedelta(seconds=1) == b["sn_start_date"]
+
+
+# ------------------------------------------------------------------ #
+# ref-date-relative entry points (helper_functions.py:7-74)           #
+# ------------------------------------------------------------------ #
+
+from cr_data_pipeline_project_spark.functions.calendar import (  # noqa: E402
+    current_plus_n_seasons,
+    last_n_completed_seasons,
+)
+
+
+def _by_id(df):
+    return {r["season_id"]: r for r in df.collect()}
+
+
+def test_last_n_completed_mid_month(spark):
+    """ref mid-September 2024: the ref month's rollover (Sep 2 09:05)
+    has passed, so the reference's build window yields n+1 = 4
+    completed seasons (its documented quirk, reproduced exactly)."""
+    got = _by_id(
+        last_n_completed_seasons(spark, 3, dt.datetime(2024, 9, 15))
+    )
+    assert sorted(got) == ["2024-05", "2024-06", "2024-07", "2024-08"]
+    assert got["2024-05"]["sn_start_date"] == dt.datetime(2024, 5, 6, 9, 5)
+    assert got["2024-08"]["sn_start_date"] == dt.datetime(2024, 8, 5, 9, 5)
+    assert got["2024-08"]["sn_end_date"] == dt.datetime(2024, 9, 2, 9, 4, 59)
+
+
+def test_last_n_completed_before_rollover(spark):
+    """ref on the first Monday BEFORE 09:05: the previous season is
+    still live → exactly n completed seasons."""
+    got = _by_id(
+        last_n_completed_seasons(spark, 3, dt.datetime(2024, 9, 2, 5, 0))
+    )
+    assert sorted(got) == ["2024-05", "2024-06", "2024-07"]
+
+
+def test_last_n_completed_at_rollover_instant(spark):
+    """end < ref is strict: at exactly 09:05:00 the old season (ends
+    09:04:59) counts as completed."""
+    got = _by_id(
+        last_n_completed_seasons(spark, 3, dt.datetime(2024, 9, 2, 9, 5, 0))
+    )
+    assert "2024-08" in got and len(got) == 4
+
+
+def test_last_n_completed_month_starting_on_monday(spark):
+    """July and April 2024 start on a Monday — the first-Monday
+    search must pick day 1, not day 8."""
+    got = _by_id(
+        last_n_completed_seasons(spark, 2, dt.datetime(2024, 7, 10))
+    )
+    assert sorted(got) == ["2024-04", "2024-05", "2024-06"]
+    assert got["2024-04"]["sn_start_date"] == dt.datetime(2024, 4, 1, 9, 5)
+    assert got["2024-06"]["sn_end_date"] == dt.datetime(2024, 7, 1, 9, 4, 59)
+
+
+def test_current_plus_n(spark):
+    got = _by_id(current_plus_n_seasons(spark, 2, dt.datetime(2024, 9, 15)))
+    assert sorted(got) == ["2024-09", "2024-10", "2024-11"]
+    assert got["2024-09"]["sn_start_date"] == dt.datetime(2024, 9, 2, 9, 5)
+    assert got["2024-09"]["sn_end_date"] == dt.datetime(2024, 10, 7, 9, 4, 59)
+    assert got["2024-11"]["sn_end_date"] == dt.datetime(2024, 12, 2, 9, 4, 59)
+
+
+def test_current_plus_n_on_boundary(spark):
+    """ref exactly at a season start: that season is current
+    (start <= ref), not future."""
+    got = _by_id(
+        current_plus_n_seasons(spark, 1, dt.datetime(2024, 10, 7, 9, 5))
+    )
+    assert sorted(got) == ["2024-10", "2024-11"]

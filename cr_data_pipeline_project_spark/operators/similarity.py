@@ -100,34 +100,50 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — O(N²) verification
     baseline. Scale path: run :func:`ivf_assign` first and only pair
-    within clusters, or LSH (random hyperplanes = SimHash on floats).
+    within clusters, or :func:`hyperplane_lsh_neardup`.
     Returns (vec_a, vec_b, score).
 
-    Plan shape: norms are computed once per vector (not per pair), so
-    each pair costs a single dot-product fold; the streaming side is
-    repartitioned so the O(N²) loop parallelizes across all cores
-    (a small parquet input would otherwise be one partition doing the
-    whole cross product). cos = dot/(na·nb) keeps the exact
-    expression the oracle uses — bit-identical results."""
-    spark = df.sparkSession
-    nparts = spark.sparkContext.defaultParallelism
+    Plan shape — block-nested pairing, NO corpus broadcast: each
+    vector hashes into one of ``n_blocks`` blocks; the a-side
+    replicates to combos ``(own block, j≥own)``, the b-side to
+    ``(i≤own, own block)``, and a plain equi-join on the combo key
+    materializes every unordered block pair exactly once. Shuffle is
+    ~``N·n_blocks/2`` rows per side (vs. an unbounded broadcast that
+    OOMs past ~10⁶ vectors); parallelism is the
+    ``n_blocks·(n_blocks+1)/2`` combos, and compute stays O(N²) by
+    contract. Norms are computed once per vector; cos = dot/(na·nb)
+    keeps the exact fold the oracle uses — multiplication is
+    commutative per IEEE, so the canonicalized (least-id, greatest-id)
+    output is bit-identical to the id-ordered cross product."""
     v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
-    v = v.withColumn("nrm", norm(F.col("v")))
-    a = v.repartition(nparts).select(
-        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    v = v.withColumn("nrm", norm(F.col("v"))).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    a = v.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bb"),
     )
     b = v.select(
-        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
+        F.col("blk").alias("bb"),
     )
     return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["ba", "bb"])
+        .where((F.col("ba") < F.col("bb")) | (F.col("id_a") < F.col("id_b")))
+        .where(F.col("id_a") != F.col("id_b"))
         .select(
-            "vec_a",
-            "vec_b",
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -259,31 +275,31 @@ def hyperplane_lsh_neardup(
         sig_cols.append(
             F.struct(F.lit(t).alias("table_idx"), bits.alias("sig"))
         )
+    # Bucket join on IDS ONLY — the (table_idx, sig) shuffle carries
+    # two longs per row, not the embedding payload; vectors re-attach
+    # AFTER candidate-pair dedup, so each vector's floats cross the
+    # wire once per verified pair side, never once per bucket hit.
     buckets = v.select(
-        "id", "v", "nrm", F.explode(F.array(*sig_cols)).alias("b")
-    ).select("id", "v", "nrm", "b.table_idx", "b.sig")
-    a = buckets.select(
-        F.col("id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "table_idx",
-        "sig",
-    )
-    b = buckets.select(
-        F.col("id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "table_idx",
-        "sig",
-    )
+        "id", F.explode(F.array(*sig_cols)).alias("b")
+    ).select("id", "b.table_idx", "b.sig")
+    a = buckets.select(F.col("id").alias("vec_a"), "table_idx", "sig")
+    b = buckets.select(F.col("id").alias("vec_b"), "table_idx", "sig")
     cand = (
         a.join(b, ["table_idx", "sig"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = v.select(
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     return (
-        cand.select(
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(

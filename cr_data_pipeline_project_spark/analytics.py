@@ -33,55 +33,60 @@ def vw_recent_rankings(lake: Lake, top_n: int = 100) -> DataFrame:
 
 def vw_player_clan(lake: Lake) -> DataFrame:
     """db_creation_script.sql:197-205 — players with clan attributes
-    (inner join: clanless players excluded, as in the view)."""
+    (inner join: clanless players excluded, as in the view). Column
+    set matches the view exactly: (player_id, player_name, clan_name,
+    clan_score, members)."""
     players = lake.read("players")
     clans = lake.read("clans")
     return players.join(clans, "clan_id").select(
         "player_id",
         "player_name",
-        "clan_id",
         "clan_name",
         "clan_score",
-        "clan_location",
+        "members",
     )
 
 
 def usp_player_win_rate(lake: Lake, player_id: str, season_id: str) -> DataFrame:
     """db_creation_script.sql:209-221 — win rate of one player in one
-    season; NULL (not error) when the player has no matches there."""
+    season. The proc GROUPs BY player_id, so a player with no matches
+    yields an EMPTY result set (not a NULL row), and player_id is
+    part of the output shape."""
     matches = lake.read("matches")
     scoped = matches.where(
         (F.col("player_id") == player_id) & (F.col("season_id") == season_id)
     )
     cnt = F.count("match_view_id")
-    return scoped.agg(
-        F.when(cnt == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round(F.sum(F.col("is_win").cast("double")) / cnt * 100, 2)
+    return scoped.groupBy("player_id").agg(
+        F.round(F.sum(F.col("is_win").cast("double")) / cnt * 100, 2).alias(
+            "win_rate"
         )
-        .alias("win_rate")
     )
 
 
-def usp_card_usage_wins(lake: Lake, card_id: str, season_id: str) -> DataFrame:
-    """db_creation_script.sql:224-241 — one card's usage rate (share
-    of the season's match views, DECIMAL(5,2)) and win rate, sorted
-    usage desc, win desc."""
+def usp_card_usage_wins(lake: Lake, card_name: str, season_id: str) -> DataFrame:
+    """db_creation_script.sql:224-241 — a card's usage rate (share of
+    the season's match views, DECIMAL(5,2)) and win rate, sorted
+    usage desc, win desc. The proc's @card parameter matches
+    ``c.card_name`` (not the id), so homonymous cards each produce a
+    row (GROUP BY card_id, card_name)."""
     matches = lake.read("matches")
     match_cards = lake.read("match_cards")
     cards = lake.read("cards")
     season_total = matches.where(F.col("season_id") == season_id).agg(
         F.count("match_view_id").alias("season_total")
     )
+    wanted = cards.where(F.col("card_name") == card_name).select(
+        "card_id", "card_name"
+    )
     joined = (
-        match_cards.where(F.col("card_id") == card_id)
+        match_cards.join(F.broadcast(wanted), "card_id")
         .join(
             matches.where(F.col("season_id") == season_id).select(
                 "match_view_id", "is_win"
             ),
             "match_view_id",
         )
-        .join(F.broadcast(cards.select("card_id", "card_name")), "card_id")
     )
     cnt = F.count("match_view_id")
     return (

@@ -82,12 +82,24 @@ def interval_join_bucketed(
     if how == "inner":
         return joined
     if how == "left":
-        # add back unmatched fact rows with null interval columns
-        matched_keys = joined.select(fact.columns)
+        shared = set(fact.columns) & set(intervals.columns)
+        if shared:
+            # the left-restore union is ill-defined with duplicate
+            # output names (the null-fill would clobber the fact-side
+            # column) — require disjoint schemas, like an SQL USING-
+            # free join consumer would
+            raise ValueError(
+                f"interval_join_bucketed(how='left') needs disjoint "
+                f"column names; shared: {sorted(shared)}"
+            )
+        # add back unmatched fact rows with null interval columns;
+        # select through the fact DataFrame's own references so a
+        # column name shared with `intervals` stays unambiguous
+        matched_keys = joined.select(*[fact_b[c] for c in fact.columns])
         missing = fact.exceptAll(matched_keys)
         for c in intervals.columns:
             missing = missing.withColumn(c, F.lit(None))
-        return joined.unionByName(missing)
+        return joined.unionByName(missing, allowMissingColumns=False)
     raise ValueError(f"unsupported how={how}")
 
 

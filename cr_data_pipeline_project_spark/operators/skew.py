@@ -33,6 +33,10 @@ def salted_join(
     derived from its own key columns + a row-unique hash, keeping the
     operation deterministic (no ``rand()`` — re-executions of a lost
     task must salt identically or results are corrupted)."""
+    if how not in ("inner", "left", "left_semi"):
+        # right/full would duplicate unmatched small-side rows salt×
+        # (each exploded replica survives the join unmatched)
+        raise ValueError(f"salted_join supports inner/left/left_semi, got {how!r}")
     salt_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -57,12 +57,20 @@ def streaming_match_load(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             existing = spark.read.parquet(lake_matches_path).select("match_key")
+        except AnalysisException:
+            # ONLY a missing lake skips the gate (first batch). Any
+            # other read failure (IO error, corrupt footer,
+            # permissions) must abort the batch — swallowing it would
+            # silently disable the anti-join idempotency gate and
+            # double-ingest on retry.
+            fresh = batch_df
+        else:
             fresh = insert_if_absent(batch_df, existing, ["match_key"])
-        except Exception:
-            fresh = batch_df  # first batch: lake doesn't exist yet
         fresh.write.mode("append").parquet(lake_matches_path)
 
     return (

@@ -35,7 +35,9 @@ def loaded_lake(spark, tmp_path):
             schemas.PLAYERS,
         ),
         clans=spark.createDataFrame([clan_row("#CLAN", "guild")], schemas.CLANS),
-        cards=spark.createDataFrame([card_row(i) for i in range(1, 9)], schemas.CARDS),
+        cards=spark.createDataFrame(
+            [card_row(i, name=f"card{i}") for i in range(1, 9)], schemas.CARDS
+        ),
         battlelogs=read_battlelog_json(spark, p),
         calendar_from="2025-01-01",
         calendar_months=2,
@@ -50,26 +52,37 @@ def test_vw_recent_rankings(spark, loaded_lake):
 
 
 def test_vw_player_clan(spark, loaded_lake):
-    rows = {r["player_id"]: r["clan_name"] for r in analytics.vw_player_clan(loaded_lake).collect()}
-    assert rows == {"#A": "guild", "#B": "guild"}
+    out = analytics.vw_player_clan(loaded_lake)
+    # column set pinned to the reference view (db_creation_script.sql:197-205)
+    assert out.columns == [
+        "player_id",
+        "player_name",
+        "clan_name",
+        "clan_score",
+        "members",
+    ]
+    rows = {r["player_id"]: r for r in out.collect()}
+    assert {p: r["clan_name"] for p, r in rows.items()} == {
+        "#A": "guild",
+        "#B": "guild",
+    }
+    assert rows["#A"]["members"] == 30
 
 
 def test_usp_player_win_rate(spark, loaded_lake):
-    # #A: 1 win, 1 loss → 50.0
-    assert analytics.usp_player_win_rate(loaded_lake, "#A", "2025-01").collect()[0][
-        "win_rate"
-    ] == 50.0
-    # no matches → NULL, not error (db_creation_script.sql:214-217)
+    # #A: 1 win, 1 loss → 50.0; proc emits (player_id, win_rate)
+    rows = analytics.usp_player_win_rate(loaded_lake, "#A", "2025-01").collect()
+    assert [(r["player_id"], r["win_rate"]) for r in rows] == [("#A", 50.0)]
+    # no matches → EMPTY result set (the proc GROUPs BY player_id,
+    # db_creation_script.sql:209-221), not a NULL row
     assert (
-        analytics.usp_player_win_rate(loaded_lake, "#NOBODY", "2025-01").collect()[0][
-            "win_rate"
-        ]
-        is None
+        analytics.usp_player_win_rate(loaded_lake, "#NOBODY", "2025-01").count() == 0
     )
 
 
 def test_usp_card_usage_wins(spark, loaded_lake):
-    row = analytics.usp_card_usage_wins(loaded_lake, "1", "2025-01").collect()[0]
+    # proc parameter matches card_name (db_creation_script.sql:238)
+    row = analytics.usp_card_usage_wins(loaded_lake, "card1", "2025-01").collect()[0]
     # card 1 appears in all 3 match views; 2 of 3 were wins
     assert float(row["usage_rate"]) == 100.0
     assert row["win_rate"] == 66.67

@@ -99,3 +99,61 @@ def test_lake_partitioned_matches_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "season_id" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_salted_join_rejects_row_multiplying_how(spark):
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.skew import salted_join as sj
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, "y")], "k int, w string")
+    with pytest.raises(ValueError, match="inner/left/left_semi"):
+        sj(a, b, ["k"], salt=4, how="right")
+    with pytest.raises(ValueError, match="inner/left/left_semi"):
+        sj(a, b, ["k"], salt=4, how="full")
+
+
+def test_interval_join_bucketed_left_restores_unmatched(spark):
+    """how='left': facts outside every interval survive with NULL
+    interval attributes (previously untested path)."""
+    import datetime as dt
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 10)), (2, dt.datetime(2030, 6, 15))],
+        "fact_id int, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [("S1", dt.datetime(2025, 1, 1), dt.datetime(2025, 2, 1))],
+        "season_id string, sn_start_date timestamp, sn_end_date timestamp",
+    )
+    out = interval_join_bucketed(
+        fact, ivals, "ts", how="left"
+    )
+    rows = {r["fact_id"]: r["season_id"] for r in out.collect()}
+    assert rows == {1: "S1", 2: None}
+
+
+def test_interval_join_bucketed_left_rejects_shared_names(spark):
+    import datetime as dt
+
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 10), "x")],
+        "fact_id int, ts timestamp, season_id string",
+    )
+    ivals = spark.createDataFrame(
+        [("S1", dt.datetime(2025, 1, 1), dt.datetime(2025, 2, 1))],
+        "season_id string, sn_start_date timestamp, sn_end_date timestamp",
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join_bucketed(fact, ivals, "ts", how="left")

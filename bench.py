@@ -58,6 +58,7 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    _warn_regressions(times)
     print(
         json.dumps(
             {
@@ -70,6 +71,34 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _warn_regressions(times: dict[str, float], factor: float = 1.5) -> None:
+    """Diff against the most recent BENCH_r*.json in the repo root;
+    warn (stderr, never the JSON line) for queries ≥ ``factor``×
+    slower than the previous round."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return
+    try:
+        with open(benches[-1]) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return
+    for name, t in sorted(times.items()):
+        p = prev.get(name)
+        if p and p > 0.05 and t > factor * p:
+            print(
+                f"WARN bench regression {name}: {t:.3f}s vs {p:.3f}s "
+                f"in {os.path.basename(benches[-1])} ({t / p:.2f}x)",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

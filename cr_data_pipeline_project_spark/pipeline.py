@@ -175,9 +175,12 @@ def run_etl(
     failed_players: list[str] | None = None,
     calendar_from: str,
     calendar_months: int,
+    log_dir: str | None = None,
 ) -> dict[str, int]:
     """One pipeline run. Returns per-stage inserted/updated row counts
-    (the reference's log metrics, S13)."""
+    (the reference's log metrics, S13); pass ``log_dir`` to also emit
+    the reference's durable per-run logfile artifact
+    (etl_pipeline_script.py:20-29, see :mod:`.runlog`)."""
     from .session import prepare
 
     prepare(spark)  # UTC rendering of match_key regardless of host tz
@@ -293,6 +296,14 @@ def run_etl(
         )
     else:
         stats["match_cards_inserted"] = 0
+
+    if log_dir is not None:
+        from . import runlog
+
+        logger = runlog.run_logger(log_dir)
+        logger.info("run_etl completed lake=%s", lake.root)
+        runlog.log_stats(logger, "run_etl", stats)
+        runlog.close(logger)
     return stats
 
 

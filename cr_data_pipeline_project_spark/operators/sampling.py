@@ -83,3 +83,50 @@ def mix_sources(
         else F.lit(int(round(default_weight * buckets)))
     )
     return df.where(b < thresh)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum, chosen by smallest md5(id) —
+    a deterministic uniform sample (each id's hash is its lottery
+    ticket; same winners on any engine, any partitioning, any run).
+
+    One shuffle on the stratum key. A stratum's rows funnel through
+    one task — for mega-strata switch to a two-phase top-k (per-
+    partition k-smallest, then merge), same semantics."""
+    from pyspark.sql.window import Window
+
+    c = F.col(id_col)
+    h = F.md5(c.cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, c)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col,
+    capacity: int,
+) -> DataFrame:
+    """Assign rows to fixed-capacity training bins (sequence packing
+    estimate): bin = floor(exclusive-prefix-sum(size) / capacity) in
+    ``order_col`` order within each ``group_col``. The standard
+    streaming approximation of greedy packing — deterministic, one
+    window per group, integer-exact. Adds ``bin_idx``."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        "bin_idx", F.floor(prefix / F.lit(capacity)).cast("int")
+    )

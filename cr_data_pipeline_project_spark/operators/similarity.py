@@ -362,3 +362,34 @@ def cosine_topk_pandas(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("score"))
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 127.0,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the 4×
+    storage/bandwidth compression step before ANN indexing at corpus
+    scale. ``q = floor(x*scale + 0.5)`` (explicit half-up via floor so
+    every engine rounds identically; bankers'/away-from-zero
+    differences in native round() would break bit parity). Returns
+    (id, qvec array<int>, dequant_err double)."""
+    v = as_double_vec(vec_col)
+    q = F.transform(
+        v, lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)).cast("int")
+    )
+    deq = F.zip_with(v, q, lambda x, qi: x - qi.cast("double") / F.lit(scale))
+    err = F.sqrt(
+        F.aggregate(
+            F.transform(deq, lambda d: d * d),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.round(err, 6).alias("dequant_err"),
+    )

@@ -113,3 +113,52 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> Column:
         )
     )
     return F.md5(norm)
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition (the Gopher repetition-filter
+    family): fraction of word n-grams that are duplicates of an
+    earlier n-gram in the same document. High ratios flag boilerplate
+    / degenerate generations before they reach a training set.
+
+    Adds (n_grams, n_distinct, rep_ratio). Pure array expressions —
+    the n-gram list never leaves the row, so there is NO explode and
+    NO shuffle: a straight codegen scan even at corpus scale."""
+    tok = tokens(text_col)
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1)))
+    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        "*",
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct"),
+        F.round(F.lit(1) - n_distinct / n_grams, 4).alias("rep_ratio"),
+    )
+
+
+# Redaction patterns kept to RE2-safe syntax so external engines
+# (and the DuckDB oracle) compile the identical regex.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_NUM_RE = "[0-9]{4,}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pattern-based PII scrubbing — emails → <EMAIL>, long digit
+    runs (phone/account numbers) → <NUM>. The mandatory hygiene pass
+    of a web-scale training pipeline; JVM-side regexp_replace keeps
+    it inside the scan (no UDF). Adds (redacted, n_redactions)."""
+    once = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(once, LONG_NUM_RE, "<NUM>")
+    n_red = (
+        F.size(F.split(F.col(text_col), EMAIL_RE, -1))
+        + F.size(F.split(once, LONG_NUM_RE, -1))
+        - 2
+    )
+    return df.select(
+        "*",
+        redacted.alias("redacted"),
+        n_red.cast("int").alias("n_redactions"),
+    )

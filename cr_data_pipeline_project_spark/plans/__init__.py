@@ -43,6 +43,13 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q16_element_at_default",
     "q17_json_extract",
     "q18_null_mask_fill",
+    # round 2: displaced by q58-q65; each is a simple projection /
+    # sort / calendar whose machinery richer gated queries still
+    # exercise (q05↔q04 view joins, q19/q21↔q02, q27↔q59/q60)
+    "q05_player_clan_view",
+    "q19_case_round",
+    "q21_multikey_sort",
+    "q27_season_calendar",
 )
 
 

@@ -595,3 +595,148 @@ def q43_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.attach_payload_meta(payload, "payload").select(
         "doc_id", "n_bytes", "payload_md5"
     )
+
+
+# ------------------------------------------------------------------ #
+# round-2 curation operators                                          #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q61_repetition_ratio",
+    """
+    WITH g AS (
+        SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(words)-2, 1))) AS i) t
+    )
+    SELECT doc_id, COUNT(*)::INT AS n_grams,
+           COUNT(DISTINCT gram)::INT AS n_distinct,
+           ROUND(1 - COUNT(DISTINCT gram) * 1.0 / COUNT(*), 4) AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+)
+def q61_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter input: the
+    whole n-gram analysis stays inside one row (array expressions) —
+    no explode, no shuffle, unlike the oracle's unnest+GROUP BY."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return textstats.repetition_ratio(docs, "text", n=3).select(
+        "doc_id", "n_grams", "n_distinct", "rep_ratio"
+    )
+
+
+@q(
+    "q62_pii_redaction",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@mail.example or call 555' || doc_id::VARCHAR AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+           (len(regexp_split_to_array(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            + len(regexp_split_to_array(
+                regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                '[0-9]{4,}'))
+            - 2)::INT AS n_redactions
+    FROM aug
+    """,
+)
+def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically augmented corpus (the
+    fixture text carries no emails/numbers, so both engines append
+    the same synthetic contact string per doc_id)."""
+    docs = table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call 555"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return textstats.pii_redact(aug, "text").select(
+        "doc_id", "redacted", "n_redactions"
+    )
+
+
+@q(
+    "q63_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def q63_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (smallest md5 wins
+    the lottery) — engine-portable unlike sample()/randomSplit."""
+    from ..operators.sampling import stratified_sample
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", k=20)
+
+
+@q(
+    "q64_sequence_packing",
+    """
+    WITH sized AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents),
+    binned AS (
+        SELECT source, n_tok,
+               floor(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) / 512)::INT AS bin_idx
+        FROM sized)
+    SELECT source, bin_idx, COUNT(*)::INT AS n_docs,
+           (SUM(n_tok))::BIGINT AS bin_tokens
+    FROM binned GROUP BY source, bin_idx
+    """,
+)
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-capacity training-bin assignment (sequence packing
+    estimate): exclusive prefix-sum of token counts per source, one
+    window per group, integer-exact."""
+    from ..operators.sampling import sequence_packing
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    packed = sequence_packing(docs, "source", "doc_id", F.col("n_tok"), 512)
+    return packed.groupBy("source", "bin_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+    )
+
+
+@q(
+    "q65_int8_quantize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    SELECT vec_id,
+           list_transform(ve, x -> floor(x * 127.0 + 0.5)::INT) AS qvec,
+           ROUND(sqrt(list_sum(list_transform(ve,
+               x -> (x - floor(x * 127.0 + 0.5) / 127.0)
+                  * (x - floor(x * 127.0 + 0.5) / 127.0)))), 6) AS dequant_err
+    FROM v
+    """,
+)
+def q65_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding compression with explicit half-up
+    rounding (floor(x*s+0.5)) so both engines quantize identically."""
+    emb = table(spark, "embeddings", sf_dir)
+    return similarity.quantize_int8(emb)

@@ -50,6 +50,16 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q19_case_round",
     "q21_multikey_sort",
     "q27_season_calendar",
+    # round 2b: displaced by q66-q71; aggregation/window/calendar
+    # shapes that stay exercised in-gate (q03↔q02 grouped rates,
+    # q07↔q32 keep-first windows, q08↔q31 dedup counts,
+    # q11↔q68 union+distinct, q59/q60 have pinned golden tests)
+    "q03_player_win_rate",
+    "q07_dedup_by_key",
+    "q08_dedup_composite_count",
+    "q11_union_dedup",
+    "q59_last_completed_seasons",
+    "q60_current_plus_seasons",
 )
 
 

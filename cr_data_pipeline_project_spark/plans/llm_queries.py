@@ -740,3 +740,210 @@ def q65_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding (floor(x*s+0.5)) so both engines quantize identically."""
     emb = table(spark, "embeddings", sf_dir)
     return similarity.quantize_int8(emb)
+
+
+# ------------------------------------------------------------------ #
+# dedup clustering + corpus analytics (round 2)                       #
+# ------------------------------------------------------------------ #
+
+
+def _jaccard_pairs_cte(threshold: float) -> str:
+    """Non-recursive CTE chain yielding near-dup pairs at ``threshold``
+    (same shingle machinery as q33's oracle)."""
+    return f"""
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+    )
+"""
+
+
+@q(
+    "q66_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_jaccard_pairs_cte(0.5)},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-dup pairs: every document labeled
+    with its duplicate-cluster canonical id (min doc id reachable).
+    The step the reference's exact-key dedup (src/db_ops.py
+    insert-if-absent) lacks and an LLM curation pipeline needs —
+    pairwise near-dup relations are not transitive, clusters are.
+    Oracle = DuckDB recursive CTE over the same Jaccard≥0.5 pairs."""
+    from ..operators import graph
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    return graph.dedup_clusters(docs, pairs)
+
+
+@q(
+    "q67_event_pivot",
+    """
+    SELECT user_id,
+           (SUM(CASE WHEN event_type = 'click'    THEN value::DECIMAL(28,6) END))::DOUBLE AS click,
+           (SUM(CASE WHEN event_type = 'error'    THEN value::DECIMAL(28,6) END))::DOUBLE AS error,
+           (SUM(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(28,6) END))::DOUBLE AS purchase,
+           (SUM(CASE WHEN event_type = 'signup'   THEN value::DECIMAL(28,6) END))::DOUBLE AS signup,
+           (SUM(CASE WHEN event_type = 'view'     THEN value::DECIMAL(28,6) END))::DOUBLE AS view_v
+    FROM events GROUP BY user_id
+    """,
+)
+def q67_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot (long events -> one column per event type).
+    The pivot value list is EXPLICIT — omitting it makes Spark run an
+    extra distinct-scan job to discover values, a full pass over the
+    fact table at 100 TB.  Sums are decimal-cast for order-independent
+    exactness (the q01 convention)."""
+    ev = table(spark, "events", sf_dir)
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")))
+    )
+    out = piv.select(
+        "user_id",
+        *[
+            F.col(c).cast("double").alias("view_v" if c == "view" else c)
+            for c in ["click", "error", "purchase", "signup", "view"]
+        ],
+    )
+    return out
+
+
+@q(
+    "q68_audience_setops",
+    """
+    SELECT 'both'::VARCHAR AS segment, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'signup')
+    UNION ALL
+    SELECT 'purchase_only', user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'signup')
+    UNION ALL
+    SELECT 'signup_only', user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'signup'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def q68_audience_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT audience segmentation.  ``intersect`` /
+    ``subtract`` are ANSI set (distinct) semantics — Spark plans both
+    as key-partitioned semi/anti joins after distinct, so all three
+    branches shuffle on the same key and AQE reuses the exchange."""
+    ev = table(spark, "events", sf_dir)
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id")
+
+    def seg(df: DataFrame, label: str) -> DataFrame:
+        return df.select(F.lit(label).alias("segment"), "user_id")
+
+    return (
+        seg(buyers.intersect(signups), "both")
+        .unionByName(seg(buyers.subtract(signups), "purchase_only"))
+        .unionByName(seg(signups.subtract(buyers), "signup_only"))
+    )
+
+
+@q(
+    "q69_doc_length_deciles",
+    """
+    SELECT doc_id,
+           (NTILE(10) OVER (ORDER BY n_chars, doc_id))::INT AS decile
+    FROM documents
+    """,
+)
+def q69_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality decile assignment via NTILE over a deterministic
+    total order (tie-break on doc_id).  Scale note: a global NTILE
+    serializes through one task; at 100 TB replace with
+    approx-percentile cut points broadcast back (the q50/q47 sketch
+    family) — this exact form is the oracle-checkable baseline."""
+    docs = table(spark, "documents", sf_dir)
+    w = Window.orderBy("n_chars", "doc_id")
+    return docs.select("doc_id", F.ntile(10).over(w).alias("decile"))
+
+
+@q(
+    "q70_term_doc_freq",
+    """
+    WITH terms AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents) t
+        WHERE term <> '')
+    SELECT term, (COUNT(*))::BIGINT AS df
+    FROM terms GROUP BY term
+    ORDER BY df DESC, term LIMIT 25
+    """,
+)
+def q70_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency top-k (the DF half of TF-IDF and the
+    stopword-discovery primitive).  Explode -> per-doc distinct ->
+    count: the distinct is partial-aggregated map-side before the
+    term shuffle, and only (term, doc_id) pairs ever move."""
+    docs = table(spark, "documents", sf_dir)
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(25)
+    )
+
+
+@q(
+    "q71_event_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q71_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation).  Spark's
+    percentile() is a partial-mergeable aggregate — the right exact
+    shape; at 100 TB switch to approx_percentile (t-digest sketch,
+    bounded memory), which q50's profiler already demonstrates."""
+    ev = table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )

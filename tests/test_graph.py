@@ -1,0 +1,67 @@
+"""Connected components (operators/graph.py): chains, isolated nodes,
+partition-layout determinism."""
+
+from pyspark.sql import functions as F
+
+from cr_data_pipeline_project_spark.operators import graph
+
+
+def _cc(spark, nodes, edges, **kw):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    out = graph.connected_components(ndf, edf, **kw)
+    return {r["node"]: r["component_id"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min_label(spark):
+    # a-b-c-d is a path: diameter 3, needs multiple propagation rounds
+    got = _cc(
+        spark,
+        ["a", "b", "c", "d", "z"],
+        [("b", "a"), ("b", "c"), ("d", "c")],
+    )
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
+
+def test_two_components_and_self_loop(spark):
+    got = _cc(
+        spark,
+        ["1", "2", "3", "4"],
+        [("1", "2"), ("2", "1"), ("3", "3"), ("3", "4")],
+    )
+    assert got == {"1": "1", "2": "1", "3": "3", "4": "3"}
+
+
+def test_partition_layout_invariance(spark):
+    nodes = [f"n{i:02d}" for i in range(20)]
+    # ring of 10 + star of 10 → two components
+    edges = [(f"n{i:02d}", f"n{(i + 1) % 10:02d}") for i in range(10)]
+    edges += [("n10", f"n{i:02d}") for i in range(11, 20)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node string").repartition(7)
+    edf = spark.createDataFrame(edges, "src string, dst string").repartition(5)
+    out = graph.connected_components(ndf, edf)
+    got = {r["node"]: r["component_id"] for r in out.collect()}
+    assert all(got[f"n{i:02d}"] == "n00" for i in range(10))
+    assert all(got[f"n{i:02d}"] == "n10" for i in range(10, 20))
+
+
+def test_dedup_clusters_covers_all_docs(spark):
+    docs = spark.createDataFrame(
+        [("d1", "x"), ("d2", "x"), ("d3", "y"), ("d4", "z")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3")], "doc_a string, doc_b string"
+    )
+    out = graph.dedup_clusters(docs, pairs)
+    got = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d4"}
+
+
+def test_symmetrize_drops_self_loops_and_dedups(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a")], "src string, dst string"
+    )
+    sym = graph.symmetrize(e)
+    rows = {(r["src"], r["dst"]) for r in sym.collect()}
+    assert rows == {("a", "b"), ("b", "a")}

@@ -51,8 +51,11 @@ def main() -> None:
     for name in sorted(qs):
         best = float("inf")
         for _ in range(2):
-            df = qs[name](spark, SF_DIR)
+            # Builder invocation is INSIDE the timed window: iterative
+            # operators (q66 connected components) run actions while
+            # building, and that compute is part of the query.
             t0 = time.time()
+            df = qs[name](spark, SF_DIR)
             run_query(df)
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)

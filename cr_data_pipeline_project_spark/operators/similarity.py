@@ -100,7 +100,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_blocks: int = 8,
+    n_blocks: int = 24,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — O(N²) verification
     baseline. Scale path: run :func:`ivf_assign` first and only pair
@@ -118,7 +118,16 @@ def cosine_neardup_pairs(
     contract. Norms are computed once per vector; cos = dot/(na·nb)
     keeps the exact fold the oracle uses — multiplication is
     commutative per IEEE, so the canonicalized (least-id, greatest-id)
-    output is bit-identical to the id-ordered cross product."""
+    output is bit-identical to the id-ordered cross product.
+
+    AQE trap, learned the hard way: the pre-join shuffle is tiny in
+    BYTES (ids + one vector per row), so adaptive coalescing happily
+    fuses it into one or two tasks — and with it the O(N²) post-join
+    compute, serializing the whole cross product. Both sides are
+    therefore EXPLICITLY ``repartition(k, ba, bb)``-ed: explicit
+    repartition-by-num is exempt from AQE coalescing, the join reuses
+    the co-partitioning (no extra exchange), and the combo count
+    (300 at the default 24 blocks) spreads evenly over ``k`` tasks."""
     v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     v = v.withColumn("nrm", norm(F.col("v"))).withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
@@ -137,6 +146,9 @@ def cosine_neardup_pairs(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
         F.col("blk").alias("bb"),
     )
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    a = a.repartition(nparts, "ba", "bb")
+    b = b.repartition(nparts, "ba", "bb")
     return (
         a.join(b, ["ba", "bb"])
         .where((F.col("ba") < F.col("bb")) | (F.col("id_a") < F.col("id_b")))

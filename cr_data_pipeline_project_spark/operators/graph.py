@@ -57,14 +57,22 @@ def connected_components(
 
     ``nodes`` must contain every vertex (edge endpoints may be a
     subset).  Deterministic: min-label is order-independent.
+
+    Only edge ENDPOINTS enter the iteration — isolated nodes can
+    never change label, and in a dedup corpus they are the vast
+    majority, so the loop runs over the (small) duplicate subgraph
+    and the full node set joins back once at the end.
     """
     sym = symmetrize(edges, src, dst).persist()
-    labels = nodes.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
+    # sym holds both directions, so src alone covers every endpoint.
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # Push each node's current label to its neighbors, then take
         # the min of (own label, neighbor labels).  One shuffle join +
         # one partial-aggregated min per round.
@@ -79,19 +87,30 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        old_labels, labels = labels, new_labels
+        if it == 0:
+            # Round 1 always changes something on any non-empty edge
+            # set — skip the probe job.
+            continue
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(old_labels.alias("o"), "node")
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .limit(1)
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select(
-        F.col("node").alias(node_col), F.col("lbl").alias("component_id")
+    # Isolated nodes: their own id is their component.
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("lbl"), F.col("node")).alias("component_id"),
+        )
     )
 
 

@@ -123,3 +123,58 @@ def sessionized_event_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    attribution_window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the view
+    by the same user within the preceding ``attribution_window``.
+
+    The canonical two-stream shape (Spark SQL docs, stream-stream
+    joins): BOTH sides carry a watermark and the join condition bounds
+    event-time distance, so each side's state store retains only
+    ``attribution_window + watermark`` of history — without the time
+    bound, stream-stream join state grows forever.
+
+    Scale: state is hash-partitioned by join key; a hot user key skews
+    one state partition — salt the key upstream if a single key can
+    exceed one executor's state budget.  Batch twin: q56's as-of join
+    (latest-prior-record semantics over the same shape).
+    """
+    v = (
+        views.select(
+            F.col(key_col).alias("v_user"),
+            F.col(ts_col).alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col(key_col).alias("p_user"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + INTERVAL {attribution_window}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias(key_col),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -120,3 +120,55 @@ def test_sessionized_stream_builds(spark, tmp_path):
     rows = spark.sql("select * from sessions where user_id = 1").collect()
     # events at :00/:05 merge into one session; :50 starts another
     assert {r["n_events"] for r in rows} == {2, 1}
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Two watermarked file streams, time-bounded inner join: the
+    purchase within the window attributes, the late one doesn't."""
+    import json
+
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        stream_stream_attribution_join,
+    )
+
+    vdir = os.path.join(str(tmp_path), "views")
+    pdir = os.path.join(str(tmp_path), "purch")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+    with open(os.path.join(vdir, "v.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 10:00:00", "user_id": 1}) + "\n")
+        f.write(json.dumps({"ts": "2024-01-01 10:00:00", "user_id": 2}) + "\n")
+    with open(os.path.join(pdir, "p.json"), "w") as f:
+        # u1 buys 30m after the view (inside 1h window); u2 buys 3h
+        # later (outside) — only u1 attributes
+        f.write(
+            json.dumps(
+                {"ts": "2024-01-01 10:30:00", "user_id": 1, "value": 9.5}
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {"ts": "2024-01-01 13:00:00", "user_id": 2, "value": 1.0}
+            )
+            + "\n"
+        )
+
+    views = spark.readStream.schema("ts timestamp, user_id long").json(vdir)
+    purchases = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).json(pdir)
+    out = stream_stream_attribution_join(views, purchases)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_j"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from attrib").collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert rows[0]["purchase_value"] == 9.5

@@ -12,10 +12,13 @@ from cr_data_pipeline_project_spark.sources.battlelog import read_battlelog_json
 from helpers import battle, card_row, clan_row, player_row, write_battlelog_json
 
 
-@pytest.fixture()
-def loaded_lake(spark, tmp_path):
-    lake = pipeline.Lake(spark, os.path.join(str(tmp_path), "lake"))
-    p = os.path.join(str(tmp_path), "bl.json")
+# Module scope: one ETL run serves every read-only assertion below
+# (compaction only rewrites file layout, never content).
+@pytest.fixture(scope="module")
+def loaded_lake(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("analytics_lake")
+    lake = pipeline.Lake(spark, os.path.join(str(tmp), "lake"))
+    p = os.path.join(str(tmp), "bl.json")
     write_battlelog_json(
         p,
         [
@@ -90,7 +93,7 @@ def test_usp_card_usage_wins(spark, loaded_lake):
     assert spark.sql("SELECT COUNT(*) n FROM vw_recent_rankings").collect()[0]["n"] == 2
 
 
-def test_compaction_reduces_files(spark, loaded_lake, tmp_path):
+def test_compaction_reduces_files(spark, loaded_lake):
     # force extra small files with more appends
     extra = loaded_lake.read("season_rankings")
     for _ in range(3):
@@ -139,7 +142,12 @@ def test_stateful_running_player_stats(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # With ProcessingTimeTimeout the availableNow query stays
+        # alive to fire pending state timeouts, so awaitTermination
+        # would burn its full timeout — drain explicitly and stop.
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
 
     # batch 1: W, W  → streak 2
     write_battlelog_json(

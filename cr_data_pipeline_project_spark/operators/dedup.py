@@ -171,12 +171,22 @@ def ngram_jaccard_pairs(
     # The shingle table feeds the inverted index AND both sides of
     # the verification join — persist it instead of re-exploding the
     # corpus three times (at scale: write it once, it's the reusable
-    # index artifact).
+    # index artifact). The persist must NOT outlive the call: every
+    # leaked cache entry stays in CacheManager for the session's
+    # lifetime (executor memory pressure across a long query sweep),
+    # so the small pair result is materialized eagerly via
+    # localCheckpoint (ContextCleaner-managed) and the shingle cache
+    # dropped before returning.
     sh = shingle_set(df, text_col, id_col, n).persist()
-    cand = ngram_candidate_pairs(sh, id_col, max_doc_freq)
-    return _jaccard_on_pairs(cand, sh, id_col).where(
-        F.col("jaccard") >= threshold
-    )
+    try:
+        cand = ngram_candidate_pairs(sh, id_col, max_doc_freq)
+        return (
+            _jaccard_on_pairs(cand, sh, id_col)
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist(blocking=False)
 
 
 # ------------------------------------------------------------------ #
@@ -286,14 +296,21 @@ def minhash_lsh_pairs(
     The sublinear scale path: corpus never self-joins — only LSH
     buckets do."""
     rows_per_band = num_hashes // bands
+    # Same persist-hygiene pattern as ngram_jaccard_pairs: eager
+    # small result out, shingle cache dropped before returning.
     sh = shingle_set(df, text_col, id_col, n).persist()
-    sigs = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, seed, shingles=sh
-    )
-    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    return _jaccard_on_pairs(cand, sh, id_col).where(
-        F.col("jaccard") >= threshold
-    )
+    try:
+        sigs = minhash_signatures(
+            df, text_col, id_col, n, num_hashes, seed, shingles=sh
+        )
+        cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+        return (
+            _jaccard_on_pairs(cand, sh, id_col)
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist(blocking=False)
 
 
 # ------------------------------------------------------------------ #
@@ -351,9 +368,14 @@ def simhash_pairs(
     for max_hamming ≤ 7), then exact hamming verification.
     Returns (doc_a, doc_b, hamming)."""
     assert max_hamming <= 7, "8-chunk pigeonhole guarantees recall only to 7"
-    # sigs feed chunk-banding AND both sides of the hamming verify —
-    # persist to avoid recomputing the 64 bit-sum aggregates 3×.
-    sigs = simhash_signatures(df, text_col, id_col, n).persist()
+    # sigs feed chunk-banding AND both sides of the hamming verify.
+    # localCheckpoint (eager) instead of persist: (a) no CacheManager
+    # leak — the checkpoint RDD is ContextCleaner-managed; (b) lineage
+    # truncation means the three consumers plan against a 3-column
+    # scan instead of each re-deriving (and re-codegen-ing) the
+    # 128-expression bit-sum aggregate — the signature table is tiny
+    # (id + two longs per doc) at any corpus size.
+    sigs = simhash_signatures(df, text_col, id_col, n).localCheckpoint()
     chunk_cols = []
     for c in range(4):
         chunk_cols.append(

@@ -72,3 +72,39 @@ def zscore_pandas(df: DataFrame, key: str, value: str, id_col: str) -> DataFrame
     return df.select(id_col, key, value).groupBy(key).applyInPandas(
         norm, f"{id_col} long, {key} string, zscore double"
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale path for a global NTILE: quantile-bucket every row
+    WITHOUT a single-task global window.
+
+    One sketch pass computes the ``n_buckets - 1`` cut points
+    (``percentile_approx`` — t-digest-style, partial-mergeable,
+    bounded memory), the tiny cut-point array is folded back into the
+    plan as a literal, and each row's bucket is ``1 + #cutpoints
+    below its value`` — a pure map-side expression, no shuffle of the
+    fact rows at all.
+
+    Semantics vs exact NTILE: equal values always land in the SAME
+    bucket here (often the more desirable property), whereas NTILE
+    splits ties to equalize bucket sizes; bucket populations are
+    approximately — not exactly — equal. Agreement is asserted in
+    tests (≥85% identical, never off by more than one bucket at
+    fixture scale). Adds ``bucket`` (int, 1-based)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("c")
+    ).first()["c"]
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bucket = F.lit(1) + F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col(value_col).cast("double") > c, 1).otherwise(0),
+    )
+    return df.withColumn("bucket", bucket.cast("int"))

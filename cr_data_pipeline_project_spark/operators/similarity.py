@@ -100,7 +100,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_blocks: int = 24,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — O(N²) verification
     baseline. Scale path: run :func:`ivf_assign` first and only pair
@@ -127,7 +127,20 @@ def cosine_neardup_pairs(
     therefore EXPLICITLY ``repartition(k, ba, bb)``-ed: explicit
     repartition-by-num is exempt from AQE coalescing, the join reuses
     the co-partitioning (no extra exchange), and the combo count
-    (300 at the default 24 blocks) spreads evenly over ``k`` tasks."""
+    (300 at 24 blocks) spreads evenly over ``k`` tasks.
+
+    ``n_blocks`` auto-sizes to the data when not given: enough combos
+    to fill the cluster (b(b+1)/2 ≥ parallelism ⇒ b ≈ √(2P)) but no
+    more — every extra block replicates each vector ~b/2 more times
+    through the shuffle — and, at corpus scale, enough blocks that a
+    single block (two of which must sit in one task) stays bounded
+    (~100k vectors). Sizing costs one count() job on the id column."""
+    if n_blocks is None:
+        from math import ceil, sqrt
+
+        p = df.sparkSession.sparkContext.defaultParallelism
+        n = df.count()
+        n_blocks = max(2, ceil(sqrt(2 * p)), ceil(n / 100_000))
     v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     v = v.withColumn("nrm", norm(F.col("v"))).withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")

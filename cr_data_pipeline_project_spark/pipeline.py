@@ -146,6 +146,58 @@ class Lake:
         os.replace(tmp, self._pointer(name))  # ← the commit point
         self._gc(name, keep=new_v)
 
+    def to_jdbc(
+        self,
+        name: str,
+        url: str,
+        table: str | None = None,
+        mode: str = "overwrite",
+        driver: str | None = None,
+        **options: str,
+    ) -> None:
+        """Mirror a lake table into a JDBC database — the literal
+        reference storage boundary (src/db_ops.py:24-50 connects over
+        SQLAlchemy/pyodbc; db_ops.py:52-60 bulk-inserts). Spark's JDBC
+        sink batches inserts per partition; pass ``batchsize`` /
+        ``numPartitions`` options to tune. The lake stays the source
+        of truth; this is an egress mirror for consumers that live on
+        a relational DB."""
+        w = (
+            self.read(name)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table or name)
+            .mode(mode)
+        )
+        if driver:
+            w = w.option("driver", driver)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save()
+
+    def from_jdbc(
+        self,
+        url: str,
+        table: str,
+        driver: str | None = None,
+        **options: str,
+    ) -> DataFrame:
+        """Read a JDBC table (S8/S9 ingress parity with db_ops.py
+        reads). For big tables pass ``partitionColumn`` +
+        ``lowerBound``/``upperBound``/``numPartitions`` so the scan
+        parallelizes into range-pruned queries instead of one
+        connection."""
+        r = (
+            self.spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+        )
+        if driver:
+            r = r.option("driver", driver)
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r.load()
+
     def _gc(self, name: str, keep: int) -> None:
         """Drop superseded snapshots (and the legacy flat files once
         the first versioned snapshot commits)."""

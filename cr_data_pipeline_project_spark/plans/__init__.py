@@ -31,35 +31,34 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # The driver's correctness gate reads this many leading entries.
 GATE_SLOTS = 50
 
-# Oracled queries deliberately registered past the gate window —
-# single-scan scalar projections / casts whose regressions the pytest
-# oracle-parity suite catches identically. Everything NOT listed here
-# (and oracled) must fit in the gate window.
+# Oracled queries deliberately registered past the gate window.
+# With more oracled queries than slots this set is ROTATED each
+# round, so every query gets a driver-green attestation at least
+# every other round: round 3 brings back everything parked since
+# round 1/2 (q03, q05-q08, q11-q14, q16-q19, q21, q27, q59, q60)
+# and parks the curation/text family that was driver-green in
+# CORRECTNESS_r02 — all of which stay covered every round by
+# tests/test_oracle_parity.py and tools/check_oracle.py, which run
+# the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
-    "q06_distinct_single",
-    "q12_key_synthesis",
-    "q13_ts_parse_strict",
-    "q14_url_encode",
-    "q16_element_at_default",
-    "q17_json_extract",
-    "q18_null_mask_fill",
-    # round 2: displaced by q58-q65; each is a simple projection /
-    # sort / calendar whose machinery richer gated queries still
-    # exercise (q05↔q04 view joins, q19/q21↔q02, q27↔q59/q60)
-    "q05_player_clan_view",
-    "q19_case_round",
-    "q21_multikey_sort",
-    "q27_season_calendar",
-    # round 2b: displaced by q66-q71; aggregation/window/calendar
-    # shapes that stay exercised in-gate (q03↔q02 grouped rates,
-    # q07↔q32 keep-first windows, q08↔q31 dedup counts,
-    # q11↔q68 union+distinct, q59/q60 have pinned golden tests)
-    "q03_player_win_rate",
-    "q07_dedup_by_key",
-    "q08_dedup_composite_count",
-    "q11_union_dedup",
-    "q59_last_completed_seasons",
-    "q60_current_plus_seasons",
+    # parked round 3 (driver-green in r02): text/curation analytics
+    "q31_dedup_exact_groups",
+    "q32_dedup_fingerprint_keep",
+    "q38_text_quality",
+    "q39_lang_id",
+    "q40_token_count",
+    "q41_fingerprint",
+    "q43_multimodal_meta",
+    "q52_hash_split",
+    "q55_curation_pipeline",
+    "q57_dataset_mixing",
+    "q61_repetition_ratio",
+    "q62_pii_redaction",
+    "q63_stratified_sample",
+    "q64_sequence_packing",
+    "q67_event_pivot",
+    "q68_audience_setops",
+    "q70_term_doc_freq",
 )
 
 

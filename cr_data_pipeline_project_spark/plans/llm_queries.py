@@ -284,11 +284,33 @@ def q47_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q48_ann_hyperplane_lsh")  # rows-only: probabilistic recall by design
 def q48_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup (SimHash on floats) — the
-    bucketed scale path whose exact twin is q37; recall is measured
-    in tests, not asserted by the gate."""
+    bucketed scale path for TRUE near-duplicate detection; recall is
+    measured in tests, not asserted by the gate.
+
+    Operating point: 16 planes × 4 tables. 8-bit signatures (r02)
+    gave only 256 buckets/table → giant buckets → candidate-pair
+    explosion; 16 bits keeps buckets near-singleton. The recall math
+    sets the operator's honest domain: per-bit agreement is 1-θ/π,
+    so at cos≥0.95 (θ≤0.32) recall = 1-(1-0.899^16)^4 ≈ 0.75+ and
+    climbs to ≈1 by cos 0.99 — but at the fixture corpus's weakly
+    similar pairs (max cos 0.51, p≈0.66) recall is ~p^16·4 ≈ 0 for
+    ANY config with sub-linear bucket sizes. Low thresholds are
+    exact-q37 territory (block-nested all-pairs); LSH is for the
+    cos≥0.9 regime. The query therefore demonstrates that regime:
+    the corpus is augmented with one deterministically perturbed
+    copy of each vec_id<100 (unit vectors + ε·sin noise ⇒ cos
+    ≈0.998), and LSH recovers those planted near-dup pairs."""
     emb = table(spark, "embeddings", sf_dir)
+    planted = emb.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "cast(x + 0.01 * sin(vec_id * 17 + i) as float))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
     return similarity.hyperplane_lsh_neardup(
-        emb, threshold=0.45, n_planes=8, n_tables=8
+        corpus, threshold=0.95, n_planes=16, n_tables=4
     )
 
 
@@ -530,23 +552,40 @@ def q55_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", status.alias("status"))
 
 
+_ASOF_TOLERANCE_DAYS = 90
+
+
 @q(
     "q56_asof_join",
-    """
+    f"""
     WITH r AS (
         SELECT o_custkey AS user_id, o_orderdate,
                MAX(o_orderkey) AS last_orderkey
-        FROM orders GROUP BY 1, 2)
-    SELECT e.event_id, e.user_id, r.last_orderkey,
-           r.o_orderdate AS last_orderdate
-    FROM events e ASOF LEFT JOIN r
-      ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
+        FROM orders GROUP BY 1, 2),
+    cand AS (
+        SELECT e.event_id, e.user_id, r.last_orderkey, r.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY r.o_orderdate DESC) AS rn
+        FROM events e LEFT JOIN r
+          ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
+             AND r.o_orderdate >= e.ts - INTERVAL {_ASOF_TOLERANCE_DAYS} DAY)
+    SELECT event_id, user_id, last_orderkey,
+           o_orderdate AS last_orderdate
+    FROM cand WHERE rn = 1
     """,
 )
 def q56_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of enrichment: each event joined to its user's latest prior
-    order (DuckDB's native ASOF JOIN is the oracle). Right side
-    pre-deduped per (user, ts) so ties are deterministic."""
+    order WITHIN a 90-day tolerance. Right side pre-deduped per
+    (user, ts) so ties are deterministic.
+
+    The tolerance is load-bearing at scale (matching the reference's
+    bounded point-in-interval attribution, src/helper_functions.py:
+    76-85): without it the candidate join pairs each event with the
+    user's ENTIRE order history before the window keeps rn=1 —
+    per-key fan-out ∝ history length. The oracle is the equivalent
+    bounded window form (DuckDB's native ASOF JOIN cannot carry a
+    lower bound)."""
     from ..operators.rangejoin import as_of_join
 
     ev = table(spark, "events", sf_dir)
@@ -561,6 +600,7 @@ def q56_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = as_of_join(
         ev, orders, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
         left_id="event_id",
+        tolerance_seconds=_ASOF_TOLERANCE_DAYS * 86400,
     )
     return joined.select(
         "event_id",
@@ -728,7 +768,8 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
     SELECT vec_id,
-           list_transform(ve, x -> floor(x * 127.0 + 0.5)::INT) AS qvec,
+           array_to_string(list_transform(ve,
+               x -> floor(x * 127.0 + 0.5)::INT), ',') AS qvec_csv,
            ROUND(sqrt(list_sum(list_transform(ve,
                x -> (x - floor(x * 127.0 + 0.5) / 127.0)
                   * (x - floor(x * 127.0 + 0.5) / 127.0)))), 6) AS dequant_err
@@ -737,9 +778,20 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q65_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 embedding compression with explicit half-up
-    rounding (floor(x*s+0.5)) so both engines quantize identically."""
+    rounding (floor(x*s+0.5)) so both engines quantize identically.
+
+    The gate-facing shape serializes the quantized vector to a CSV
+    string (``array_join`` / ``array_to_string``): array<int> columns
+    are unsortable by the driver's pandas canonicalizer, and a
+    delimiter-stable string round-trips hashing identically in both
+    engines. :func:`similarity.quantize_int8` still returns the real
+    array<int> column for programmatic use."""
     emb = table(spark, "embeddings", sf_dir)
-    return similarity.quantize_int8(emb)
+    return similarity.quantize_int8(emb).select(
+        "vec_id",
+        F.array_join("qvec", ",").alias("qvec_csv"),
+        "dequant_err",
+    )
 
 
 # ------------------------------------------------------------------ #
@@ -889,6 +941,21 @@ def q69_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     w = Window.orderBy("n_chars", "doc_id")
     return docs.select("doc_id", F.ntile(10).over(w).alias("decile"))
+
+
+@q("q72_deciles_scale")  # rows-only: sketch cut points are engine-specific
+def q72_deciles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q69: decile assignment via approx-percentile
+    cut points broadcast back as a map-side expression — no global
+    single-task NTILE window. Agreement with the exact q69 is
+    asserted in tests/test_scale_twins.py; the sketch itself is
+    engine-specific, hence rows-only."""
+    from ..operators.groupstats import quantile_buckets
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return quantile_buckets(docs, "n_chars", n_buckets=10).select(
+        "doc_id", F.col("bucket").alias("decile")
+    )
 
 
 @q(

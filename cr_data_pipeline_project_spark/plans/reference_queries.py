@@ -413,24 +413,31 @@ def q13_ts_parse_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # P11 — URL-encode/decode ids ('#'↔'%23', api_extract.py:62,128).
+# The decoded column closes the round-trip IN the gate: decode ∘
+# encode must be the identity on tagged ids (also property-tested in
+# tests/test_properties.py).
 @q(
     "q14_url_encode",
     """
     SELECT c_custkey,
            replace(c_name, 'Customer', '#Customer') AS tagged,
-           replace(replace(c_name, 'Customer', '#Customer'), '#', '%23') AS encoded
+           replace(replace(c_name, 'Customer', '#Customer'), '#', '%23') AS encoded,
+           replace(replace(replace(c_name, 'Customer', '#Customer'),
+                   '#', '%23'), '%23', '#') AS decoded
     FROM customer
     """,
 )
 def q14_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.scalar import url_encode_id
+    from ..functions.scalar import url_decode_id, url_encode_id
 
     c = table(spark, "customer", sf_dir)
     tagged = F.replace(F.col("c_name"), F.lit("Customer"), F.lit("#Customer"))
+    encoded = url_encode_id(tagged)
     return c.select(
         "c_custkey",
         tagged.alias("tagged"),
-        url_encode_id(tagged).alias("encoded"),
+        encoded.alias("encoded"),
+        url_decode_id(encoded).alias("decoded"),
     )
 
 
@@ -951,6 +958,20 @@ def q50_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, "lineitem", sf_dir)
     return profile_columns(li, ["l_returnflag", "l_linenumber", "l_shipdate"])
+
+
+# Sketch twin of q50 — ONE full-width pass, approx_count_distinct
+# (HLL++) instead of exact distinct: no Expand node, bounded memory.
+# Rows-only: sketch estimates are engine-specific; a tolerance pytest
+# (tests/test_profile.py) bounds the error against the exact profile.
+@q("q73_column_profile_approx")
+def q73_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns_approx
+
+    li = table(spark, "lineitem", sf_dir)
+    return profile_columns_approx(
+        li, ["l_returnflag", "l_linenumber", "l_shipdate"]
+    )
 
 
 # Salted join — skew mitigation whose output must be EXACTLY the

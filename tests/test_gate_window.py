@@ -7,19 +7,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import glob
+import json
+import re
+
 import __spark_entry__ as entrymod
 from cr_data_pipeline_project_spark.plans import GATE_OVERFLOW, GATE_SLOTS
 
-# Queries the round-1 verdict calls out as must-be-gate-visible.
-CRITICAL = (
-    "q39_lang_id",
-    "q40_token_count",
-    "q41_fingerprint",
-    "q43_multimodal_meta",
-    "q55_curation_pipeline",
-    "q56_asof_join",
-    "q57_dataset_mixing",
-)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_gate_window_is_all_oracled():
@@ -30,10 +25,25 @@ def test_gate_window_is_all_oracled():
     assert not not_oracled, f"rows-only queries inside gate window: {not_oracled}"
 
 
-def test_critical_queries_inside_window():
-    window = list(entrymod.queries())[:GATE_SLOTS]
-    missing = [n for n in CRITICAL if n not in window]
-    assert not missing, f"critical queries outside gate window: {missing}"
+def test_only_driver_attested_queries_parked():
+    """Rotation policy (round-2 verdict): the overflow set must hold
+    only queries the driver itself attested green in the most recent
+    round — parking a never- or red-attested query would hide it
+    from the hard signal indefinitely."""
+    benches = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return  # round 1: no driver record yet
+    with open(benches[-1]) as f:
+        latest = json.load(f)
+    bad = [
+        n
+        for n in GATE_OVERFLOW
+        if not latest.get(n, {}).get("hash_match")
+    ]
+    assert not bad, f"parked without a driver-green row in {benches[-1]}: {bad}"
 
 
 def test_rows_only_registered_last():

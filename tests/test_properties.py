@@ -80,3 +80,38 @@ def test_jaccard_bounds_and_identity(spark, words_a, words_b):
     assert pairs[(1, 3)] == 1.0  # identical docs
     if (1, 2) in pairs:
         assert pairs[(1, 2)] == pairs.get((1, 2))  # computed once per pair
+
+
+@given(
+    ids=st.lists(
+        st.text(
+            alphabet=st.sampled_from("#%23ABCxyz019 _"), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SLOW
+def test_url_encode_decode_roundtrip(spark, ids):
+    """decode(encode(x)) == x for any id WITHOUT a literal '%23'
+    (the reference's ids are '#TAG'-shaped, never pre-encoded —
+    api_extract.py:62,128); encode removes every '#'."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.functions.scalar import (
+        url_decode_id,
+        url_encode_id,
+    )
+
+    clean = [s for s in ids if "%23" not in s]
+    if not clean:
+        return
+    df = spark.createDataFrame([(s,) for s in clean], "id string")
+    out = df.select(
+        "id",
+        url_decode_id(url_encode_id(F.col("id"))).alias("rt"),
+        url_encode_id(F.col("id")).alias("enc"),
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["id"]
+        assert "#" not in r["enc"]

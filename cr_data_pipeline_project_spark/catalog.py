@@ -30,15 +30,26 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
-    (via ``nanosAsLong``) and we truncate to microseconds — the exact
-    behavior DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
-    oracle comparisons agree."""
+    """Normalize the events table's ``ts`` to session-UTC TIMESTAMP.
+
+    Fixture generations have stored it two ways: TIMESTAMP(NANOS)
+    (Spark reads it as long via ``nanosAsLong``; truncate to micros —
+    the exact behavior DuckDB applies casting TIMESTAMP_NS →
+    TIMESTAMP) and TIMESTAMP(MICROS) without a timezone (Spark reads
+    TIMESTAMP_NTZ; reinterpret the wall-clock as UTC, which is what
+    DuckDB's naive TIMESTAMP means under our UTC session). Downstream
+    operators rely on ``unix_micros``/window arithmetic, which require
+    the timezone-carrying TIMESTAMP type."""
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
         )
+    elif ts_type is not None and ts_type.startswith("timestamp_ntz"):
+        # NTZ→TZ cast interprets the wall-clock in the session
+        # timezone, which prepare() pins to UTC.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -59,3 +59,21 @@ def clan_row(cid, name="c"):
 
 def card_row(cid, name="card", elixir=3):
     return (str(cid), name, "common", elixir, False)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def few_partitions(spark, n=2):
+    """Temporarily drop shuffle partitions. Streaming state-store
+    partition count is fixed at first query start from
+    ``spark.sql.shuffle.partitions``; 8 state partitions (each a
+    task, and for applyInPandasWithState a Python worker round-trip)
+    over 3-row fixtures is pure per-micro-batch overhead."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -9,7 +9,14 @@ from pyspark.sql import functions as F
 from cr_data_pipeline_project_spark import analytics, pipeline, schemas
 from cr_data_pipeline_project_spark.sources.battlelog import read_battlelog_json
 
-from helpers import battle, card_row, clan_row, player_row, write_battlelog_json
+from helpers import (
+    battle,
+    card_row,
+    clan_row,
+    few_partitions,
+    player_row,
+    write_battlelog_json,
+)
 
 
 # Module scope: one ETL run serves every read-only assertion below
@@ -126,35 +133,48 @@ def test_stateful_running_player_stats(spark, tmp_path):
     )
     from cr_data_pipeline_project_spark.sources.battlelog import flatten_matches
 
-    def run_once():
-        raw = stream_battlelog_json(spark, src)
+    def run_once(expect_rows):
+        with few_partitions(spark, 1):
+            raw = stream_battlelog_json(spark, src)
 
-        def sink(batch_df, batch_id):
-            batch_df.write.mode("append").parquet(out)
+            def sink(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(out)
 
-        # update-mode stateful output needs an update-capable sink:
-        # foreachBatch (the file sink is append-only)
-        q = (
-            running_player_stats(flatten_matches(raw))
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        # With ProcessingTimeTimeout the availableNow query stays
-        # alive to fire pending state timeouts, so awaitTermination
-        # would burn its full timeout — drain explicitly and stop.
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(30)
+            # update-mode stateful output needs an update-capable sink:
+            # foreachBatch (the file sink is append-only)
+            q = (
+                running_player_stats(flatten_matches(raw))
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # With ProcessingTimeTimeout the availableNow query stays
+            # alive firing empty timeout-check micro-batches, so both
+            # awaitTermination and processAllAvailable can block
+            # behind that churn (a livelock when batches are fast).
+            # Deterministic drain: the data batch lands in the sink
+            # within the first batches — poll for it, then stop.
+            import time
+
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= expect_rows:
+                        break
+                except Exception:  # sink dir not created yet
+                    pass
+                time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(30)
 
     # batch 1: W, W  → streak 2
     write_battlelog_json(
         os.path.join(src, "b1.json"),
         [("#S", [battle(), battle(battle_time="20250113T110000.000Z")])],
     )
-    run_once()
+    run_once(expect_rows=1)
     # batch 2: L, W → total 4, wins 3, cur streak 1, best 2
     write_battlelog_json(
         os.path.join(src, "b2.json"),
@@ -168,7 +188,7 @@ def test_stateful_running_player_stats(spark, tmp_path):
             )
         ],
     )
-    run_once()
+    run_once(expect_rows=2)
     rows = sorted(
         spark.read.parquet(out).collect(), key=lambda r: r["total_battles"]
     )

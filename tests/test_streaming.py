@@ -13,14 +13,15 @@ from cr_data_pipeline_project_spark.streaming.incremental import (
     windowed_event_counts,
 )
 
-from helpers import battle, write_battlelog_json
+from helpers import battle, few_partitions, write_battlelog_json
 
 
 def _run_stream(spark, src_dir, lake_dir, ckpt):
-    q = streaming_match_load(
-        stream_battlelog_json(spark, src_dir), lake_dir, ckpt
-    )
-    q.awaitTermination(120)
+    with few_partitions(spark):
+        q = streaming_match_load(
+            stream_battlelog_json(spark, src_dir), lake_dir, ckpt
+        )
+        q.awaitTermination(120)
 
 
 def test_streaming_dedup_across_batches(spark, tmp_path):
@@ -56,19 +57,20 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     out_dir = os.path.join(str(tmp_path), "win_out")
 
     def run_batch():
-        stream = spark.readStream.schema(
-            "ts timestamp, event_type string"
-        ).json(src)
-        q = (
-            windowed_event_counts(stream)
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_w"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        with few_partitions(spark):
+            stream = spark.readStream.schema(
+                "ts timestamp, event_type string"
+            ).json(src)
+            q = (
+                windowed_event_counts(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_w"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
 
     with open(os.path.join(src, "e1.json"), "w") as f:
         for ts, et in [
@@ -106,17 +108,18 @@ def test_sessionized_stream_builds(spark, tmp_path):
                 + "\n"
             )
         f.write(json.dumps({"ts": "2024-01-01 03:00:00", "user_id": 2}) + "\n")
-    stream = spark.readStream.schema("ts timestamp, user_id long").json(src)
-    out = sessionized_event_counts(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("sessions")
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_s"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with few_partitions(spark):
+        stream = spark.readStream.schema("ts timestamp, user_id long").json(src)
+        out = sessionized_event_counts(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     rows = spark.sql("select * from sessions where user_id = 1").collect()
     # events at :00/:05 merge into one session; :50 starts another
     assert {r["n_events"] for r in rows} == {2, 1}
@@ -159,15 +162,16 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         "ts timestamp, user_id long, value double"
     ).json(pdir)
     out = stream_stream_attribution_join(views, purchases)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("attrib")
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_j"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with few_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("attrib")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_j"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     rows = spark.sql("select * from attrib").collect()
     assert len(rows) == 1
     assert rows[0]["user_id"] == 1

@@ -1,0 +1,154 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns.
+
+Replaces the IVF centroid "stand-in" (a deterministic id-prefix
+sample) with a real fit: deterministic hash-sample seeding, then
+``n_iter`` Lloyd rounds expressed entirely as DataFrame ops — the
+assign step is a broadcast join against the (tiny) centroid table
+reduced by a map-side-combining argmin aggregate, the update step a
+``posexplode`` + two-level groupBy producing element-wise means.
+
+Reference parity: the reference engine has no clustering operator;
+this exists to make the IVF ANN path (operators/similarity.py,
+SURVEY.md §2 similarity-search family) honest — IVF recall depends
+on centroid quality, and an id-prefix sample is a poor partitioner
+for real corpora.
+
+Scale notes (100 TB / billions of vectors)
+------------------------------------------
+- Per iteration: one broadcast join (centroids are k×dim doubles —
+  tiny, always under the broadcast threshold) and two aggregations.
+  The argmin aggregate partial-combines map-side, so the first
+  shuffle carries ≤1 row per vector (never the N×k scored rows); the
+  mean aggregate partial-combines (cid, pos) sums, so the second
+  shuffle carries ~k×dim×n_partitions partial rows, independent of
+  corpus size.
+- A window (`row_number over partitionBy(_id)`) would shuffle all
+  N×k scored rows — the aggregate argmin is the scalable shape.
+- Iterations are driver-side loop steps over distributed plans; each
+  new centroid table ``localCheckpoint``s to cut lineage, exactly
+  like operators/graph.py's label propagation.
+- Seeding samples the k rows with the smallest ``xxhash64(id,
+  seed)`` — engine- and partitioning-independent. The fitted means
+  are float-sum-order dependent in the last ulps (as in every
+  distributed k-means); tests assert inertia decrease and assignment
+  quality, not bit-exact centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .similarity import as_double_vec
+
+__all__ = ["kmeans_fit", "kmeans_assign", "inertia"]
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 via sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(_id, vd) × broadcast centroids → (_id, vd, cid) of the
+    nearest centroid, ties broken on smallest cid. Argmin is an
+    aggregate (struct-min), not a window: partial aggregation
+    collapses the k candidates per vector map-side."""
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "_d", _sqdist(F.col("vd"), F.col("cv"))
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
+            # all rows in the group share the vector; first() is
+            # value-deterministic here
+            F.first("vd").alias("vd"),
+        )
+        .select("_id", "vd", F.col("_m.cid").alias("cid"))
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    n_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Fit k centroids with Lloyd's algorithm; returns
+    ``(cid int, cv array<double>)``."""
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("vd")
+    ).localCheckpoint(eager=True)
+
+    # deterministic seeds, numbered 0..k-1 in hash order (k rows on
+    # the driver-side window is trivial)
+    cents = (
+        vecs.select(F.xxhash64(F.col("_id"), F.lit(seed)).alias("_h"), "vd")
+        .orderBy("_h")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_h")) - F.lit(1)).alias("cid"),
+            F.col("vd").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(n_iter):
+        assigned = _assign(vecs, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("vd").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Assign every vector to its nearest fitted centroid (squared
+    L2). Returns ``(id_col, cluster_id)``. Centroids broadcast."""
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("vd")
+    )
+    return _assign(vecs, centroids).select(
+        F.col("_id").alias(id_col), F.col("cid").alias("cluster_id")
+    )
+
+
+def inertia(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> float:
+    """Sum of squared distances to the nearest centroid — the
+    quantity Lloyd iterations monotonically decrease (up to float
+    summation noise). One aggregate; for monitoring/tests."""
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("vd")
+    )
+    scored = vecs.join(F.broadcast(centroids)).withColumn(
+        "_d", _sqdist(F.col("vd"), F.col("cv"))
+    )
+    row = (
+        scored.groupBy("_id")
+        .agg(F.min("_d").alias("d"))
+        .agg(F.sum("d").alias("s"))
+        .collect()[0]
+    )
+    return float(row["s"])

@@ -42,6 +42,8 @@ GATE_SLOTS = 50
 # the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
     # parked round 3 (driver-green in r02): text/curation analytics
+    # + q45, displaced when the new oracled q75 took its slot
+    "q45_nested_flatten",
     "q31_dedup_exact_groups",
     "q32_dedup_fingerprint_keep",
     "q38_text_quality",

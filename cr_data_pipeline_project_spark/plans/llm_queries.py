@@ -1014,3 +1014,82 @@ def q71_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.9), 4).alias("p90"),
         F.round(F.percentile("value", 0.99), 4).alias("p99"),
     )
+
+
+@q(
+    "q75_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    )
+    SELECT doc_id, rnk, term, tf, df FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, idf.df ASC, tf.term) AS rnk
+        FROM tf JOIN idf USING (term)) ranked
+    WHERE rnk <= 3
+    """,
+)
+def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms — the TF×IDF primitive
+    with a float-free ordering (tf DESC, df ASC, term) so the result
+    is bit-exact across engines: ``tf·ln(N/df)`` ranks *identically*
+    for fixed tf, and the integer lexicographic order sidesteps
+    cross-engine ``ln`` ULP divergence entirely (the float score is a
+    one-line extension once exactness isn't required).
+
+    Scale: tf is a (doc_id, term) groupBy (partial-aggregated
+    map-side); df reuses the same token stream; the tf⋈df join
+    shuffles on term — at corpus scale the df side is a dictionary
+    table, orders of magnitude smaller than tf, and AQE picks the
+    broadcast. The final per-doc window repartitions by doc_id only.
+    """
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df")
+    )
+
+
+@q("q74_kmeans_ivf_topk")  # rows-only: iterative float fit, no SQL twin
+def q74_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over *fitted* centroids: distributed Lloyd's k-means
+    (operators/clustering.py) replaces q42's deterministic id-prefix
+    centroid stand-in, then the same nprobe-pruned top-k search.
+    Rows-only by design: the fit is iterative over float means, so no
+    SQL oracle — ``tests/test_clustering.py`` asserts inertia descent
+    and recall vs the brute-force baseline instead."""
+    from ..operators import clustering
+
+    emb = table(spark, "embeddings", sf_dir)
+    cents = clustering.kmeans_fit(
+        emb, k=16, id_col="vec_id", vec_col="embedding", n_iter=3
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb,
+        queries,
+        cents,
+        k=5,
+        nprobe=4,
+        id_col="vec_id",
+        vec_col="embedding",
+    )

@@ -72,13 +72,35 @@ def shingle_set(
     """Distinct word n-gram shingles per document:
     (id_col, shingle). Documents shorter than ``n`` words contribute
     their full text as one shingle."""
-    tokens = F.split(F.col(text_col), " ")
+    # Tokenize into a projected column FIRST: referenced directly
+    # inside the transform lambda, split(text) would be re-evaluated
+    # once per shingle (~|doc|/token times per row) — HOF lambdas get
+    # no subexpression elimination against the enclosing row.
+    tokens = F.col("__toks")
     idxs = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
     shingles = F.transform(
         idxs, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
     )
+    # Repartition by id BEFORE the tokenize/explode, for two reasons:
+    # (1) parallelism — the shingle expressions are the expensive
+    # per-row compute, and a narrow scan of a few input splits (one,
+    # for the single-file fixtures) would otherwise run them on as
+    # many cores as there are splits; the shuffle moves compact doc
+    # rows, not the ~|doc|/token× larger shingle rows. (2) plan shape
+    # — HashPartitioning(id) satisfies the (id, shingle) clustering
+    # the distinct needs AND the groupBy(id) every signature
+    # aggregate downstream needs, so that one doc-sized shuffle
+    # replaces two shingle-sized ones. (The by-shingle inverted
+    # index reshuffles either way.)
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        )
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -89,38 +111,84 @@ def _jaccard_on_pairs(
     """Exact Jaccard for candidate pairs (doc_a < doc_b) given the
     (id, shingle) set table. Returns (doc_a, doc_b, jaccard).
 
-    The shingle table joins in whole (persisted by callers). A
-    candidate-doc semi-join prune was measured SLOWER here — the
-    persist barrier + extra broadcast stage cost more than the
-    shingle shuffle saved; at true corpus scale the winning layout is
-    a materialized (written) shingle index instead, which the lake
-    provides naturally."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.select(
-        F.col(id_col).alias("doc_a"), F.col("shingle")
+    Shape: fold each document's shingles into ONE array row
+    (groupBy id — a shuffle of the same bytes the exploded table
+    holds, but ~|doc| fewer rows), join the candidate pairs against
+    that array table twice, and intersect in-row
+    (``array_intersect`` over ~|doc|/token-element arrays stays in
+    whole-stage codegen). The previous shape — join the exploded
+    (id, shingle) table on both sides and count matches — shuffled
+    the shingle rows twice more plus a per-pair aggregate; measured
+    3× slower at fixture scale and strictly more shuffle volume at
+    any scale."""
+    sets_ = shingles.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__sh")
     )
-    sb = shingles.select(
-        F.col(id_col).alias("doc_b"), F.col("shingle")
-    )
-    common = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
     return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "__n_common",
+            F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))),
+        )
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                F.col("__n_common")
+                / (
+                    F.size("__sh_a")
+                    + F.size("__sh_b")
+                    - F.col("__n_common")
+                )
             ).alias("jaccard"),
         )
+    )
+
+
+def _bucket_pairs(
+    exploded: DataFrame,
+    bucket_keys: list[str],
+    id_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """One-shuffle candidate pairing over an inverted index: group
+    each bucket's member ids into a sorted array and explode the
+    ordered pairs in-row. Returns distinct (doc_a, doc_b), doc_a <
+    doc_b.
+
+    vs the window-count + self-join shape: that plan shuffles the
+    exploded table three times (bucket-size window, join left, join
+    right); this one shuffles it once and generates the O(b²) pairs
+    inside the row, bounded by ``max_bucket``. Buckets larger than
+    the cap are dropped (degenerate-boilerplate skew guard). The
+    collect_set buffers at most the bucket's ids in the aggregation
+    state; a bucket pathologically beyond the cap still buffers
+    before the size filter drops it — at true corpus scale feed this
+    a pre-capped index (count-prepass) if hot buckets can exceed
+    executor memory, which for id-only buckets means >10⁷ members."""
+    buckets = (
+        exploded.groupBy(*bucket_keys)
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
+        .where(F.size("__ids").between(2, max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.doc_a", "__p.doc_b")
+        .distinct()
     )
 
 
@@ -138,17 +206,7 @@ def ngram_candidate_pairs(
     candidate *generation* skips it, so scores stay exact; recall is
     lost only for pairs whose every shared shingle is hotter than the
     cap, which at any useful threshold are non-duplicates."""
-    sized = shingles.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).where(F.col("__df") <= max_doc_freq)
-    a = sized.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sized.select(F.col(id_col).alias("doc_b"), "shingle")
-    return (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _bucket_pairs(shingles, ["shingle"], id_col, max_doc_freq)
 
 
 def ngram_jaccard_pairs(
@@ -220,12 +278,21 @@ def minhash_signatures(
     prebuilt (persisted) ``shingles`` table to share the explode with
     the verification join."""
     sh = shingles if shingles is not None else shingle_set(df, text_col, id_col, n)
-    h32 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
+    # Project the base hash once per row — embedded in each min
+    # aggregate it would be recomputed per-aggregate (no
+    # cross-aggregate CSE), i.e. num_hashes xxhash64 calls per
+    # shingle instead of one.
+    sh = sh.select(
+        F.col(id_col),
+        F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("__h32"),
+    )
     coeffs = _perm_coeffs(num_hashes, seed)
     mins = [
-        F.min(F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(_MERSENNE_P))).alias(
-            f"__m{i}"
-        )
+        F.min(
+            F.pmod(
+                F.lit(a) * F.col("__h32") + F.lit(b), F.lit(_MERSENNE_P)
+            )
+        ).alias(f"__m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
@@ -260,22 +327,7 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band_idx", "b.band_hash")
-    sized = exploded.withColumn(
-        "__bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash")),
-    ).where(F.col("__bucket_n") <= max_bucket)
-    a = sized.select(
-        F.col(id_col).alias("doc_a"), "band_idx", "band_hash"
-    )
-    b = sized.select(
-        F.col(id_col).alias("doc_b"), "band_idx", "band_hash"
-    )
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _bucket_pairs(exploded, ["band_idx", "band_hash"], id_col, max_bucket)
 
 
 def minhash_lsh_pairs(
@@ -331,21 +383,38 @@ def simhash_signatures(
     (hi, lo) for portable arithmetic: per bit, sum ±1 over feature
     hashes; sign → bit. md5-based so an external oracle can reproduce
     it. Returns (id, sim_hi, sim_lo)."""
-    sh = shingle_set(df, text_col, id_col, n)
-    hi = _md5_half(F.col("shingle"), 1)
-    lo = _md5_half(F.col("shingle"), 9)
-    sums = []
+    # Project the md5 halves ONCE per row before aggregating: an
+    # expression embedded in each of the 64 sum aggregates is
+    # evaluated per-aggregate (no cross-aggregate CSE), i.e. 64 md5
+    # computations per shingle. Per bit k the SimHash needs
+    # sum(±1) = 2·sum(bit_k) − n, so the per-row work per aggregate
+    # is one shiftright+mask on a projected long (pure integer
+    # codegen) and n is shared by all 64 bits.
+    sh = shingle_set(df, text_col, id_col, n).select(
+        F.col(id_col),
+        _md5_half(F.col("shingle"), 1).alias("__hi"),
+        _md5_half(F.col("shingle"), 9).alias("__lo"),
+    )
+    sums = [F.count(F.lit(1)).alias("__n")]
     for k in range(32):
-        bit_hi = F.floor(hi / F.lit(1 << k)).cast("bigint") % 2
-        bit_lo = F.floor(lo / F.lit(1 << k)).cast("bigint") % 2
-        sums.append(F.sum(bit_hi * 2 - 1).alias(f"__shi{k}"))
-        sums.append(F.sum(bit_lo * 2 - 1).alias(f"__slo{k}"))
+        sums.append(
+            F.sum(
+                F.shiftright(F.col("__hi"), k).bitwiseAND(F.lit(1))
+            ).alias(f"__shi{k}")
+        )
+        sums.append(
+            F.sum(
+                F.shiftright(F.col("__lo"), k).bitwiseAND(F.lit(1))
+            ).alias(f"__slo{k}")
+        )
     agg = sh.groupBy(id_col).agg(*sums)
     sim_hi = None
     sim_lo = None
     for k in range(32):
-        term_hi = F.when(F.col(f"__shi{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-        term_lo = F.when(F.col(f"__slo{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        set_hi = 2 * F.col(f"__shi{k}") - F.col("__n") >= 0
+        set_lo = 2 * F.col(f"__slo{k}") - F.col("__n") >= 0
+        term_hi = F.when(set_hi, F.lit(1 << k)).otherwise(F.lit(0))
+        term_lo = F.when(set_lo, F.lit(1 << k)).otherwise(F.lit(0))
         sim_hi = term_hi if sim_hi is None else sim_hi + term_hi
         sim_lo = term_lo if sim_lo is None else sim_lo + term_lo
     return agg.select(
@@ -363,11 +432,22 @@ def simhash_pairs(
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ ``max_hamming`` over the
-    64-bit SimHash. Candidates via 8×8-bit chunk equality (pigeonhole:
-    hamming ≤ 7 ⇒ at least one of 8 chunks identical — exact recall
-    for max_hamming ≤ 7), then exact hamming verification.
-    Returns (doc_a, doc_b, hamming)."""
-    assert max_hamming <= 7, "8-chunk pigeonhole guarantees recall only to 7"
+    64-bit SimHash. Candidates via multi-index chunk-PAIR equality:
+    ≤6 differing bits damage at most 6 of the 8 8-bit chunks, so a
+    qualifying pair agrees on at least TWO chunks — bucket on the
+    C(8,2)=28 (chunk_i, chunk_j) combinations (16-bit keys). Exact
+    recall for max_hamming ≤ 6, then exact hamming verification.
+    Returns (doc_a, doc_b, hamming).
+
+    Scale: single-chunk bucketing (the naive pigeonhole) keys on only
+    256 values per position — every bucket holds ~|corpus|/256 docs
+    and candidate volume explodes quadratically; the 65536-value
+    pair keys cut candidates by ~2 orders of magnitude at any corpus
+    size, for 28/8 = 3.5× the exploded index rows. This is the
+    standard multi-index Hamming-search layout."""
+    assert max_hamming <= 6, (
+        "chunk-pair pigeonhole (2 of 8 intact) guarantees recall only to 6"
+    )
     # sigs feed chunk-banding AND both sides of the hamming verify.
     # localCheckpoint (eager) instead of persist: (a) no CacheManager
     # leak — the checkpoint RDD is ContextCleaner-managed; (b) lineage
@@ -376,34 +456,27 @@ def simhash_pairs(
     # 128-expression bit-sum aggregate — the signature table is tiny
     # (id + two longs per doc) at any corpus size.
     sigs = simhash_signatures(df, text_col, id_col, n).localCheckpoint()
-    chunk_cols = []
+    chunk = []
     for c in range(4):
-        chunk_cols.append(
-            F.struct(
-                F.lit(c).alias("chunk_idx"),
-                (F.floor(F.col("sim_hi") / F.lit(1 << (8 * c))).cast("bigint") % 256).alias(
-                    "chunk_val"
-                ),
-            )
+        chunk.append(
+            F.shiftright(F.col("sim_hi"), 8 * c).bitwiseAND(F.lit(255))
         )
-        chunk_cols.append(
-            F.struct(
-                F.lit(c + 4).alias("chunk_idx"),
-                (F.floor(F.col("sim_lo") / F.lit(1 << (8 * c))).cast("bigint") % 256).alias(
-                    "chunk_val"
-                ),
-            )
+        chunk.append(
+            F.shiftright(F.col("sim_lo"), 8 * c).bitwiseAND(F.lit(255))
         )
+    combo_cols = [
+        F.struct(
+            F.lit(i * 8 + j).alias("chunk_idx"),
+            (chunk[i] * 256 + chunk[j]).alias("chunk_val"),
+        )
+        for i in range(8)
+        for j in range(i + 1, 8)
+    ]
     chunks = sigs.select(
-        F.col(id_col), F.explode(F.array(*chunk_cols)).alias("c")
+        F.col(id_col), F.explode(F.array(*combo_cols)).alias("c")
     ).select(id_col, "c.chunk_idx", "c.chunk_val")
-    a = chunks.select(F.col(id_col).alias("doc_a"), "chunk_idx", "chunk_val")
-    b = chunks.select(F.col(id_col).alias("doc_b"), "chunk_idx", "chunk_val")
-    cand = (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    cand = _bucket_pairs(
+        chunks, ["chunk_idx", "chunk_val"], id_col, max_bucket=100_000
     )
     sa = sigs.select(
         F.col(id_col).alias("doc_a"),

@@ -286,34 +286,65 @@ def hyperplane_lsh_neardup(
         ]
         for _ in range(n_tables)
     ]
-    v = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    # Narrow scan, wide compute: the signature folds (tables × planes
+    # dot products per row) are the expensive map side — spread them
+    # across cores first, since the input may arrive in very few
+    # splits (a single-file table reads as ONE partition).
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    ).repartition(F.col(id_col))
     v = v.withColumn("nrm", norm(F.col("v")))
-    sig_cols = []
-    for t in range(n_tables):
-        bits = None
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(x) for x in planes[t][p]])
-            bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << p)).otherwise(
-                F.lit(0)
-            )
-            bits = bit if bits is None else bits + bit
-        sig_cols.append(
-            F.struct(F.lit(t).alias("table_idx"), bits.alias("sig"))
-        )
+    # The plane projection is a (batch × dim) @ (dim × tables·planes)
+    # GEMM — exactly the shape where an Arrow-batched mapInPandas
+    # beats JVM expression eval: the equivalent expression-tree fold
+    # measured ~1.5 ms/row (higher-order array functions evaluate
+    # interpreted, outside whole-stage codegen), BLAS does the whole
+    # batch in microseconds. Sign of a near-zero projection may
+    # differ from a sequential fold by summation order — irrelevant
+    # for a probabilistic candidate generator (the exact-cosine
+    # verify below stays pure JVM).
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(
+        [planes[t][p] for t in range(n_tables) for p in range(n_planes)]
+    ).T  # (dim, tables*planes)
+    W = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def sigs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].values)  # (b, dim)
+            bits = (V @ P) >= 0  # (b, tables*planes)
+            out = []
+            for t in range(n_tables):
+                sig = bits[:, t * n_planes : (t + 1) * n_planes] @ W
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"].values,
+                            "table_idx": np.int32(t),
+                            "sig": sig,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
     # Bucket join on IDS ONLY — the (table_idx, sig) shuffle carries
     # two longs per row, not the embedding payload; vectors re-attach
     # AFTER candidate-pair dedup, so each vector's floats cross the
     # wire once per verified pair side, never once per bucket hit.
-    buckets = v.select(
-        "id", F.explode(F.array(*sig_cols)).alias("b")
-    ).select("id", "b.table_idx", "b.sig")
-    a = buckets.select(F.col("id").alias("vec_a"), "table_idx", "sig")
-    b = buckets.select(F.col("id").alias("vec_b"), "table_idx", "sig")
-    cand = (
-        a.join(b, ["table_idx", "sig"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    id_type = dict(df.dtypes)[id_col]
+    buckets = v.select("id", "v").mapInPandas(
+        sigs, schema=f"id {id_type}, table_idx int, sig long"
+    )
+    from .dedup import _bucket_pairs
+
+    cand = _bucket_pairs(
+        buckets, ["table_idx", "sig"], "id", max_bucket=100_000
+    ).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     va = v.select(
         F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

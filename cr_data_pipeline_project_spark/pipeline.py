@@ -63,9 +63,16 @@ class Lake:
 
     PARTITIONING: dict[str, list[str]] = {"matches": ["season_id"]}
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, retain_versions: int = 1
+    ):
         self.spark = spark
         self.root = root
+        # How many committed snapshots survive GC (≥1). With >1 the
+        # superseded snapshots remain addressable via
+        # ``read(name, version=...)`` — time travel, Delta/Iceberg
+        # style, on plain parquet directories.
+        self.retain_versions = max(1, retain_versions)
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -89,10 +96,39 @@ class Lake:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the table's current snapshot, or a retained past one
+        (``version=``, see ``versions()``). Past snapshots exist when
+        ``retain_versions > 1``; reading a GC'd or never-committed
+        version raises."""
+        if version is not None:
+            vdir = os.path.join(self.path(name), f"v{version}")
+            if version not in self.versions(name) or not os.path.isdir(vdir):
+                raise ValueError(
+                    f"{name}: version {version} not retained "
+                    f"(available: {self.versions(name)})"
+                )
+            return self.spark.read.parquet(vdir)
         if self.exists(name):
             return self.spark.read.parquet(self.data_dir(name))
         return self.spark.createDataFrame([], schemas.DOMAIN[name])
+
+    def versions(self, name: str) -> list[int]:
+        """Committed snapshot versions still on disk, oldest first.
+        Excludes any staged-but-uncommitted (orphan) snapshot above
+        the pointer."""
+        import re
+
+        root = self.path(name)
+        cur = self.current_version(name)
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for entry in os.listdir(root):
+            m = re.fullmatch(r"v(\d+)", entry)
+            if m and int(m.group(1)) <= cur:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def append(self, name: str, df: DataFrame) -> None:
         w = df.write.mode("append")
@@ -199,18 +235,21 @@ class Lake:
         return r.load()
 
     def _gc(self, name: str, keep: int) -> None:
-        """Drop superseded snapshots (and the legacy flat files once
-        the first versioned snapshot commits)."""
+        """Drop snapshots older than the retention window (and the
+        legacy flat files once the first versioned snapshot
+        commits). The newest ``retain_versions`` committed snapshots
+        survive for ``read(version=...)``."""
         import re
         import shutil
 
+        oldest_kept = keep - self.retain_versions + 1
         root = self.path(name)
         for entry in os.listdir(root):
             p = os.path.join(root, entry)
             m = re.fullmatch(r"v(\d+)", entry)
-            if m and int(m.group(1)) != keep and os.path.isdir(p):
+            if m and int(m.group(1)) < oldest_kept and os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
-            elif entry not in ("_VERSION", f"v{keep}") and not m:
+            elif entry != "_VERSION" and not m:
                 # legacy flat-layout files superseded by the snapshot
                 (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
 

@@ -96,3 +96,20 @@ def test_append_lands_in_current_snapshot(spark, lake):
     lake.append("players", _dim(spark, [("#B", 2)]))
     got = sorted(r["player_id"] for r in lake.read("players").collect())
     assert got == ["#A", "#B"]
+
+
+def test_time_travel_read_with_retention(spark, tmp_path):
+    lk = pipeline.Lake(
+        spark, os.path.join(str(tmp_path), "lake_tt"), retain_versions=2
+    )
+    lk.overwrite("players", _dim(spark, [("#A", 1)]))
+    lk.overwrite("players", _dim(spark, [("#A", 2), ("#B", 3)]))
+    lk.overwrite("players", _dim(spark, [("#A", 4)]))
+    assert lk.versions("players") == [2, 3]
+    assert lk.read("players").count() == 1
+    old = {r["player_id"]: r["trophies"] for r in lk.read("players", version=2).collect()}
+    assert old == {"#A": 2, "#B": 3}
+    with pytest.raises(ValueError):
+        lk.read("players", version=1)  # GC'd past the retention window
+    with pytest.raises(ValueError):
+        lk.read("players", version=9)  # never committed

@@ -501,3 +501,70 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------------------ #
+# winnowing fingerprints                                              #
+# ------------------------------------------------------------------ #
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash selection
+    scheme used by plagiarism/near-dup detectors): hash every word
+    k-gram, slide a ``window`` over consecutive k-gram hashes, keep
+    the minimum of each window, dedupe. Guarantees every match of
+    length ≥ k+window-1 tokens shares a fingerprint, while storing
+    only ~2/(window+1) of the k-gram hashes.
+
+    Returns distinct (id_col, fp) with fp a portable unsigned 32-bit
+    md5 prefix (reproducible in any engine).
+
+    Plan shape: one shuffle (repartition by id parallelizes the
+    k-gram build AND feeds both windows and the final distinct,
+    which all cluster by id). Positional k-grams come from
+    posexplode + window leads — plain codegen'd expressions, no
+    per-row HOF lambdas in the hot path.
+    """
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).repartition(F.col(id_col))
+    tok = base.select(
+        F.col(id_col),
+        F.posexplode("__toks").alias("__pos", "__tok"),
+        F.size("__toks").alias("__ntok"),
+    )
+    w_lead = Window.partitionBy(id_col).orderBy("__pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("__tok"),
+        *[F.lead("__tok", i).over(w_lead) for i in range(1, k)],
+    )
+    # 0-based gram positions 0..g-1, g = max(ntok-k+1, 1): trailing
+    # positions (and docs shorter than k) clamp — concat_ws drops
+    # the null leads, so a short doc contributes its full text.
+    grams = (
+        tok.withColumn("__gram", gram)
+        .where(F.col("__pos") <= F.greatest(F.col("__ntok") - k, F.lit(0)))
+        .select(
+            F.col(id_col),
+            "__pos",
+            "__ntok",
+            _md5_half(F.col("__gram"), 1).alias("__h"),
+        )
+    )
+    w_win = (
+        Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    )
+    g = F.greatest(F.col("__ntok") - (k - 1), F.lit(1))
+    return (
+        grams.withColumn("fp", F.min("__h").over(w_win))
+        .where(F.col("__pos") <= F.greatest(g - window, F.lit(0)))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )

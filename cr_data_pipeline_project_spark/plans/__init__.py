@@ -42,8 +42,11 @@ GATE_SLOTS = 50
 # the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
     # parked round 3 (driver-green in r02): text/curation analytics
-    # + q45, displaced when the new oracled q75 took its slot
+    # + q45/q22/q53, displaced when the new oracled q75/q76/q77
+    # took their slots
     "q45_nested_flatten",
+    "q22_priority_share",
+    "q53_group_zscore",
     "q31_dedup_exact_groups",
     "q32_dedup_fingerprint_keep",
     "q38_text_quality",

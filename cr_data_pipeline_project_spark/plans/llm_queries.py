@@ -1081,7 +1081,7 @@ def q74_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, "embeddings", sf_dir)
     cents = clustering.kmeans_fit(
-        emb, k=16, id_col="vec_id", vec_col="embedding", n_iter=3
+        emb, k=16, id_col="vec_id", vec_col="embedding", n_iter=2
     )
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.ivf_topk(
@@ -1092,4 +1092,96 @@ def q74_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         id_col="vec_id",
         vec_col="embedding",
+    )
+
+
+@q(
+    "q76_winnow_fingerprints",
+    """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t.i AS pos, ntok,
+               ('0x' || substr(md5(array_to_string(
+                   list_slice(toks, t.i, t.i + 4), ' ')), 1, 8))::BIGINT AS h
+        FROM base, unnest(range(1, greatest(ntok - 5, 0) + 2)) AS t(i)
+    ),
+    fps AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               pos, greatest(ntok - 4, 1) AS g
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM fps
+    WHERE pos <= greatest(g - 3, 1)
+    """,
+)
+def q76_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5 word grams, window=4): the
+    rolling-hash selection scheme — any shared run of ≥ 8 tokens
+    between two documents is guaranteed to share a fingerprint,
+    storing only ~2/(window+1) of the gram hashes. The md5-prefix
+    hash is engine-portable, so the DuckDB oracle reproduces the
+    exact fingerprint set (positions, window minima and all)."""
+    docs = table(spark, "documents", sf_dir)
+    return dedup.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
+@q(
+    "q77_cluster_centroid_sums",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    cents AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, cid AS cluster_id FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid) AS rn
+            FROM v CROSS JOIN cents c) t
+        WHERE rn = 1)
+    SELECT a.cluster_id, t.i::INT AS pos,
+           COUNT(*) AS n,
+           ROUND(SUM(v.ve[t.i + 1]::DECIMAL(30, 10)), 6)::DOUBLE AS s
+    FROM assign a
+    JOIN v USING (vec_id),
+    unnest(range(len(v.ve))) AS t(i)
+    GROUP BY a.cluster_id, t.i
+    """,
+)
+def q77_cluster_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster element-wise partial aggregates (count + exact
+    decimal sum per dimension) over the q42 deterministic cluster
+    assignment — the k-means update step in its oracle-checkable
+    form. The mean is s/n; emitting the partials keeps the result
+    bit-exact across engines (decimal sums are order-independent,
+    double division is not). Plan: broadcast-argmin assignment, then
+    posexplode + one (cluster, pos) groupBy whose shuffle carries
+    k×dim partial rows after map-side combine — the exact shape
+    kmeans_fit iterates."""
+    from ..operators.similarity import ivf_assign
+
+    emb = table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = ivf_assign(emb, centroids, "vec_id", "embedding")
+    return (
+        emb.join(assign, "vec_id")
+        .select(
+            "cluster_id",
+            F.posexplode(
+                F.transform(
+                    "embedding", lambda x: x.cast("decimal(30,10)")
+                )
+            ).alias("pos", "x"),
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x"), 6).cast("double").alias("s"),
+        )
     )

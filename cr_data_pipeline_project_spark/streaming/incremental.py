@@ -178,3 +178,29 @@ def stream_stream_attribution_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_static_enrichment(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension —
+    the streaming twin of the reference's fact→dim view joins
+    (sql/db_creation_script.sql:185-205 joins rankings to players/
+    clans).
+
+    Stream-static joins are STATELESS: Spark re-plans the static side
+    each micro-batch (so a lake dim updated by MERGE between batches
+    is picked up), no watermark is needed, and the static side is
+    broadcast when it fits ``autoBroadcastJoinThreshold`` — the right
+    shape for a 100 TB stream against MB-scale dims. Inner and left
+    joins are supported by the engine; right/full (which would need
+    unbounded stream state) are rejected here explicitly."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "stream-static joins support inner/left only "
+            "(right/full would need unbounded stream-side state)"
+        )
+    return events.join(dim, on=key_col, how=how)

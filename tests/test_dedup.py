@@ -113,3 +113,47 @@ def test_ngram_hot_shingle_cap_bounds_candidates(spark):
         docs, "text", "doc_id", n=5, threshold=0.7, max_doc_freq=10
     )
     assert pairs.count() == 0
+
+
+def test_winnow_guarantee_and_compression(spark):
+    """Winnowing guarantee: two docs sharing a run of >= k+window-1
+    tokens share at least one fingerprint; fingerprint count is well
+    under the gram count."""
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} closing remarks"),
+            (2, f"completely different opening {shared} and another tail"),
+            (3, "nothing in common with those other documents at all ok"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    by_doc = {
+        d: {r["fp"] for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["doc_id"]),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared 10-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # compression: far fewer fingerprints than grams (10+ grams/doc)
+    assert all(len(v) <= 6 for v in by_doc.values())
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id int, text string"
+    )
+    rows = winnow_fingerprints(docs, "text", "doc_id").collect()
+    assert len(rows) == 2
+    assert len({r["fp"] for r in rows}) == 1  # identical short docs agree

@@ -176,3 +176,60 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["user_id"] == 1
     assert rows[0]["purchase_value"] == 9.5
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join is stateless and re-reads the static side
+    each micro-batch: a dim row updated between batches enriches the
+    next batch with the NEW value."""
+    import json
+
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        stream_static_enrichment,
+    )
+
+    src = os.path.join(str(tmp_path), "ev")
+    dim_dir = os.path.join(str(tmp_path), "dim")
+    out = os.path.join(str(tmp_path), "enriched")
+    ckpt = os.path.join(str(tmp_path), "ckpt_e")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "bronze")], "user_id long, tier string"
+    ).write.parquet(dim_dir)
+
+    def run_batch():
+        with few_partitions(spark):
+            stream = spark.readStream.schema("ts timestamp, user_id long").json(src)
+            dim = spark.read.parquet(dim_dir)
+            q = (
+                stream_static_enrichment(stream, dim)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+    with open(os.path.join(src, "e1.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 00:10:00", "user_id": 1}) + "\n")
+    run_batch()
+    # dim updated between batches -> next batch sees the new tier
+    spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_dir)
+    with open(os.path.join(src, "e2.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 00:20:00", "user_id": 1}) + "\n")
+    run_batch()
+    tiers = sorted(r["tier"] for r in spark.read.parquet(out).collect())
+    assert tiers == ["bronze", "gold"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_static_enrichment(
+            spark.readStream.schema("ts timestamp, user_id long").json(src),
+            spark.read.parquet(dim_dir),
+            how="full",
+        )

@@ -115,3 +115,49 @@ def test_url_encode_decode_roundtrip(spark, ids):
     for r in out:
         assert r["rt"] == r["id"]
         assert "#" not in r["enc"]
+
+
+@given(
+    buckets=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # bucket key
+            st.lists(st.integers(0, 30), min_size=0, max_size=8),  # member ids
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    cap=st.integers(2, 6),
+)
+@SLOW
+def test_bucket_pairs_equals_naive_self_join(spark, buckets, cap):
+    """_bucket_pairs (one-shuffle array pairing) must produce exactly
+    the pairs of the textbook self-join with a bucket-size cap."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (f"d{i}", key)
+        for key, members in buckets
+        for i in members
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc string, k int").distinct()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup._bucket_pairs(df, ["k"], "doc", max_bucket=cap).collect()
+    }
+    # naive: per bucket, all ordered pairs, buckets over cap dropped
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for r in df.collect():
+        members[r["k"]].add(r["doc"])
+    want = set()
+    for k, ms in members.items():
+        if len(ms) > cap:
+            continue
+        ms = sorted(ms)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                want.add((ms[i], ms[j]))
+    assert got == want

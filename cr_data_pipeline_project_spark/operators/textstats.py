@@ -126,16 +126,37 @@ def repetition_ratio(
     Adds (n_grams, n_distinct, rep_ratio). Pure array expressions —
     the n-gram list never leaves the row, so there is NO explode and
     NO shuffle: a straight codegen scan even at corpus scale."""
+    # Stacked projections, not one big expression: the gram list is
+    # consumed three times (count, distinct-count, ratio) and the
+    # token list once per gram — inlined, the HOF lambda re-evaluates
+    # them per reference (no CSE for interpreted collection
+    # lambdas), and CollapseProject keeps the stacking because the
+    # duplicated expressions are non-cheap.
     tok = tokens(text_col)
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1)))
-    grams = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
-    return df.select(
-        "*",
-        n_grams.cast("int").alias("n_grams"),
-        n_distinct.cast("int").alias("n_distinct"),
-        F.round(F.lit(1) - n_distinct / n_grams, 4).alias("rep_ratio"),
+    idxs = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(1))
+    )
+    grams = F.transform(
+        idxs, lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))
+    )
+    return (
+        df.select("*", tok.alias("__toks"))
+        .select("*", grams.alias("__grams"))
+        .select(
+            "*",
+            F.size(F.col("__grams")).cast("int").alias("n_grams"),
+            F.size(F.array_distinct(F.col("__grams")))
+            .cast("int")
+            .alias("n_distinct"),
+        )
+        .select(
+            *df.columns,
+            "n_grams",
+            "n_distinct",
+            F.round(
+                F.lit(1) - F.col("n_distinct") / F.col("n_grams"), 4
+            ).alias("rep_ratio"),
+        )
     )
 
 

@@ -1,0 +1,111 @@
+"""Plan-shape regression guards: the scale-critical physical-plan
+properties docs/SCALE.md claims, asserted so a refactor can't
+silently lose them. Plans are inspected at sf0.001 — plan SHAPE is
+data-size independent for these checks (pushdown, broadcast
+strategy, absence of cartesian products), which is exactly why they
+can gate at fixture scale."""
+
+import pytest
+
+from cr_data_pipeline_project_spark.plans import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name):
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# Queries allowed to contain a nested-loop join: scalar-subquery
+# denominators (1-row broadcast) and the point-in-interval range
+# join (broadcast O(100)-row interval dim).
+NESTED_LOOP_OK = {
+    "q02_brand_usage_wins",
+    "q04_recent_rankings_top100",
+    "q15_range_join_season",
+    "q22_priority_share",
+    "q55_curation_pipeline",
+    "q56_asof_join",
+    "q74_kmeans_ivf_topk",  # k×dim centroid literal cross
+    "q77_cluster_centroid_sums",
+    "q42_ann_ivf_topk",  # nprobe probe set vs centroids
+    "q36_ann_bruteforce_topk",  # broadcast query set by contract
+    "q37_embedding_neardup",  # block-combo equi-join only
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",
+        "q02_brand_usage_wins",
+        "q10_semi_join_kept_keys",
+        "q31_dedup_exact_groups",
+        "q33_ngram_jaccard_pairs",
+        "q34_minhash_lsh_pairs",
+        "q35_simhash_pairs",
+        "q66_dedup_clusters",
+        "q75_tfidf_top_terms",
+        "q76_winnow_fingerprints",
+    ],
+)
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q10's equality filter must reach the parquet scan as a pushed
+    filter, not evaluate post-scan only."""
+    f = _formatted(spark, "q10_semi_join_kept_keys")
+    assert "PushedFilters: [" in f
+    pushed = [
+        line
+        for line in f.splitlines()
+        if "PushedFilters" in line and "[]" not in line
+    ]
+    assert pushed, "no non-empty PushedFilters in q10 plan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q01 reads a projection of lineitem, never the full row."""
+    f = _formatted(spark, "q01_pricing_summary")
+    read_schemas = [
+        line for line in f.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas
+    # the full table has 11+ columns; the query needs 7
+    assert all(line.count(",") <= 8 for line in read_schemas)
+
+
+def test_dim_join_broadcasts(spark):
+    """q02's dim joins must be broadcast, with no shuffle of the
+    fact side for the join itself."""
+    plan = _plan(spark, "q02_brand_usage_wins")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_bucket_pairing_single_aggregate_shuffle(spark):
+    """The LSH candidate stage must not contain a shuffle-heavy
+    window or self-join over the exploded index: no Window node and
+    no SortMergeJoin before the verify joins' input."""
+    plan = _plan(spark, "q34_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # bucket sizing is an aggregate now
+
+
+def test_exact_profile_no_expand(spark):
+    """q50's multi-distinct profiler must keep the single-distinct
+    per-column shape (no Expand ×N row replication)."""
+    plan = _plan(spark, "q50_column_profile")
+    assert "Expand" not in plan

@@ -157,3 +157,23 @@ def test_winnow_short_doc_single_fingerprint(spark):
     rows = winnow_fingerprints(docs, "text", "doc_id").collect()
     assert len(rows) == 2
     assert len({r["fp"] for r in rows}) == 1  # identical short docs agree
+
+
+def test_simhash_engines_agree(spark, sf_dir):
+    """The Arrow and expression SimHash engines must be bit-identical
+    (integer arithmetic end-to-end in both)."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    docs = table(spark, "documents", sf_dir).limit(300)
+    a = {
+        r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in simhash_signatures(docs, "text", "doc_id", engine="arrow").collect()
+    }
+    b = {
+        r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in simhash_signatures(docs, "text", "doc_id", engine="expr").collect()
+    }
+    assert a == b and len(a) == 300

@@ -62,6 +62,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     _warn_regressions(times)
+    _append_history(times, total)
     print(
         json.dumps(
             {
@@ -76,30 +77,65 @@ def main() -> None:
     spark.stop()
 
 
+_HISTORY = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_history.jsonl"
+)
+
+
+def _append_history(times: dict[str, float], total: float) -> None:
+    """Append this run to the local history file (the driver's
+    BENCH_r*.json wrapper truncates per-query numbers, so the warner
+    keeps its own full record)."""
+    try:
+        with open(_HISTORY, "a") as f:
+            f.write(
+                json.dumps({"sf": _sf_from_dir(SF_DIR), "total": total, "queries": times})
+                + "\n"
+            )
+    except OSError:
+        pass
+
+
 def _warn_regressions(times: dict[str, float], factor: float = 1.5) -> None:
-    """Diff against the most recent BENCH_r*.json in the repo root;
-    warn (stderr, never the JSON line) for queries ≥ ``factor``×
-    slower than the previous round."""
+    """Diff against the most recent same-sf run in the local history
+    (fallback: the most recent driver BENCH_r*.json, whose format may
+    omit per-query numbers); warn (stderr, never the JSON line) for
+    queries ≥ ``factor``× slower."""
     import glob
     import re
 
-    benches = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not benches:
-        return
+    prev: dict[str, float] = {}
+    src = None
     try:
-        with open(benches[-1]) as f:
-            prev = json.load(f).get("queries", {})
+        with open(_HISTORY) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("sf") == _sf_from_dir(SF_DIR) and rec.get("queries"):
+                    prev, src = rec["queries"], os.path.basename(_HISTORY)
     except (OSError, ValueError):
-        return
+        pass
+    if not prev:
+        benches = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+        if not benches:
+            return
+        try:
+            with open(benches[-1]) as f:
+                rec = json.load(f)
+            if rec.get("sf") != _sf_from_dir(SF_DIR):
+                return  # different scale factor — not comparable
+            prev = rec.get("queries", {})
+            src = os.path.basename(benches[-1])
+        except (OSError, ValueError):
+            return
     for name, t in sorted(times.items()):
         p = prev.get(name)
         if p and p > 0.05 and t > factor * p:
             print(
                 f"WARN bench regression {name}: {t:.3f}s vs {p:.3f}s "
-                f"in {os.path.basename(benches[-1])} ({t / p:.2f}x)",
+                f"in {src} ({t / p:.2f}x)",
                 file=sys.stderr,
             )
 

@@ -1185,3 +1185,56 @@ def q77_cluster_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("x"), 6).cast("double").alias("s"),
         )
     )
+
+
+@q("q78_multimodal_features")  # rows-only: the decode kernel is a
+# deterministic Python fake (FNV fold over payload bytes) with no
+# SQL twin; the Spark-side plumbing (Arrow batches, binary columns,
+# output schema) is what the query attests.
+def q78_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction over binary payloads
+    (text bytes stand in for media blobs — the sandbox has no decode
+    libs, multimodal.py:50 documents the stub). Exercises the full
+    mapInPandas path: binary column in, typed feature vector out."""
+    docs = table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    out = multimodal.extract_features(media, dim=8)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "payload_md5",
+        F.size("feat").alias("feat_dim"),
+    )
+
+
+@q(
+    "q79_frame_sample_plan",
+    """
+    SELECT doc_id AS media_id, t.f * 1000 AS frame_ts_ms
+    FROM (SELECT doc_id, least((n_chars * 10) // 1000 + 1, 32) AS nf
+          FROM documents) d,
+    unnest(range(d.nf)) AS t(f)
+    """,
+)
+def q79_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts) to
+    decode — the shuffle-free explode that spreads per-frame work
+    across the cluster (synthetic duration = n_chars × 10 ms). The
+    plan is pure integer arithmetic, so the oracle checks it exactly;
+    the per-frame decode is the stubbed kernel."""
+    docs = table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    plan = multimodal.frame_sample_plan(media, every_ms=1000, max_frames=32)
+    return plan.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )

@@ -1238,3 +1238,42 @@ def q79_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+@q(
+    "q80_per_source_dup_stats",
+    """
+    WITH h AS (
+        SELECT source, md5(text) AS ch, COUNT(*) OVER (PARTITION BY md5(text)) AS cnt
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_in_dup_groups,
+           ROUND(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS dup_rate
+    FROM h GROUP BY source
+    """,
+)
+def q80_per_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation telemetry: per-source exact-duplicate exposure (how
+    much of each source sits in a >1-member content group) — the
+    first dashboard a corpus owner asks for. Duplicate groups span
+    sources, so the content-hash count is global (one window over the
+    hash) and the rollup groups by source."""
+    docs = table(spark, "documents", sf_dir)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    h = docs.select(
+        "source", F.count(F.lit(1)).over(w).alias("cnt")
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+            "n_in_dup_groups"
+        ),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_rate"),
+    )

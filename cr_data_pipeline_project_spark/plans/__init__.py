@@ -49,6 +49,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q53_group_zscore",
     "q24_merge_upsert",
     "q25_insert_if_absent",
+    "q26_cascade_delete",
     "q31_dedup_exact_groups",
     "q32_dedup_fingerprint_keep",
     "q38_text_quality",

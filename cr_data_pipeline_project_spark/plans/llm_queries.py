@@ -1277,3 +1277,71 @@ def q80_per_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+@q(
+    "q81_event_funnel",
+    """
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN f USING (user_id)
+        WHERE e.event_type = 'click' AND f.t_view IS NOT NULL
+              AND e.ts >= f.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT COUNT(f.t_view)::BIGINT AS n_view,
+           COUNT(c.t_click)::BIGINT AS n_click_after_view,
+           COUNT(p.t_purchase)::BIGINT AS n_purchase_after_click
+    FROM f LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q81_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users who viewed, then clicked at-or-after
+    the first view, then purchased at-or-after that first click —
+    the ordered-step conversion count every event pipeline reports.
+
+    One pass per step keyed on user_id: each stage is a groupBy-min
+    over the events of one type joined against the previous stage's
+    first-timestamps (broadcast-sized: ≤ one row per user). No
+    window over the full event stream, no per-user sort — the shape
+    scales as rounds of partial-aggregated min-joins."""
+    ev = table(spark, "events", sf_dir)
+    f = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(f, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        f.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )

@@ -516,7 +516,10 @@ def simhash_pairs(
     and candidate volume explodes quadratically; the 65536-value
     pair keys cut candidates by ~2 orders of magnitude at any corpus
     size, for 28/8 = 3.5× the exploded index rows. This is the
-    standard multi-index Hamming-search layout."""
+    standard multi-index Hamming-search layout (Norouzi, Punjani &
+    Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+    CVPR 2012); the signature itself is Charikar's SimHash (STOC
+    2002)."""
     assert max_hamming <= 6, (
         "chunk-pair pigeonhole (2 of 8 intact) guarantees recall only to 6"
     )
@@ -587,8 +590,10 @@ def winnow_fingerprints(
     k: int = 5,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing document fingerprints (the rolling-hash selection
-    scheme used by plagiarism/near-dup detectors): hash every word
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the rolling-hash selection scheme used by
+    plagiarism/near-dup detectors): hash every word
     k-gram, slide a ``window`` over consecutive k-gram hashes, keep
     the minimum of each window, dedupe. Guarantees every match of
     length ≥ k+window-1 tokens shares a fingerprint, while storing

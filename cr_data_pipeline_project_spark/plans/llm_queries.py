@@ -1345,3 +1345,39 @@ def q81_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").alias("n_purchase_after_click"),
         )
     )
+
+
+@q(
+    "q82_rolling_daily_events",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               (CAST(ts AS DATE) - DATE '1970-01-01') AS day_num,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+           SUM(n_events) OVER (ORDER BY day_num
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS rolling_7d
+    FROM daily
+    """,
+)
+def q82_rolling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day event volume by day — the sliding time-series
+    rollup every activity dashboard needs. Both engines order the
+    range frame on integer days-since-epoch, so the frame edges are
+    exact. The unpartitioned window runs on the DAILY rollup (one
+    row per day — bounded), never the raw stream; at 100 TB the raw
+    aggregation is the usual partial-combined groupBy and only the
+    tiny daily table passes through the global window."""
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.sum("n_events").over(w).alias("rolling_7d"),
+    )

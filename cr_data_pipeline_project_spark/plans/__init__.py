@@ -51,6 +51,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q25_insert_if_absent",
     "q26_cascade_delete",
     "q28_tumbling_window",
+    "q29_sessionization",
     "q31_dedup_exact_groups",
     "q32_dedup_fingerprint_keep",
     "q38_text_quality",

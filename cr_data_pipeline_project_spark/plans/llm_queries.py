@@ -1381,3 +1381,62 @@ def q82_rolling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.sum("n_events").over(w).alias("rolling_7d"),
     )
+
+
+@q(
+    "q83_cross_source_leakage",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+          AND da.source <> db.source
+    """,
+)
+def q83_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: NEAR-duplicate pairs whose two
+    documents come from different sources — the leakage a
+    training-data pipeline must catch before a benchmark split ships
+    (near-)verbatim inside the training set. Same inverted-index
+    Jaccard machinery as q33; the source attribution joins attach to
+    the (tiny) verified pair set, never the corpus."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.7
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("source_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("source_b"),
+            ),
+            "doc_b",
+        )
+        .where(F.col("source_a") != F.col("source_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "source_a",
+            "source_b",
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )

@@ -645,3 +645,169 @@ def winnow_fingerprints(
         .select(F.col(id_col), "fp")
         .distinct()
     )
+
+
+# ------------------------------------------------------------------ #
+# incremental near-dup (new batch vs persisted index)                 #
+# ------------------------------------------------------------------ #
+
+
+def build_neardup_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Materializable near-dup index for incremental ingestion: one
+    row per document with its LSH band hashes AND its shingle set.
+    Write this to the lake (`Lake.overwrite('neardup_index', ...)`)
+    once per corpus snapshot; each incoming batch probes it with
+    :func:`incremental_neardup_pairs` — the reference's incremental
+    anti-join gate (etl_pipeline_script.py:128-133) generalized from
+    exact keys to near-duplicates.
+
+    Returns (id, bands array<bigint>[bands], shingles array<string>).
+    At 100 TB write it bucketed by a band hash prefix so batch probes
+    prune partitions instead of scanning the full index."""
+    rows_per_band = num_hashes // bands
+    sh = shingle_set(df, text_col, id_col, n).persist()
+    try:
+        sigs = minhash_signatures(
+            df, text_col, id_col, n, num_hashes, seed, shingles=sh
+        )
+        band_arr = F.array(
+            *[
+                F.xxhash64(
+                    *[
+                        F.col("sig")[j * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
+                )
+                for j in range(bands)
+            ]
+        )
+        sets_ = sh.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("shingles")
+        )
+        return (
+            sigs.select(F.col(id_col), band_arr.alias("bands"))
+            .join(sets_, id_col)
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist(blocking=False)
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs between an incoming batch and an existing
+    corpus index (built by :func:`build_neardup_index`) — the
+    incremental flow: a batch is typically orders of magnitude
+    smaller than the corpus, so this probes the index instead of
+    re-pairing the whole corpus.
+
+    Returns (new_id, index_id, jaccard) with jaccard ≥ ``threshold``.
+
+    Plan: the batch's band hashes join the index's exploded bands on
+    (band_idx, band_hash) — ids only, a one-sided bucket probe (no
+    corpus self-pairing, no batch self-pairing); verified candidates
+    fetch both shingle arrays and intersect in-row. Shuffle volume
+    ∝ batch size + matched index rows, never corpus size. The
+    ``max_bucket`` guard drops degenerate boilerplate buckets on the
+    index side, same as the batch LSH path."""
+    idx_bands = index.select(
+        F.col(id_col).alias("index_id"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    # degenerate-bucket guard on the index side (the corpus is the
+    # unbounded party): drop band buckets beyond max_bucket members
+    hot = (
+        idx_bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .select("band_idx", "band_hash")
+    )
+    idx_bands = idx_bands.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+    )
+
+    rows_per_band = num_hashes // bands
+    new_sh = shingle_set(new_docs, text_col, id_col, n).persist()
+    try:
+        new_sigs = minhash_signatures(
+            new_docs, text_col, id_col, n, num_hashes, seed, shingles=new_sh
+        )
+        new_bands = new_sigs.select(
+            F.col(id_col).alias("new_id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[j * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+        cand = (
+            new_bands.join(idx_bands, ["band_idx", "band_hash"])
+            .where(F.col("new_id") != F.col("index_id"))
+            .select("new_id", "index_id")
+            .distinct()
+        )
+        new_sets = new_sh.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("__sh_new")
+        )
+        verified = (
+            cand.join(
+                new_sets.select(
+                    F.col(id_col).alias("new_id"), "__sh_new"
+                ),
+                "new_id",
+            )
+            .join(
+                index.select(
+                    F.col(id_col).alias("index_id"),
+                    F.col("shingles").alias("__sh_idx"),
+                ),
+                "index_id",
+            )
+            .withColumn(
+                "__c",
+                F.size(F.array_intersect(F.col("__sh_new"), F.col("__sh_idx"))),
+            )
+            .select(
+                "new_id",
+                "index_id",
+                (
+                    F.col("__c")
+                    / (
+                        F.size("__sh_new")
+                        + F.size("__sh_idx")
+                        - F.col("__c")
+                    )
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint()
+        )
+        return verified
+    finally:
+        new_sh.unpersist(blocking=False)

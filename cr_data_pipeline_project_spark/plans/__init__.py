@@ -52,6 +52,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q26_cascade_delete",
     "q28_tumbling_window",
     "q29_sessionization",
+    "q15_range_join_season",
     "q31_dedup_exact_groups",
     "q32_dedup_fingerprint_keep",
     "q38_text_quality",

@@ -1440,3 +1440,44 @@ def q83_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
+
+
+@q(
+    "q84_incremental_neardup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS index_id, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id >= 450 AND b.doc_id < 450
+        GROUP BY 1, 2
+    )
+    SELECT new_id, index_id,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = new_id
+    JOIN sizes sb ON sb.doc_id = index_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+    """,
+)
+def q84_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion near-dup gate: the newest batch of
+    documents (doc_id ≥ 450 stands in for an arriving batch) probed
+    against the persisted corpus index — the reference's incremental
+    anti-join gate (etl_pipeline_script.py:128-133) generalized from
+    exact keys to near-duplicates, and the flow a continuously-
+    ingesting training-data pipeline actually runs: batch ≪ corpus,
+    so only the batch's bands probe the index; corpus never
+    self-pairs. Recall is the same provable ≈1 LSH banding bound as
+    q34, so the exact-Jaccard oracle matches."""
+    docs = table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") < 450)
+    new = docs.where(F.col("doc_id") >= 450)
+    index = dedup.build_neardup_index(old, "text", "doc_id")
+    pairs = dedup.incremental_neardup_pairs(
+        new, index, "text", "doc_id", threshold=0.7
+    )
+    return pairs.select(
+        "new_id", "index_id", F.round("jaccard", 4).alias("jaccard")
+    )

@@ -177,3 +177,47 @@ def test_simhash_engines_agree(spark, sf_dir):
         for r in simhash_signatures(docs, "text", "doc_id", engine="expr").collect()
     }
     assert a == b and len(a) == 300
+
+
+def test_incremental_neardup_lifecycle(spark, tmp_path):
+    """Index a corpus snapshot into a lake table, probe an arriving
+    batch, catch the planted near-dup, and verify the probe touches
+    only new-vs-index pairs (no corpus self-pairing)."""
+    import os
+
+    from cr_data_pipeline_project_spark import pipeline
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, " ".join(f"other{i}" for i in range(40))),
+            # two exact dups ALREADY in the corpus: must NOT appear in
+            # the incremental result (old-vs-old is the batch path's job)
+            (3, " ".join(f"dup{i}" for i in range(40))),
+            (4, " ".join(f"dup{i}" for i in range(40))),
+        ],
+        "doc_id int, text string",
+    )
+    lake = pipeline.Lake(spark, os.path.join(str(tmp_path), "lake"))
+    idx = build_neardup_index(corpus, "text", "doc_id")
+    # persist + reload through the lake like a real deployment
+    idx.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "idx"))
+    idx = spark.read.parquet(os.path.join(str(tmp_path), "idx"))
+
+    batch = spark.createDataFrame(
+        [
+            (100, base + " extra"),  # near-dup of doc 1
+            (101, " ".join(f"fresh{i}" for i in range(40))),
+        ],
+        "doc_id int, text string",
+    )
+    got = incremental_neardup_pairs(
+        batch, idx, "text", "doc_id", threshold=0.7
+    ).collect()
+    assert {(r["new_id"], r["index_id"]) for r in got} == {(100, 1)}
+    assert all(r["jaccard"] >= 0.7 for r in got)

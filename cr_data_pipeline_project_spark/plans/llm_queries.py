@@ -1470,7 +1470,11 @@ def q84_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingesting training-data pipeline actually runs: batch ≪ corpus,
     so only the batch's bands probe the index; corpus never
     self-pairs. Recall is the same provable ≈1 LSH banding bound as
-    q34, so the exact-Jaccard oracle matches."""
+    q34, so the exact-Jaccard oracle matches. (The benchmark cost of
+    this query is dominated by the one-off index BUILD, re-run every
+    invocation by construction; deployed, the index is a lake table
+    amortized across every arriving batch and the probe itself is
+    the only per-batch cost.)"""
     docs = table(spark, "documents", sf_dir)
     old = docs.where(F.col("doc_id") < 450)
     new = docs.where(F.col("doc_id") >= 450)

@@ -204,3 +204,96 @@ def stream_static_enrichment(
             "(right/full would need unbounded stream-side state)"
         )
     return events.join(dim, on=key_col, how=how)
+
+
+def streaming_neardup_ingest(
+    stream_docs: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    dup_log_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+):
+    """Continuously-ingesting corpus curation: per micro-batch,
+    near-dup-probe the persisted index, quarantine duplicates, land
+    accepted documents AND their index rows, log the dup pairs.
+
+    The streaming fusion of the reference's incremental anti-join
+    gate (etl_pipeline_script.py:128-133) with the LLM-pipeline
+    near-dup machinery (operators/dedup.py): the index a batch
+    probes is exactly what previous batches appended, so the corpus
+    stays near-dup-free as it grows.
+
+    Per batch (all bounded by batch size, never corpus size):
+    1. within-batch LSH pairs → keep the min-id side of each pair;
+    2. survivors probe the index (`incremental_neardup_pairs`);
+    3. accepted = survivors minus index-matched minus already-landed
+       ids (the id anti-join makes batch REPLAY idempotent — Spark
+       may re-run a foreachBatch after a crash);
+    4. accepted docs append to the corpus, their index rows append
+       to the index, dup pairs append to the quarantine log.
+
+    Returns the started StreamingQuery (availableNow-compatible)."""
+    from ..operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()
+        if batch.isEmpty():
+            return
+        # 1. within-batch near-dups: drop the larger id of each pair
+        intra = minhash_lsh_pairs(
+            batch, text_col, id_col, threshold=threshold
+        )
+        batch = batch.join(
+            intra.select(F.col("doc_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        # 2. probe the persisted index
+        try:
+            idx = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            dups = incremental_neardup_pairs(
+                batch, idx, text_col, id_col, threshold=threshold
+            )
+            batch = batch.join(
+                dups.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            (
+                dups.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(dup_log_path)
+            )
+        # 3. replay idempotency: skip ids already landed
+        try:
+            landed = spark.read.parquet(accepted_path).select(id_col)
+            batch = batch.join(landed, id_col, "left_anti")
+        except Exception:
+            pass
+        batch = batch.localCheckpoint()
+        if batch.isEmpty():
+            return
+        # 4. land docs + index rows
+        batch.write.mode("append").parquet(accepted_path)
+        build_neardup_index(batch, text_col, id_col).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -233,3 +233,54 @@ def test_stream_static_enrichment(spark, tmp_path):
             spark.read.parquet(dim_dir),
             how="full",
         )
+
+
+def test_streaming_neardup_ingest(spark, tmp_path):
+    """Two micro-batches through the curation ingest: within-batch
+    near-dups collapse, cross-batch near-dups quarantine against the
+    growing index, fresh docs land with their index rows."""
+    import json
+
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_neardup_ingest,
+    )
+
+    src = os.path.join(str(tmp_path), "docs_in")
+    idx = os.path.join(str(tmp_path), "nd_index")
+    acc = os.path.join(str(tmp_path), "accepted")
+    dup = os.path.join(str(tmp_path), "dup_log")
+    ckpt = os.path.join(str(tmp_path), "ckpt_nd")
+    os.makedirs(src)
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"oth{i}" for i in range(40))
+    fresh = " ".join(f"new{i}" for i in range(40))
+
+    def run_batch():
+        with few_partitions(spark):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).json(src)
+            q = streaming_neardup_ingest(stream, idx, acc, dup, ckpt)
+            q.awaitTermination(180)
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": other}) + "\n")
+    run_batch()
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {1, 2}
+
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        # near-dup of doc 1 (cross-batch), a fresh doc, and a
+        # within-batch near-dup of that fresh doc
+        f.write(json.dumps({"doc_id": 10, "text": base + " tail"}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": fresh}) + "\n")
+        f.write(json.dumps({"doc_id": 12, "text": fresh + " x"}) + "\n")
+    run_batch()
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert accepted == {1, 2, 11}  # 10 quarantined, 12 collapsed in-batch
+    dups = {(r["new_id"], r["index_id"]) for r in spark.read.parquet(dup).collect()}
+    assert (10, 1) in dups
+    # the index grew by exactly the accepted docs
+    assert {r["doc_id"] for r in spark.read.parquet(idx).collect()} == {1, 2, 11}

@@ -34,42 +34,41 @@ GATE_SLOTS = 50
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation at least
-# every other round: round 3 brings back everything parked since
-# round 1/2 (q03, q05-q08, q11-q14, q16-q19, q21, q27, q59, q60)
-# and parks the curation/text family that was driver-green in
-# CORRECTNESS_r02 — all of which stay covered every round by
-# tests/test_oracle_parity.py and tools/check_oracle.py, which run
-# the FULL surface.
+# every other round: round 4 brings back the 26 queries parked
+# during round 3 (text/curation analytics, mutations, streaming
+# batch twins — all driver-green in CORRECTNESS_r02) and parks the
+# 26 freshly r03-attested ones below — all of which stay covered
+# every round by tests/test_oracle_parity.py and
+# tools/check_oracle.py, which run the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
-    # parked round 3 (driver-green in r02): text/curation analytics
-    # + q45/q22/q53, displaced when the new oracled q75/q76/q77
-    # took their slots
-    "q45_nested_flatten",
-    "q22_priority_share",
-    "q53_group_zscore",
-    "q24_merge_upsert",
-    "q25_insert_if_absent",
-    "q26_cascade_delete",
-    "q28_tumbling_window",
-    "q29_sessionization",
-    "q15_range_join_season",
-    "q31_dedup_exact_groups",
-    "q32_dedup_fingerprint_keep",
-    "q38_text_quality",
-    "q39_lang_id",
-    "q40_token_count",
-    "q41_fingerprint",
-    "q43_multimodal_meta",
-    "q52_hash_split",
-    "q55_curation_pipeline",
-    "q57_dataset_mixing",
-    "q61_repetition_ratio",
-    "q62_pii_redaction",
-    "q63_stratified_sample",
-    "q64_sequence_packing",
-    "q67_event_pivot",
-    "q68_audience_setops",
-    "q70_term_doc_freq",
+    # parked round 4 (driver-green in r03): scalar/projection
+    # reference queries + the round-3 additions q75-q77/q79-q84
+    "q03_player_win_rate",
+    "q05_player_clan_view",
+    "q06_distinct_single",
+    "q07_dedup_by_key",
+    "q08_dedup_composite_count",
+    "q11_union_dedup",
+    "q12_key_synthesis",
+    "q13_ts_parse_strict",
+    "q14_url_encode",
+    "q16_element_at_default",
+    "q17_json_extract",
+    "q18_null_mask_fill",
+    "q19_case_round",
+    "q21_multikey_sort",
+    "q27_season_calendar",
+    "q59_last_completed_seasons",
+    "q60_current_plus_seasons",
+    "q75_tfidf_top_terms",
+    "q76_winnow_fingerprints",
+    "q77_cluster_centroid_sums",
+    "q79_frame_sample_plan",
+    "q80_per_source_dup_stats",
+    "q81_event_funnel",
+    "q82_rolling_daily_events",
+    "q83_cross_source_leakage",
+    "q84_incremental_neardup",
 )
 
 

@@ -27,23 +27,42 @@ def test_gate_window_is_all_oracled():
 
 def test_only_driver_attested_queries_parked():
     """Rotation policy (round-2 verdict): the overflow set must hold
-    only queries the driver itself attested green in the most recent
-    round — parking a never- or red-attested query would hide it
-    from the hard signal indefinitely."""
+    only queries the driver itself attested green in a past round —
+    parking a never- or red-attested query would hide it from the
+    hard signal indefinitely.
+
+    Each driver CORRECTNESS file contains only the queries that were
+    inside the gate window THAT round, so a parked query is resolved
+    against the most recent file that *contains* it (round-3 verdict,
+    "What's wrong #1") — checking only the latest file would turn the
+    suite red every time the driver emits a new file.
+    """
     benches = sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
     )
     if not benches:
         return  # round 1: no driver record yet
-    with open(benches[-1]) as f:
-        latest = json.load(f)
-    bad = [
-        n
-        for n in GATE_OVERFLOW
-        if not latest.get(n, {}).get("hash_match")
-    ]
-    assert not bad, f"parked without a driver-green row in {benches[-1]}: {bad}"
+    records = []
+    for path in benches:
+        with open(path) as f:
+            records.append((path, json.load(f)))
+
+    def latest_row(name):
+        for path, rec in records:
+            if name in rec:
+                return path, rec[name]
+        return None, None
+
+    bad = []
+    for n in GATE_OVERFLOW:
+        path, row = latest_row(n)
+        if row is None:
+            bad.append(f"{n} (no driver row in any CORRECTNESS file)")
+        elif not row.get("hash_match"):
+            bad.append(f"{n} (not green in {os.path.basename(path)})")
+    assert not bad, f"parked without a driver-green row: {bad}"
 
 
 def test_rows_only_registered_last():

@@ -228,68 +228,37 @@ def streaming_neardup_ingest(
 
     Per batch (all bounded by batch size, never corpus size):
     1. within-batch LSH pairs → keep the min-id side of each pair;
-    2. survivors probe the index (`incremental_neardup_pairs`);
-    3. accepted = survivors minus index-matched minus already-landed
-       ids (the id anti-join makes batch REPLAY idempotent — Spark
-       may re-run a foreachBatch after a crash);
-    4. accepted docs append to the corpus, their index rows append
-       to the index, dup pairs append to the quarantine log.
+    2. survivors probe the index (`incremental_neardup_pairs`); dup
+       pairs land in a per-batch partition of the quarantine log
+       (dynamic partition overwrite → a foreachBatch REPLAY rewrites
+       its own partition instead of double-appending);
+    3. accepted docs append to the corpus and their index rows append
+       to the index — two non-atomic writes, so each is guarded by an
+       anti-join against its OWN sink's landed ids: a batch that
+       crashed between the writes completes only the missing one on
+       replay (safe because the index probe excludes self-pairs, so a
+       doc whose index rows landed first is not re-quarantined).
+
+    Failure posture: ONLY a missing path skips a read (first batch).
+    Any other read failure — IO error, corrupt footer, permissions —
+    aborts the batch; swallowing it would silently disable the
+    near-dup gate (duplicates land) or the replay-idempotency gate
+    (double-ingest on retry). Same rationale as
+    :func:`streaming_match_load`'s anti-join gate above.
 
     Returns the started StreamingQuery (availableNow-compatible)."""
-    from ..operators.dedup import (
-        build_neardup_index,
-        incremental_neardup_pairs,
-        minhash_lsh_pairs,
-    )
 
     def handle(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint()
-        if batch.isEmpty():
-            return
-        # 1. within-batch near-dups: drop the larger id of each pair
-        intra = minhash_lsh_pairs(
-            batch, text_col, id_col, threshold=threshold
+        neardup_ingest_batch(
+            batch_df,
+            batch_id,
+            index_path=index_path,
+            accepted_path=accepted_path,
+            dup_log_path=dup_log_path,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
         )
-        batch = batch.join(
-            intra.select(F.col("doc_b").alias(id_col)).distinct(),
-            id_col,
-            "left_anti",
-        )
-        # 2. probe the persisted index
-        try:
-            idx = spark.read.parquet(index_path)
-            have_index = True
-        except Exception:
-            have_index = False
-        if have_index:
-            dups = incremental_neardup_pairs(
-                batch, idx, text_col, id_col, threshold=threshold
-            )
-            batch = batch.join(
-                dups.select(F.col("new_id").alias(id_col)).distinct(),
-                id_col,
-                "left_anti",
-            )
-            (
-                dups.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(dup_log_path)
-            )
-        # 3. replay idempotency: skip ids already landed
-        try:
-            landed = spark.read.parquet(accepted_path).select(id_col)
-            batch = batch.join(landed, id_col, "left_anti")
-        except Exception:
-            pass
-        batch = batch.localCheckpoint()
-        if batch.isEmpty():
-            return
-        # 4. land docs + index rows
-        batch.write.mode("append").parquet(accepted_path)
-        build_neardup_index(batch, text_col, id_col).write.mode(
-            "append"
-        ).parquet(index_path)
 
     return (
         stream_docs.writeStream.foreachBatch(handle)
@@ -297,3 +266,99 @@ def streaming_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_path: str,
+    accepted_path: str,
+    dup_log_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> None:
+    """One micro-batch of :func:`streaming_neardup_ingest`, exposed
+    at module level so replay/crash scenarios are directly testable
+    (foreachBatch may re-invoke this with the same ``batch_id`` after
+    a crash — every write below is idempotent under that replay)."""
+    from ..operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    spark = batch_df.sparkSession
+
+    def read_if_present(path: str) -> DataFrame | None:
+        """None ONLY for a path that does not exist yet; every other
+        failure (IO error, corrupt footer, permissions) propagates
+        and fails the batch — a swallowed read error here disables a
+        correctness gate (duplicates land / double-ingest on retry),
+        not an optimization."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return None
+            raise
+
+    batch = batch_df.localCheckpoint()
+    if batch.isEmpty():
+        return
+    # 1. within-batch near-dups: drop the larger id of each pair
+    intra = minhash_lsh_pairs(batch, text_col, id_col, threshold=threshold)
+    batch = batch.join(
+        intra.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    # 2. probe the persisted index; quarantine matched dup pairs in a
+    # per-batch partition (dynamic overwrite → replay rewrites its own
+    # partition instead of double-appending quarantine entries)
+    idx = read_if_present(index_path)
+    if idx is not None:
+        dups = incremental_neardup_pairs(
+            batch, idx, text_col, id_col, threshold=threshold
+        )
+        batch = batch.join(
+            dups.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        (
+            dups.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dup_log_path)
+        )
+    batch = batch.localCheckpoint()
+    if batch.isEmpty():
+        return
+    # 3. land docs + index rows: two non-atomic writes, each guarded
+    # by an anti-join against its OWN sink's landed ids, so a batch
+    # that crashed between them completes only the missing write on
+    # replay (a doc whose rows already landed in one sink is skipped
+    # there and written to the other; the index probe's self-pair
+    # exclusion keeps such a doc from being re-quarantined).
+    landed = read_if_present(accepted_path)
+    to_corpus = (
+        batch
+        if landed is None
+        else batch.join(landed.select(id_col), id_col, "left_anti")
+    )
+    if not to_corpus.isEmpty():
+        to_corpus.write.mode("append").parquet(accepted_path)
+    to_index = (
+        batch
+        if idx is None
+        else batch.join(idx.select(id_col), id_col, "left_anti")
+    )
+    if not to_index.isEmpty():
+        build_neardup_index(to_index, text_col, id_col).write.mode(
+            "append"
+        ).parquet(index_path)

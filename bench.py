@@ -44,13 +44,15 @@ def main() -> None:
     warm = qs["q01_pricing_summary"](spark, SF_DIR)
     run_query(warm)
 
-    # two measured runs per query, report the min: steady-state
+    # three measured runs per query, report the min: steady-state
     # compute time (what a resident cluster sees), not first-run
-    # codegen/file-listing noise.
+    # codegen/file-listing noise nor driver-host contention spikes
+    # (round-3 verdict: 2 runs let one noisy host window manufacture
+    # 3× outliers on trivial plans).
     times: dict[str, float] = {}
     for name in sorted(qs):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # Builder invocation is INSIDE the timed window: iterative
             # operators (q66 connected components) run actions while
             # building, and that compute is part of the query.

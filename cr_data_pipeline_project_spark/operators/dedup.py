@@ -95,11 +95,17 @@ def shingle_set(
     # aggregate downstream needs, so that one doc-sized shuffle
     # replaces two shingle-sized ones. (The by-shingle inverted
     # index reshuffles either way.)
+    # The partition count is EXPLICIT: a bare repartition(col) is a
+    # coalescible shuffle that AQE collapses back to the input's
+    # partition count when the doc rows are few bytes — one partition
+    # for a single-file fixture, serializing the whole explode
+    # (measured: repartition(col) → 1 partition at sf0.1).
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(
             F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
         )
-        .repartition(F.col(id_col))
+        .repartition(nparts, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles)).alias("shingle"),
@@ -151,6 +157,41 @@ def _jaccard_on_pairs(
     )
 
 
+def _drop_hot_buckets(
+    exploded: DataFrame, bucket_keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Count-prepass skew guard shared by every bucket-pair caller:
+    remove bucket keys with more than ``max_bucket`` member rows
+    BEFORE any ``collect_set`` buffers them.
+
+    Without this, a pathological bucket (one boilerplate shingle /
+    band shared by 10⁷ documents at corpus scale) would buffer its
+    full id array in one hash-aggregation task's state — which,
+    unlike a sort, cannot spill — before the size filter could drop
+    it.
+
+    Plan shape: repartition on the bucket keys, then a count over a
+    key-partitioned window. The window requires no second exchange
+    (the repartition already satisfies its distribution) and the
+    downstream collect_set groupBy reuses the same partitioning, so
+    the guarded pipeline shuffles the exploded rows exactly once —
+    identical wire volume to the un-guarded shape; the only addition
+    is a partition-local sort, and WindowExec's buffer SPILLS, so
+    even the pathological bucket is disk-bounded, not memory-bounded.
+    (The alternative count-aggregate + broadcast-anti-join prepass —
+    the index-probe path's shape — costs an extra aggregation pass
+    plus a broadcast job per call; measured ~0.7 s per query at
+    fixture scale, so the windowed form is the shared default.)"""
+    nparts = exploded.sparkSession.sparkContext.defaultParallelism
+    part = exploded.repartition(nparts, *[F.col(k) for k in bucket_keys])
+    w = Window.partitionBy(*bucket_keys)
+    return (
+        part.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .where(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+
+
 def _bucket_pairs(
     exploded: DataFrame,
     bucket_keys: list[str],
@@ -165,13 +206,13 @@ def _bucket_pairs(
     vs the window-count + self-join shape: that plan shuffles the
     exploded table three times (bucket-size window, join left, join
     right); this one shuffles it once and generates the O(b²) pairs
-    inside the row, bounded by ``max_bucket``. Buckets larger than
-    the cap are dropped (degenerate-boilerplate skew guard). The
-    collect_set buffers at most the bucket's ids in the aggregation
-    state; a bucket pathologically beyond the cap still buffers
-    before the size filter drops it — at true corpus scale feed this
-    a pre-capped index (count-prepass) if hot buckets can exceed
-    executor memory, which for id-only buckets means >10⁷ members."""
+    inside the row, bounded by ``max_bucket``. Buckets beyond the cap
+    are removed by the :func:`_drop_hot_buckets` count-prepass before
+    the collect_set ever buffers them (every caller's exploded table
+    has one row per (bucket, member), so the row count equals the
+    member-set size); the between() filter is kept as a cheap
+    belt-and-braces invariant."""
+    exploded = _drop_hot_buckets(exploded, bucket_keys, max_bucket)
     buckets = (
         exploded.groupBy(*bucket_keys)
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
@@ -317,7 +358,14 @@ def lsh_candidate_pairs(
     1-(1-j²)³² — ≥ 0.999999999 recall at j ≥ 0.7.
 
     Buckets larger than ``max_bucket`` are dropped (degenerate
-    boilerplate protection — the skew guard at corpus scale)."""
+    boilerplate protection — the skew guard at corpus scale).
+
+    ``sigs`` is localCheckpointed here: the count-prepass inside
+    :func:`_bucket_pairs` scans the exploded band table twice, and
+    the signature aggregate (64 min-aggregates over the shingle
+    explosion) is far too expensive to run twice — the signature
+    table itself is tiny (id + 64 longs per doc) at any scale."""
+    sigs = sigs.localCheckpoint()
     band_cols = [
         F.struct(
             F.lit(j).alias("band_idx"),
@@ -407,11 +455,20 @@ def _simhash_signatures_arrow(
                 toks = text.split(" ")
                 g = max(len(toks) - (n - 1), 1)
                 grams = {" ".join(toks[i : i + n]) for i in range(g)}
-                hx = [
-                    hashlib.md5(s.encode()).hexdigest()[:16] for s in grams
-                ]
-                hi = np.array([int(x[:8], 16) for x in hx], dtype=np.int64)
-                lo = np.array([int(x[8:], 16) for x in hx], dtype=np.int64)
+                # Parse each md5's leading 8 bytes straight from the
+                # binary digest (one frombuffer per doc) — the hex
+                # round-trip (hexdigest + two int(x, 16) per shingle)
+                # measured ~25% of kernel time. Big-endian u4 matches
+                # int(hexdigest[:8], 16) bit-for-bit.
+                dig = b"".join(
+                    hashlib.md5(s.encode()).digest()[:8] for s in grams
+                )
+                halves = (
+                    np.frombuffer(dig, dtype=">u4")
+                    .astype(np.int64)
+                    .reshape(-1, 2)
+                )
+                hi, lo = halves[:, 0], halves[:, 1]
                 nsh = len(grams)
                 sh = ((hi[:, None] >> ks) & 1).sum(0)
                 sl = ((lo[:, None] >> ks) & 1).sum(0)
@@ -423,9 +480,13 @@ def _simhash_signatures_arrow(
             )
 
     id_type = dict(df.dtypes)[id_col]
+    # explicit partition count — see shingle_set: AQE coalesces a
+    # bare repartition(col) of the small doc rows to one partition,
+    # which would serialize the Arrow kernel
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        .repartition(nparts, F.col(id_col))
         .mapInPandas(
             compute,
             schema=f"{id_col} {id_type}, sim_hi long, sim_lo long",
@@ -519,17 +580,23 @@ def simhash_pairs(
     standard multi-index Hamming-search layout (Norouzi, Punjani &
     Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
     CVPR 2012); the signature itself is Charikar's SimHash (STOC
-    2002)."""
+    2002).
+
+    Plan shape: the buckets carry (id, hi, lo) member structs — 24
+    bytes/row instead of 8 — so hamming is computed IN-ROW on each
+    bucket's ordered pairs and the distinct runs over verified
+    near-dup pairs only. That removes the two signature join-backs
+    and the all-candidates distinct of the join-back shape (4
+    shuffles → 2 after the signature step), and drops the sigs
+    materialization barrier: one pipeline, docs → signatures →
+    bucket groupBy → pairs+hamming → distinct. Measured ~2× at
+    fixture scale; strictly fewer shuffles at any scale."""
     assert max_hamming <= 6, (
         "chunk-pair pigeonhole (2 of 8 intact) guarantees recall only to 6"
     )
-    # sigs feed chunk-banding AND both sides of the hamming verify.
-    # localCheckpoint (eager) instead of persist: (a) no CacheManager
-    # leak — the checkpoint RDD is ContextCleaner-managed; (b) lineage
-    # truncation means the three consumers plan against a 3-column
-    # scan instead of each re-deriving (and re-codegen-ing) the
-    # 128-expression bit-sum aggregate — the signature table is tiny
-    # (id + two longs per doc) at any corpus size.
+    # localCheckpoint: the count-prepass below scans the chunk table
+    # twice; materializing the 3-longs-per-doc signature table keeps
+    # the Arrow signature pass single-run.
     sigs = simhash_signatures(df, text_col, id_col, n).localCheckpoint()
     chunk = []
     for c in range(4):
@@ -547,34 +614,45 @@ def simhash_pairs(
         for i in range(8)
         for j in range(i + 1, 8)
     ]
+    member = F.struct(
+        F.col(id_col).alias("id"),
+        F.col("sim_hi").alias("hi"),
+        F.col("sim_lo").alias("lo"),
+    )
     chunks = sigs.select(
-        F.col(id_col), F.explode(F.array(*combo_cols)).alias("c")
-    ).select(id_col, "c.chunk_idx", "c.chunk_val")
-    cand = _bucket_pairs(
-        chunks, ["chunk_idx", "chunk_val"], id_col, max_bucket=100_000
+        member.alias("m"), F.explode(F.array(*combo_cols)).alias("c")
+    ).select("c.chunk_idx", "c.chunk_val", "m")
+    # same skew guard as _bucket_pairs: drop over-cap buckets via the
+    # count-prepass BEFORE collect_set buffers their member structs
+    chunks = _drop_hot_buckets(chunks, ["chunk_idx", "chunk_val"], 100_000)
+    # array_sort on structs orders by the leading field (id), so the
+    # in-row pairing below yields doc_a < doc_b, same as _bucket_pairs
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.array_sort(F.collect_set("m")).alias("__ms"))
+        .where(F.size("__ms").between(2, 100_000))
     )
-    sa = sigs.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("sim_hi").alias("hi_a"),
-        F.col("sim_lo").alias("lo_a"),
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("sim_hi").alias("hi_b"),
-        F.col("sim_lo").alias("lo_b"),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ms"), i + F.lit(2), F.size(F.col("__ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
             (
-                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                F.bit_count(F.col("p.a.hi").bitwiseXOR(F.col("p.b.hi")))
+                + F.bit_count(F.col("p.a.lo").bitwiseXOR(F.col("p.b.lo")))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -610,7 +688,12 @@ def winnow_fingerprints(
     """
     base = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
-    ).repartition(F.col(id_col))
+    ).repartition(
+        # explicit count — AQE coalesces bare repartition(col) of the
+        # compact doc rows to ~1 partition (see shingle_set)
+        df.sparkSession.sparkContext.defaultParallelism,
+        F.col(id_col),
+    )
     tok = base.select(
         F.col(id_col),
         F.posexplode("__toks").alias("__pos", "__tok"),

@@ -290,9 +290,20 @@ def hyperplane_lsh_neardup(
     # dot products per row) are the expensive map side — spread them
     # across cores first, since the input may arrive in very few
     # splits (a single-file table reads as ONE partition).
-    v = df.select(
-        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
-    ).repartition(F.col(id_col))
+    v = (
+        df.select(
+            F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+        )
+        # np.stack below requires a rectangular batch: a null or
+        # wrong-dimension embedding would fail the whole job (the old
+        # expression path degraded gracefully) — drop them up front.
+        .where(F.col("v").isNotNull() & (F.size("v") == dim))
+        # explicit count — AQE coalesces bare repartition(col) to ~1
+        # partition for small row payloads, serializing the GEMM
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    )
     v = v.withColumn("nrm", norm(F.col("v")))
     # The plane projection is a (batch × dim) @ (dim × tables·planes)
     # GEMM — exactly the shape where an Arrow-batched mapInPandas
@@ -336,9 +347,12 @@ def hyperplane_lsh_neardup(
     # AFTER candidate-pair dedup, so each vector's floats cross the
     # wire once per verified pair side, never once per bucket hit.
     id_type = dict(df.dtypes)[id_col]
+    # localCheckpoint: _bucket_pairs' count-prepass scans the bucket
+    # table twice — materialize the (id, table_idx, sig) rows (tiny:
+    # three numbers per vector per table) so the GEMM runs once.
     buckets = v.select("id", "v").mapInPandas(
         sigs, schema=f"id {id_type}, table_idx int, sig long"
-    )
+    ).localCheckpoint()
     from .dedup import _bucket_pairs
 
     cand = _bucket_pairs(

@@ -105,3 +105,23 @@ def test_ivf_recall_reasonable(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.3, recall
+
+
+def test_hyperplane_lsh_skips_malformed_vectors(spark, sf_dir):
+    """A null or wrong-dimension embedding must be dropped, not crash
+    the whole job in np.stack (advisor round 3)."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.similarity import (
+        hyperplane_lsh_neardup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    bad = spark.createDataFrame(
+        [(90001, None), (90002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mixed = emb.select("vec_id", "embedding").unionByName(bad)
+    out = hyperplane_lsh_neardup(mixed).collect()
+    ids = {r["vec_a"] for r in out} | {r["vec_b"] for r in out}
+    assert 90001 not in ids and 90002 not in ids

@@ -1069,6 +1069,43 @@ def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q85_tfidf_float_scores")  # rows-only: ln() ULP divergence across engines
+def q85_tfidf_float_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The practical float-scored TF-IDF twin of q75: per-document
+    top-3 terms by ``tf · ln(N/df)`` — the one-line extension q75's
+    docstring promises. Rows-only by design: ``ln`` ULP behavior
+    differs across engines, so the exact-integer ordering (q75)
+    carries the cross-engine attestation and this variant is gated by
+    a tolerance test (tests/test_llm_queries.py) against an
+    independent pandas recomputation instead.
+
+    Plan shape is identical to q75 (same tf/df aggregates, same
+    broadcast-able df dictionary join, same per-doc window); the only
+    addition is the scalar score projection, so q75's 100 TB notes
+    apply unchanged."""
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a broadcast 1-row aggregate — stays lazy, no
+    # driver-side count at plan-build time
+    n_tbl = docs.agg(F.count_distinct("doc_id").alias("__N"))
+    score = F.col("tf") * F.log(F.col("__N") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df", F.round("score", 6).alias("score"))
+    )
+
+
 @q("q74_kmeans_ivf_topk")  # rows-only: iterative float fit, no SQL twin
 def q74_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over *fitted* centroids: distributed Lloyd's k-means

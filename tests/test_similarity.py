@@ -125,3 +125,38 @@ def test_hyperplane_lsh_skips_malformed_vectors(spark, sf_dir):
     out = hyperplane_lsh_neardup(mixed).collect()
     ids = {r["vec_a"] for r in out} | {r["vec_b"] for r in out}
     assert 90001 not in ids and 90002 not in ids
+
+
+def test_q48_recall_gate(spark, sf_dir):
+    """Round gate for q48's operating point (round-3 verdict #9): the
+    registered query must recover >=0.95 of its planted near-dup
+    pairs at fixture scale, so a future (planes, tables, threshold)
+    change can't silently degrade recall. Also records
+    (recall, n_pairs) as a per-round artifact."""
+    import json
+    import os
+
+    from cr_data_pipeline_project_spark.plans import all_queries
+
+    out = all_queries()["q48_ann_hyperplane_lsh"](spark, sf_dir).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in out}
+    # ground truth: each vec_id < 100 has a planted twin at +1_000_000
+    n_base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where("vec_id < 100")
+        .count()
+    )
+    planted = {(i, i + 1_000_000) for i in range(n_base)}
+    recall = len({(min(a, b), max(a, b)) for a, b in found} & planted) / n_base
+    artifact = {
+        "query": "q48_ann_hyperplane_lsh",
+        "recall_planted": round(recall, 4),
+        "n_pairs": len(found),
+        "n_planted": n_base,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "metrics", "q48_recall.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    assert recall >= 0.95, artifact

@@ -59,7 +59,9 @@ class Lake:
     previous snapshot intact and readable (crash-injection tested).
     Old versions are GC'd after commit. Append-only facts stay flat
     until first rewritten; appends land inside the current snapshot.
-    (A Delta/Iceberg backend would replace exactly this class.)"""
+    (:mod:`..lake_delta` provides the pluggable Delta backend with
+    this same surface — ``lake_delta.make_lake`` picks it when
+    delta-spark is installed and falls back to this class.)"""
 
     PARTITIONING: dict[str, list[str]] = {"matches": ["season_id"]}
 

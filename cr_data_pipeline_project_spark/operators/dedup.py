@@ -358,14 +358,10 @@ def lsh_candidate_pairs(
     1-(1-j²)³² — ≥ 0.999999999 recall at j ≥ 0.7.
 
     Buckets larger than ``max_bucket`` are dropped (degenerate
-    boilerplate protection — the skew guard at corpus scale).
-
-    ``sigs`` is localCheckpointed here: the count-prepass inside
-    :func:`_bucket_pairs` scans the exploded band table twice, and
-    the signature aggregate (64 min-aggregates over the shingle
-    explosion) is far too expensive to run twice — the signature
-    table itself is tiny (id + 64 longs per doc) at any scale."""
-    sigs = sigs.localCheckpoint()
+    boilerplate protection — the skew guard at corpus scale) by
+    :func:`_bucket_pairs`' windowed count-prepass, which consumes the
+    exploded band table in a single pipelined pass — no signature
+    materialization barrier is needed."""
     band_cols = [
         F.struct(
             F.lit(j).alias("band_idx"),
@@ -594,10 +590,7 @@ def simhash_pairs(
     assert max_hamming <= 6, (
         "chunk-pair pigeonhole (2 of 8 intact) guarantees recall only to 6"
     )
-    # localCheckpoint: the count-prepass below scans the chunk table
-    # twice; materializing the 3-longs-per-doc signature table keeps
-    # the Arrow signature pass single-run.
-    sigs = simhash_signatures(df, text_col, id_col, n).localCheckpoint()
+    sigs = simhash_signatures(df, text_col, id_col, n)
     chunk = []
     for c in range(4):
         chunk.append(

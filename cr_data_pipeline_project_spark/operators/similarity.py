@@ -347,12 +347,9 @@ def hyperplane_lsh_neardup(
     # AFTER candidate-pair dedup, so each vector's floats cross the
     # wire once per verified pair side, never once per bucket hit.
     id_type = dict(df.dtypes)[id_col]
-    # localCheckpoint: _bucket_pairs' count-prepass scans the bucket
-    # table twice — materialize the (id, table_idx, sig) rows (tiny:
-    # three numbers per vector per table) so the GEMM runs once.
     buckets = v.select("id", "v").mapInPandas(
         sigs, schema=f"id {id_type}, table_idx int, sig long"
-    ).localCheckpoint()
+    )
     from .dedup import _bucket_pairs
 
     cand = _bucket_pairs(

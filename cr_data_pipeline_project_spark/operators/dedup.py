@@ -745,9 +745,15 @@ def build_neardup_index(
     anti-join gate (etl_pipeline_script.py:128-133) generalized from
     exact keys to near-duplicates.
 
-    Returns (id, bands array<bigint>[bands], shingles array<string>).
-    At 100 TB write it bucketed by a band hash prefix so batch probes
-    prune partitions instead of scanning the full index."""
+    Returns (id, bands array<bigint>[bands], shingles array<bigint>).
+    Shingles are stored as xxhash64 values, not strings: distinct
+    strings map to distinct hashes (collisions ~2⁻⁶⁴ per pair), so
+    |intersection| and |union| — hence Jaccard — are preserved, while
+    the materialized index shrinks ~5-10× and the verification
+    ``array_intersect`` compares longs instead of variable-length
+    strings. At 100 TB write it bucketed by a band hash prefix so
+    batch probes prune partitions instead of scanning the full
+    index."""
     rows_per_band = num_hashes // bands
     sh = shingle_set(df, text_col, id_col, n).persist()
     try:
@@ -766,7 +772,7 @@ def build_neardup_index(
             ]
         )
         sets_ = sh.groupBy(id_col).agg(
-            F.collect_set("shingle").alias("shingles")
+            F.collect_set(F.xxhash64("shingle")).alias("shingles")
         )
         return (
             sigs.select(F.col(id_col), band_arr.alias("bands"))
@@ -848,8 +854,11 @@ def incremental_neardup_pairs(
             .select("new_id", "index_id")
             .distinct()
         )
+        # Same xxhash64 encoding the index stores — set sizes and
+        # intersections are hash-collision-exact (see
+        # :func:`build_neardup_index`).
         new_sets = new_sh.groupBy(id_col).agg(
-            F.collect_set("shingle").alias("__sh_new")
+            F.collect_set(F.xxhash64("shingle")).alias("__sh_new")
         )
         verified = (
             cand.join(

@@ -896,3 +896,118 @@ def incremental_neardup_pairs(
         return verified
     finally:
         new_sh.unpersist(blocking=False)
+
+
+# ------------------------------------------------------------------ #
+# chunk-level dedup (sub-document granularity)                        #
+# ------------------------------------------------------------------ #
+
+
+def chunk_dedup_keep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide duplicate-passage removal at sub-document
+    granularity (the C4 / RefinedWeb line-dedup technique, applied to
+    fixed ``chunk_tokens``-token chunks because the fixture corpus is
+    single-line): every chunk keeps only its FIRST occurrence
+    corpus-wide (min ``(id, chunk_idx)`` by content hash); documents
+    are reassembled from their surviving chunks in order.
+
+    Returns ``(id_col, clean_text, n_chunks, n_kept)`` — documents
+    whose every chunk was seen earlier disappear entirely (fully
+    boilerplate docs).
+
+    Scale: the dedup decision shuffles ``(md5, id, chunk_idx)``
+    projections, never chunk bodies twice — the chunk text rides only
+    the final per-document reassembly groupBy, which repartitions by
+    document id (bounded rows per group ≈ |doc|/chunk_tokens). The
+    first-occurrence window partitions by content hash: near-uniform
+    by construction, and a degenerate hash bucket (one boilerplate
+    chunk repeated 10⁷×) is WindowExec-buffered, which spills —
+    state is disk-bounded, not memory-bounded.
+    """
+    w = chunk_tokens
+    toks = F.col("__toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+    )
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    exploded = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        )
+        # parallelize the chunk expressions off a few-split scan, same
+        # rationale as shingle_set
+        .repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            n_chunks.alias("n_chunks"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        )
+    )
+    first = (
+        exploded.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+                    F.col(id_col), F.col("chunk_idx")
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_idx", "chunk"))
+            ).alias("__kept"),
+            F.max("n_chunks").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform("__kept", lambda s: s["chunk"]), " "
+            ).alias("clean_text"),
+            "n_chunks",
+            "n_kept",
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# train/test decontamination (exact n-gram overlap)                   #
+# ------------------------------------------------------------------ #
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact n-gram decontamination (the GPT-3 appendix-C method):
+    flag every train document sharing at least one word ``n``-gram
+    with the held-out test set. Returns ``(id_col, n_shared_grams)``
+    — the count of the train document's DISTINCT n-grams that occur
+    anywhere in test.
+
+    Scale: the test side reduces to its distinct-gram set before the
+    join (test corpora are small — benchmarks, not crawls — so the
+    per-gram join is one shuffle of hashed keys, and with a small
+    enough test set Spark's runtime bloom / broadcast handles it
+    map-side). Train grams shuffle as (gram, id) projections only."""
+    tr = shingle_set(train, text_col, id_col, n)
+    te = shingle_set(test, text_col, id_col, n).select("shingle").distinct()
+    return (
+        tr.join(te, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

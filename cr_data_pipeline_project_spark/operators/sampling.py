@@ -130,3 +130,37 @@ def sequence_packing(
     return df.withColumn(
         "bin_idx", F.floor(prefix / F.lit(capacity)).cast("int")
     )
+
+
+def stratified_sample_scale(
+    df: DataFrame, strata_col: str, id_col: str, k: int, n_salts: int = 32
+) -> DataFrame:
+    """Two-phase scale twin of :func:`stratified_sample` — IDENTICAL
+    output (k smallest md5(id) per stratum), but no stratum ever
+    funnels through a single task.
+
+    Phase 1 splits each stratum into ``n_salts`` hash-salted shards
+    and takes the k smallest per shard in parallel — any shard
+    holding a global winner keeps it (k-smallest of a superset
+    retains every k-smallest of the whole), so phase 2's merge window
+    sees ≤ k·n_salts rows per stratum, a bounded input regardless of
+    stratum size. Mega-strata (one language dominating a 100 TB
+    corpus) parallelize across the salts instead of serializing into
+    one window task."""
+    from pyspark.sql.window import Window
+
+    c = F.col(id_col)
+    h = F.md5(c.cast("string"))
+    salt = F.pmod(F.xxhash64(c), F.lit(n_salts))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    w1 = Window.partitionBy(strata_col, "__salt").orderBy(h, c)
+    w2 = Window.partitionBy(strata_col).orderBy(h, c)
+    return (
+        df.withColumn("__salt", salt)
+        .repartition(nparts, F.col(strata_col), F.col("__salt"))
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .where(F.col("__rn2") <= k)
+        .drop("__salt", "__rn", "__rn2")
+    )

@@ -460,3 +460,88 @@ def quantize_int8(
         q.alias("qvec"),
         F.round(err, 6).alias("dequant_err"),
     )
+
+
+# ------------------------------------------------------------------ #
+# semantic dedup (cluster-bucketed embedding near-dup)                #
+# ------------------------------------------------------------------ #
+
+
+def semantic_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    k: int = 16,
+    n_iter: int = 2,
+    probe: int = 3,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means buckets
+    the corpus, candidate pairs form only WITHIN clusters, exact
+    cosine verifies. Returns (vec_a, vec_b, score) with score ≥
+    ``threshold`` — the sub-quadratic scale twin of
+    :func:`cosine_neardup_pairs` (which replicates every vector
+    ~n_blocks/2× and compares all N²/2 pairs).
+
+    Recall knob: each vector lands in its ``probe`` nearest clusters
+    (multi-assignment, the IVF multi-probe trick applied index-side),
+    so a near-dup pair straddling one k-means boundary still shares a
+    bucket unless both of its members' ``probe`` nearest centroids
+    are entirely disjoint. Precision is exact — every candidate is
+    cosine-verified.
+
+    Scale: compare cost drops from O(N²) to O(Σ|cluster|²) ≈
+    N²·probe²/k for balanced clusters; shuffles carry (cluster, id)
+    pairs and one vector row per (vector, probe). The per-id
+    aggregation state for multi-assignment is ``k`` structs (fine for
+    bucketing-scale k; for IVF-scale k repeat the map-side argmin of
+    ``clustering.kmeans_fit`` probe times instead). ``max_cluster``
+    drops degenerate clusters (a collapsed centroid swallowing the
+    corpus) via the shared windowed hot-bucket guard."""
+    from .clustering import kmeans_fit
+    from .dedup import _bucket_pairs
+
+    cents = kmeans_fit(df, k, id_col, vec_col, n_iter)
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+    # nearest `probe` centroids per vector: broadcast the k-row
+    # centroid table, keep the `probe` smallest (dist, cid) structs.
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("id", F.struct(d.alias("d"), F.col("cid").alias("cid")).alias("__dc"))
+        .groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("__dc")), 1, probe
+            ).alias("__near")
+        )
+        .select("id", F.explode("__near.cid").alias("cid"))
+    )
+    pairs = _bucket_pairs(assigned, ["cid"], "id", max_cluster)
+    a = v.select(
+        F.col("id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("score"))
+    )

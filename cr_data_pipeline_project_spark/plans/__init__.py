@@ -42,7 +42,14 @@ GATE_SLOTS = 50
 # tools/check_oracle.py, which run the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
     # parked round 4 (driver-green in r03): scalar/projection
-    # reference queries + the round-3 additions q75-q77/q79-q84
+    # reference queries + the round-3 additions q75-q77/q79-q84,
+    # plus five more r03-attested queries parked to open slots for
+    # the round-4 additions q86-q90 (they return in round 5)
+    "q46_rollup",
+    "q49_sql_view_api",
+    "q50_column_profile",
+    "q58_dense_ids_scale",
+    "q65_int8_quantize",
     "q03_player_win_rate",
     "q05_player_clan_view",
     "q06_distinct_single",

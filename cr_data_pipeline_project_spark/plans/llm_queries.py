@@ -1537,3 +1537,169 @@ def q84_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "new_id", "index_id", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+# ------------------------------------------------------------------ #
+# round-4 additions: membership gate / sub-doc dedup / decontam /     #
+# SCD2 / scale-twin sampling / semantic dedup                         #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q86_bloom_prefilter_gate",
+    """
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id IS NOT NULL
+      AND user_id NOT IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q86_bloom_prefilter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental NOT-IN gate
+    (etl_pipeline_script.py:128-133) at firehose scale: a broadcast
+    Bloom-style bucket sketch routes provably-new keys around the
+    exact anti-join's shuffle; only sketch-positive keys (members +
+    false positives) pay it. Exact NOT IN semantics — the sketch
+    routes, the anti-join decides (operators/membership.py)."""
+    from ..operators import membership
+
+    ev = table(spark, "events", sf_dir)
+    existing = table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return membership.prefiltered_new_keys(
+        ev, existing, "user_id", "c_custkey"
+    )
+
+
+@q(
+    "q87_chunk_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS gs, unnest(t) AS tok
+        FROM toks),
+    chunks AS (
+        SELECT doc_id, CAST(FLOOR((gs - 1) / 20) AS BIGINT) AS chunk_idx,
+               string_agg(tok, ' ' ORDER BY gs) AS chunk
+        FROM g GROUP BY 1, 2),
+    ranked AS (
+        SELECT doc_id, chunk_idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                   ORDER BY doc_id, chunk_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
+        FROM chunks)
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+           MAX(n_chunks) AS n_chunks,
+           COUNT(*) AS n_kept
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def q87_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate-passage removal (C4/RefinedWeb line
+    dedup over fixed 20-token chunks): each chunk survives only at
+    its first corpus-wide occurrence; documents reassemble from
+    surviving chunks (operators/dedup.py:chunk_dedup_keep)."""
+    docs = table(spark, "documents", sf_dir)
+    return dedup.chunk_dedup_keep(docs, "text", "doc_id", chunk_tokens=20)
+
+
+@q(
+    "q88_ngram_decontamination",
+    """
+    WITH sh8 AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(words[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1,
+                 greatest(len(words) - 7, 1))) AS i) t)
+    SELECT a.doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT doc_id, g FROM sh8 WHERE source <> 'src6') a
+    JOIN (SELECT DISTINCT g FROM sh8 WHERE source = 'src6') b USING (g)
+    GROUP BY 1
+    """,
+)
+def q88_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination by exact 8-gram overlap (the GPT-3
+    appendix-C check): every train document (source ≠ src6) sharing
+    ≥1 word 8-gram with the held-out source, with the count of its
+    distinct contaminated grams (operators/dedup.py:
+    ngram_contamination)."""
+    docs = table(spark, "documents", sf_dir)
+    test = docs.where(F.col("source") == "src6")
+    train = docs.where(F.col("source") != "src6")
+    return dedup.ngram_contamination(train, test, "text", "doc_id", n=8)
+
+
+@q(
+    "q89_scd2_intervals",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_type) AS prev
+        FROM events),
+    runs AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_type) AS valid_to
+    FROM runs
+    """,
+)
+def q89_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from a change feed: collapse each user's
+    event_type stream into validity intervals (valid_from, valid_to;
+    NULL = current) — the history table the reference's MERGE-
+    maintained current-state dimension (src/db_ops.py:62-149) cannot
+    answer, and the dimension side an as-of join (q56) consumes
+    (operators/scd.py)."""
+    from ..operators import scd
+
+    ev = table(spark, "events", sf_dir)
+    return scd.scd2_intervals(ev, "user_id", "event_type", "ts")
+
+
+@q(
+    "q90_stratified_sample_scale",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def q90_stratified_sample_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of q63: the same deterministic k-smallest-by-hash
+    stratified sample computed with the two-phase (salted shard
+    top-k, then bounded merge) plan, so a mega-stratum never
+    serializes through one window task. Oracle identical to q63's —
+    the driver attests plan-for-plan equality
+    (operators/sampling.py:stratified_sample_scale)."""
+    from ..operators import sampling
+
+    docs = table(spark, "documents", sf_dir)
+    return sampling.stratified_sample_scale(
+        docs, "lang", "doc_id", k=20
+    ).select("doc_id", "lang")
+
+
+@q("q91_semantic_neardup")
+def q91_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means buckets the
+    embedding corpus, pairs form within (multi-probe) clusters only,
+    exact cosine verifies — the sub-quadratic scale twin of q37's
+    block-nested exact plan. Rows-only by design (k-means bucketing
+    is engine-specific); tests/test_similarity.py asserts recall vs
+    q37's exact pair set at the same threshold
+    (operators/similarity.py:semantic_neardup)."""
+    emb = table(spark, "embeddings", sf_dir)
+    return similarity.semantic_neardup(
+        emb, "vec_id", "embedding", threshold=0.45, k=8, n_iter=2, probe=3
+    )

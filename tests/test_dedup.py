@@ -252,3 +252,68 @@ def test_drop_hot_buckets_prepass(spark):
         for r in _bucket_pairs(df, ["k"], "doc", max_bucket=cap).collect()
     }
     assert pairs == {(100, 101)}
+
+
+# ------------------------------------------------------------------ #
+# chunk-level dedup                                                   #
+# ------------------------------------------------------------------ #
+
+
+def _chunked_docs(spark):
+    # 4-token chunks: doc1 = A B; doc2 = B C (B duplicates doc1's);
+    # doc3 = A B (fully duplicate → disappears)
+    a = "alpha beta gamma delta"
+    b = "epsilon zeta eta theta"
+    c = "iota kappa lambda mu"
+    rows = [(1, f"{a} {b}"), (2, f"{b} {c}"), (3, f"{a} {b}")]
+    return spark.createDataFrame(rows, "doc_id long, text string"), (a, b, c)
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    df, (a, b, c) = _chunked_docs(spark)
+    got = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup_keep(df, "text", "doc_id", chunk_tokens=4).collect()
+    }
+    assert got[1].clean_text == f"{a} {b}"
+    assert (got[1].n_chunks, got[1].n_kept) == (2, 2)
+    # doc2 loses its first chunk (b, already in doc1) and keeps c
+    assert got[2].clean_text == c
+    assert (got[2].n_chunks, got[2].n_kept) == (2, 1)
+    # doc3 is entirely boilerplate → no output row
+    assert 3 not in got
+
+
+def test_chunk_dedup_ragged_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    [row] = dedup.chunk_dedup_keep(df, "text", "doc_id", chunk_tokens=4).collect()
+    assert row.clean_text == "one two three four five"
+    assert (row.n_chunks, row.n_kept) == (2, 2)
+
+
+# ------------------------------------------------------------------ #
+# n-gram decontamination                                              #
+# ------------------------------------------------------------------ #
+
+
+def test_ngram_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [
+            (1, BASE),                       # contains test's 5-grams
+            (2, FAR),                        # disjoint vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    test_docs = spark.createDataFrame(
+        [(100, BASE)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_shared_grams
+        for r in dedup.ngram_contamination(
+            train, test_docs, "text", "doc_id", n=5
+        ).collect()
+    }
+    n_grams_in_base = len(BASE.split()) - 4
+    assert got == {1: n_grams_in_base}  # doc2 absent: zero overlap

@@ -64,3 +64,27 @@ def test_splits_are_disjoint_and_total(spark):
     out = hash_split(df, "doc_id", {"train": 0.5, "test": 0.5})
     assert out.count() == 1000
     assert out.where("split NOT IN ('train','test')").count() == 0
+
+
+def test_stratified_scale_twin_identical(spark, sf_dir):
+    """Two-phase salted top-k must equal the single-window sample
+    exactly — same winners, any partitioning."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_scale,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    a = sorted(
+        (r.lang, r.doc_id)
+        for r in stratified_sample(docs, "lang", "doc_id", 7).collect()
+    )
+    b = sorted(
+        (r.lang, r.doc_id)
+        for r in stratified_sample_scale(
+            docs, "lang", "doc_id", 7, n_salts=5
+        ).collect()
+    )
+    assert a == b
+    assert len(a) > 0

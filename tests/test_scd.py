@@ -1,0 +1,54 @@
+"""SCD type-2 interval derivation from a change feed."""
+
+from datetime import datetime
+
+from cr_data_pipeline_project_spark.operators.scd import scd2_intervals
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_scd2_runs_collapse(spark):
+    rows = [
+        (1, "free", _ts("2024-01-01T00:00:00")),
+        (1, "free", _ts("2024-01-02T00:00:00")),  # no change → merged
+        (1, "pro", _ts("2024-01-03T00:00:00")),
+        (1, "pro", _ts("2024-01-04T00:00:00")),
+        (1, "free", _ts("2024-01-05T00:00:00")),  # value returns → new run
+        (2, "pro", _ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    got = sorted(
+        scd2_intervals(df, "user_id", "event_type", "ts").collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    assert [(r.user_id, r.state) for r in got] == [
+        (1, "free"),
+        (1, "pro"),
+        (1, "free"),
+        (2, "pro"),
+    ]
+    # intervals chain: valid_to of run i == valid_from of run i+1
+    assert got[0].valid_from == _ts("2024-01-01T00:00:00")
+    assert got[0].valid_to == _ts("2024-01-03T00:00:00")
+    assert got[1].valid_to == _ts("2024-01-05T00:00:00")
+    assert got[2].valid_to is None  # current value
+    assert got[3].valid_to is None
+
+
+def test_scd2_tie_deterministic(spark):
+    """Two different values at the same timestamp order by the value
+    tiebreak — same answer on every run/partitioning."""
+    rows = [
+        (1, "b", _ts("2024-01-01T00:00:00")),
+        (1, "a", _ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    got = scd2_intervals(df, "user_id", "event_type", "ts").collect()
+    states = [r.state for r in sorted(got, key=lambda r: (r.state))]
+    assert states == ["a", "b"]

@@ -160,3 +160,30 @@ def test_q48_recall_gate(spark, sf_dir):
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
     assert recall >= 0.95, artifact
+
+
+def test_semantic_neardup_recall_and_precision(spark, sf_dir):
+    """Cluster-bucketed semantic dedup vs the exact O(N²) pair set:
+    precision must be exact (every emitted pair is cosine-verified);
+    recall across k-means boundaries must stay high with probe=3."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        semantic_neardup,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_neardup(
+            emb, "vec_id", "embedding", threshold=0.45, k=8, n_iter=2, probe=3
+        ).collect()
+    }
+    assert got <= exact  # exact verification ⇒ no false positives
+    assert len(exact) > 0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"semantic dedup recall {recall:.2f}"

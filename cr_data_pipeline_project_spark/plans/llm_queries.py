@@ -1703,3 +1703,113 @@ def q91_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_neardup(
         emb, "vec_id", "embedding", threshold=0.45, k=8, n_iter=1, probe=3
     )
+
+
+@q(
+    "q92_cluster_representatives",
+    f"""
+    WITH RECURSIVE {_jaccard_pairs_cte(0.5)},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS component_id
+        FROM reach GROUP BY node
+    ),
+    quality AS (
+        SELECT doc_id,
+               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
+                     / len(string_split(text, ' ')), 4))
+                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
+                     / 200.0, 4) AS quality_score
+        FROM documents
+    )
+    SELECT component_id, doc_id AS keep_id, quality_score, n_docs
+    FROM (
+        SELECT c.component_id, c.doc_id, q.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                   ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS n_docs
+        FROM comp c JOIN quality q USING (doc_id)) t
+    WHERE rn = 1
+    """,
+)
+def q92_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (q66's
+    transitive closure) keep their HIGHEST-QUALITY member instead of
+    the min-id — the curation decision an LLM pipeline actually makes
+    when collapsing a duplicate cluster (quality heuristics from
+    q38). Returns one row per cluster: (component_id, keep_id,
+    quality_score, n_docs). Scale: quality is a narrow per-doc
+    projection; the argmax is one window over the cluster id — both
+    reuse q66's iteration output without another corpus pass."""
+    from ..operators import graph
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.5
+    )
+    comp = graph.dedup_clusters(docs, pairs)
+    quality = textstats.quality_score(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "quality_score")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component_id")
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_id"),
+            "quality_score",
+            "n_docs",
+        )
+    )
+
+
+@q(
+    "q93_decontaminated_export",
+    """
+    WITH sh8 AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(words[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1,
+                 greatest(len(words) - 7, 1))) AS i) t)
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE source <> 'src6'
+      AND doc_id NOT IN (
+          SELECT a.doc_id
+          FROM (SELECT doc_id, g FROM sh8 WHERE source <> 'src6') a
+          JOIN (SELECT DISTINCT g FROM sh8 WHERE source = 'src6') b
+               USING (g))
+    """,
+)
+def q93_decontaminated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination gate APPLIED: the training corpus (source
+    ≠ src6) minus every document q88 flags — the anti-join export a
+    pipeline runs after the audit. Scale: the contaminated-id set is
+    tiny (flagged docs), so the anti-join broadcasts; no text moves
+    except the surviving rows' own scan."""
+    docs = table(spark, "documents", sf_dir)
+    test = docs.where(F.col("source") == "src6")
+    train = docs.where(F.col("source") != "src6")
+    contaminated = dedup.ngram_contamination(
+        train, test, "text", "doc_id", n=8
+    ).select("doc_id")
+    return train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )

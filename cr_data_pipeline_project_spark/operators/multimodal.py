@@ -2,10 +2,19 @@
 columns + typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries
-in this environment — replace ``_fake_decode_*`` with PIL/libav
-calls); everything Spark-side is real and tested: schemas, batch
-iteration, partition sizing, UDF signatures.
+Two tiers of decode kernels:
+
+- REAL decoders for formats the standard library + numpy can parse:
+  WAV/PCM audio (:func:`decode_wav_features`, stdlib ``wave``) and
+  binary PPM images (:func:`decode_ppm_features`, P6 header + numpy
+  ``frombuffer``). These run the genuine byte-level decode path —
+  container parse, sample/pixel extraction, feature reduction — and
+  are driver-attested end-to-end (q94).
+- STUBBED stand-ins for codec formats that need external libraries
+  (JPEG/PNG/MP3/MP4 — no PIL/libav in this environment): replace
+  ``_fake_decode_features`` with the real call; everything Spark-side
+  is identical and tested: schemas, batch iteration, partition
+  sizing, UDF signatures.
 
 Scale notes (100 TB of media)
 -----------------------------
@@ -111,3 +120,160 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# ------------------------------------------------------------------ #
+# REAL decode kernels (stdlib + numpy formats)                        #
+# ------------------------------------------------------------------ #
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "width int, height int, "
+    "sample_rate int, n_samples long, duration_ms int, "
+    "feat array<double>, decode_error string"
+)
+
+
+def decode_wav_features(payload: bytes) -> dict:
+    """REAL WAV/PCM decode via the stdlib ``wave`` module: parses the
+    RIFF container, extracts the int16 sample stream, and reduces it
+    to audio features — RMS energy, zero-crossing rate, peak
+    amplitude (all normalized to [-1, 1] full scale). Mono or
+    interleaved multi-channel; 16-bit PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError(f"expected 16-bit PCM, got {w.getsampwidth()*8}-bit")
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        if len(x) > 1
+        else 0.0
+    )
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+    return {
+        "sample_rate": sr,
+        "n_samples": n,
+        "duration_ms": int(n * 1000 // sr) if sr else 0,
+        "feat": [rms, zcr, peak],
+    }
+
+
+def decode_ppm_features(payload: bytes) -> dict:
+    """REAL binary-PPM (P6) image decode: header parse + numpy pixel
+    grid. Features: per-channel means and Rec.601 luma mean, all in
+    [0, 1]."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace/comment
+    # separated, then a single whitespace byte before pixel data
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = (int(f) for f in fields)
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+    img = px.reshape(height, width, 3).astype(np.float64) / maxval
+    means = img.mean(axis=(0, 1))
+    luma = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+    return {
+        "width": width,
+        "height": height,
+        "feat": [float(means[0]), float(means[1]), float(means[2]), luma],
+    }
+
+
+def decode_media_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode dispatch: ``audio/wav`` payloads go
+    through the stdlib WAV parser, ``image/ppm`` through the numpy
+    PPM parser; any other media_type (or a corrupt payload) yields a
+    row with ``decode_error`` set and NULL features — per-row error
+    capture, the batch never dies on one bad blob (the property a
+    100 TB crawl decode job cannot live without).
+
+    Input: MEDIA_SCHEMA (payload + media_type); output:
+    DECODED_SCHEMA. Payload bytes never shuffle — this is a narrow
+    map stage; shuffle the (bounded) feature rows downstream."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        kernels = {"audio/wav": decode_wav_features, "image/ppm": decode_ppm_features}
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                row = {
+                    "media_id": mid,
+                    "media_type": mtype,
+                    "n_bytes": len(payload) if payload is not None else None,
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "duration_ms": None,
+                    "feat": None,
+                    "decode_error": None,
+                }
+                kernel = kernels.get(mtype)
+                try:
+                    if kernel is None:
+                        raise ValueError(f"unsupported media_type: {mtype}")
+                    if payload is None:
+                        raise ValueError("null payload")
+                    row.update(kernel(bytes(payload)))
+                except Exception as exc:  # per-row capture by contract
+                    row["decode_error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def synth_wav(
+    freq_hz: float, sample_rate: int = 8000, n_samples: int = 800, amplitude: float = 0.5
+) -> bytes:
+    """Deterministic mono 16-bit PCM WAV synthesizer (a genuine WAV
+    container written by the stdlib ``wave`` module) — the test/
+    fixture source for the real decode path when no media files ship
+    with the corpus."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64)
+    x = np.floor(
+        amplitude * 32767.0 * np.sin(2.0 * np.pi * freq_hz * t / sample_rate) + 0.5
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()

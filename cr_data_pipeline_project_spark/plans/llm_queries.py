@@ -1813,3 +1813,58 @@ def q93_decontaminated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@q(
+    "q94_wav_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           (44 + 2 * (400 + (doc_id % 10) * 80))::BIGINT AS n_bytes,
+           8000::INTEGER AS sample_rate,
+           (400 + (doc_id % 10) * 80)::BIGINT AS n_samples,
+           ((400 + (doc_id % 10) * 80) / 8)::INTEGER AS duration_ms
+    FROM documents
+    """,
+)
+def q94_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end: per-document WAV payloads are
+    synthesized as genuine RIFF/PCM16 containers (stdlib ``wave``
+    writer), then decoded back by the REAL stdlib parser
+    (multimodal.decode_wav_features) — container parse, sample
+    extraction, feature reduction. The oracle predicts the integer
+    metadata from the synthesis formula, so any corruption in the
+    byte-level round trip (header layout, sample count, rate)
+    hash-mismatches; the float features (RMS/ZCR/peak) are asserted
+    against closed forms in tests/test_multimodal.py. Payload bytes
+    never shuffle — synth and decode fuse into one narrow Arrow
+    stage."""
+    import pandas as pd
+
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_wav(
+                            100.0 + (i % 400),
+                            sample_rate=8000,
+                            n_samples=400 + (i % 10) * 80,
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["audio/wav"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    nparts = spark.sparkContext.defaultParallelism
+    media = docs.repartition(nparts).mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    return multimodal.decode_media_features(media).select(
+        "media_id", "n_bytes", "sample_rate", "n_samples", "duration_ms"
+    )

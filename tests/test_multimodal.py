@@ -46,3 +46,59 @@ def test_frame_sample_plan(spark):
     )
     # 5500ms @ 1000ms → 6 frames, capped at 4
     assert rows == [(3, 0), (3, 1000), (3, 2000), (3, 3000)]
+
+
+# ------------------------------------------------------------------ #
+# REAL decode kernels (stdlib wave / numpy PPM)                       #
+# ------------------------------------------------------------------ #
+
+
+def test_wav_roundtrip_closed_forms():
+    """Synthesized sine → real WAV container → real decode: metadata
+    exact, features match closed forms (sine RMS = A/√2, ZCR = 2f/sr,
+    peak = A) to quantization error."""
+    import math
+
+    sr, n, f, amp = 8000, 1600, 200.0, 0.5
+    payload = multimodal.synth_wav(f, sample_rate=sr, n_samples=n, amplitude=amp)
+    assert len(payload) == 44 + 2 * n  # canonical PCM16 mono header
+    d = multimodal.decode_wav_features(payload)
+    assert (d["sample_rate"], d["n_samples"], d["duration_ms"]) == (sr, n, 200)
+    rms, zcr, peak = d["feat"]
+    assert abs(rms - amp / math.sqrt(2)) < 1e-3
+    assert abs(zcr - 2 * f / sr) < 2e-3
+    assert abs(peak - amp) < 1e-3
+
+
+def test_ppm_decode_means():
+    import numpy as np
+
+    w, h = 6, 4
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = 255  # pure red image
+    payload = f"P6\n# comment line\n{w} {h}\n255\n".encode() + px.tobytes()
+    d = multimodal.decode_ppm_features(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    r, g, b, luma = d["feat"]
+    assert (r, g, b) == (1.0, 0.0, 0.0)
+    assert abs(luma - 0.299) < 1e-12
+
+
+def test_decode_dispatch_and_error_capture(spark):
+    wav = multimodal.synth_wav(120.0, n_samples=400)
+    rows = [
+        (1, wav, "audio/wav", None, None, None),
+        (2, b"P6\n1 1\n255\n\xff\x00\x00", "image/ppm", None, None, None),
+        (3, b"garbage", "audio/wav", None, None, None),     # corrupt
+        (4, b"\x00\x01", "video/mp4", None, None, None),    # unsupported
+        (5, None, "audio/wav", None, None, None),           # null payload
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.decode_media_features(df).collect()}
+    assert out[1].decode_error is None and out[1].n_samples == 400
+    assert out[2].decode_error is None and (out[2].width, out[2].height) == (1, 1)
+    assert out[2].feat[0] == 1.0  # red pixel
+    # per-row capture: bad rows carry errors, batch survives
+    assert out[3].decode_error is not None and out[3].feat is None
+    assert "unsupported" in out[4].decode_error
+    assert out[5].decode_error is not None

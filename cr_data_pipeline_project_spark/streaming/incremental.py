@@ -362,3 +362,155 @@ def neardup_ingest_batch(
         build_neardup_index(to_index, text_col, id_col).write.mode(
             "append"
         ).parquet(index_path)
+
+
+# ------------------------------------------------------------------ #
+# streaming SCD-2 dimension maintenance                               #
+# ------------------------------------------------------------------ #
+
+
+def _read_parquet_if_present(spark: SparkSession, path: str) -> DataFrame | None:
+    """None ONLY for a not-yet-existing path; IO errors / corrupt
+    footers propagate and fail the batch (same contract as the
+    near-dup ingest readers — a swallowed error here disables a
+    correctness gate, not an optimization)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+
+
+def scd2_apply_batch(
+    batch_df: DataFrame,
+    history_path: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Merge one micro-batch of change events into a persisted SCD-2
+    interval table (schema: key, state, valid_from, valid_to NULL for
+    current; hash-bucketed layout).
+
+    Invariant: applying a feed in ANY batch partitioning yields the
+    same history as one-shot :func:`..operators.scd.scd2_intervals`
+    over the concatenated feed (asserted in tests), because each
+    batch recomputes runs from (current open run ∪ fresh events) per
+    key.
+
+    Replay idempotency: events with ts ≤ the key's open-run
+    valid_from are dropped — after a successful apply every
+    state-changing event of the batch satisfies that bound, so a
+    foreachBatch replay recomputes identical rows and the dynamic
+    partition overwrite rewrites the same bytes. (Same rule makes
+    out-of-order stragglers older than the current run a documented
+    no-op — bounding THAT is the upstream watermark's job.)
+
+    Scale: history is hash-bucketed on the key; a batch rewrites only
+    the buckets its keys live in (write amplification = touched
+    buckets, not table size). All joins/windows are key-partitioned;
+    the open-run seed adds one row per affected key."""
+    from ..operators.scd import scd2_intervals
+
+    spark = batch_df.sparkSession
+
+    def bucket(c: str):
+        return F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(n_buckets))
+
+    ev = batch_df.select(key_col, value_col, ts_col).localCheckpoint()
+    if ev.isEmpty():
+        return
+    keys = ev.select(key_col).distinct()
+    hist = _read_parquet_if_present(spark, history_path)
+
+    if hist is not None:
+        affected = hist.join(keys, key_col, "left_semi")
+        open_rows = affected.where(F.col("valid_to").isNull())
+        closed = affected.where(F.col("valid_to").isNotNull()).select(
+            key_col, "state", "valid_from", "valid_to"
+        )
+        # stale-event guard (replay idempotency + straggler policy)
+        ev = (
+            ev.join(
+                open_rows.select(
+                    key_col, F.col("valid_from").alias("__cur_from")
+                ),
+                key_col,
+                "left",
+            )
+            .where(
+                F.col("__cur_from").isNull()
+                | (F.col(ts_col) > F.col("__cur_from"))
+            )
+            .drop("__cur_from")
+        )
+        # seed each key's recompute with its current open run
+        seed = open_rows.select(
+            F.col(key_col),
+            F.col("state").alias(value_col),
+            F.col("valid_from").alias(ts_col),
+        )
+        feed = ev.unionByName(seed)
+    else:
+        closed = None
+        feed = ev
+
+    recomputed = scd2_intervals(feed, key_col, value_col, ts_col)
+    new_affected = (
+        recomputed
+        if closed is None
+        else closed.unionByName(recomputed)
+    )
+    payload = new_affected.withColumn("__bucket", bucket(key_col))
+
+    if hist is not None:
+        # unaffected keys resident in the buckets being rewritten
+        # must ride along (dynamic overwrite replaces whole buckets)
+        bucket_ids = keys.select(bucket(key_col).alias("__bucket")).distinct()
+        residents = (
+            hist.select(key_col, "state", "valid_from", "valid_to")
+            .withColumn("__bucket", bucket(key_col))
+            .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
+            .join(keys, key_col, "left_anti")
+        )
+        payload = payload.unionByName(residents)
+
+    (
+        payload.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(history_path)
+    )
+
+
+def streaming_scd2_ingest(
+    change_stream: DataFrame,
+    history_path: str,
+    checkpoint: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Continuously-maintained SCD-2 dimension: watermarked change
+    stream → per-batch run merge (:func:`scd2_apply_batch`). The
+    history table this keeps current is exactly what the as-of join
+    (operators/rangejoin.py) consumes as its dimension side."""
+    deduped = change_stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [key_col, ts_col]
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_apply_batch(batch_df, history_path, key_col, value_col, ts_col)
+
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

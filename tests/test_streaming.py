@@ -398,3 +398,100 @@ def test_neardup_ingest_duplog_replay_idempotent(spark, tmp_path):
         accepted = [r["doc_id"] for r in spark.read.parquet(acc).collect()]
         assert sorted(accepted) == [1, 11]  # no double rows either
         assert {r["doc_id"] for r in spark.read.parquet(idx).collect()} == {1, 11}
+
+
+# ------------------------------------------------------------------ #
+# streaming SCD-2 dimension maintenance                               #
+# ------------------------------------------------------------------ #
+
+
+def _scd_rows(spark, path):
+    return sorted(
+        (r.user_id, r.state, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in spark.read.parquet(path)
+        .select("user_id", "state", "valid_from", "valid_to")
+        .collect()
+    )
+
+
+def test_scd2_batch_split_invariant(spark, tmp_path):
+    """Applying a change feed in two micro-batches must equal the
+    one-shot scd2_intervals over the whole feed."""
+    import json
+
+    from cr_data_pipeline_project_spark.operators.scd import scd2_intervals
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_scd2_ingest,
+    )
+
+    events = [
+        (1, "free", "2024-01-01T00:00:00"),
+        (1, "free", "2024-01-02T00:00:00"),
+        (1, "pro", "2024-01-03T00:00:00"),
+        (2, "pro", "2024-01-01T12:00:00"),
+        # --- batch boundary ---
+        (1, "pro", "2024-01-04T00:00:00"),
+        (1, "free", "2024-01-05T00:00:00"),
+        (2, "free", "2024-01-06T00:00:00"),
+        (3, "trial", "2024-01-04T06:00:00"),  # within batch-1 watermark horizon
+    ]
+    src = os.path.join(str(tmp_path), "in")
+    hist = os.path.join(str(tmp_path), "hist")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    def land(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for u, s, t in rows:
+                f.write(json.dumps({"user_id": u, "state": s, "ts": t}) + "\n")
+
+    def run():
+        with few_partitions(spark):
+            stream = spark.readStream.schema(
+                "user_id long, state string, ts timestamp"
+            ).json(src)
+            q = streaming_scd2_ingest(
+                stream, hist, ckpt, "user_id", "state", "ts"
+            )
+            q.awaitTermination(120)
+
+    land("b0.json", events[:4])
+    run()
+    land("b1.json", events[4:])
+    run()
+
+    full = spark.createDataFrame(
+        [(u, s, f"{t}") for u, s, t in events],
+        "user_id long, state string, ts string",
+    ).select("user_id", "state", F.col("ts").cast("timestamp").alias("ts"))
+    want = sorted(
+        (r.user_id, r.state, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in scd2_intervals(full, "user_id", "state", "ts").collect()
+    )
+    assert _scd_rows(spark, hist) == want
+
+
+def test_scd2_replay_idempotent_and_stale_dropped(spark, tmp_path):
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        scd2_apply_batch,
+    )
+
+    hist = os.path.join(str(tmp_path), "hist")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, state string, ts string"
+        ).select(
+            "user_id", "state", F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    b1 = batch([(1, "free", "2024-01-01T00:00:00"), (1, "pro", "2024-01-03T00:00:00")])
+    scd2_apply_batch(b1, hist, "user_id", "state", "ts")
+    after_first = _scd_rows(spark, hist)
+    # exact replay of the same batch → byte-identical history
+    scd2_apply_batch(b1, hist, "user_id", "state", "ts")
+    assert _scd_rows(spark, hist) == after_first
+    # a straggler older than the open run's start is a documented no-op
+    stale = batch([(1, "trial", "2024-01-02T00:00:00")])
+    scd2_apply_batch(stale, hist, "user_id", "state", "ts")
+    assert _scd_rows(spark, hist) == after_first

@@ -129,9 +129,15 @@ def _jaccard_on_pairs(
     (id, shingle) table on both sides and count matches — shuffled
     the shingle rows twice more plus a per-pair aggregate; measured
     3× slower at fixture scale and strictly more shuffle volume at
-    any scale."""
+    any scale.
+
+    Shingles fold as xxhash64 values, not strings: distinct strings
+    map to distinct hashes (collision ~2⁻⁶⁴ per pair), so set sizes,
+    intersections — hence Jaccard — are preserved, while the groupBy
+    shuffles ~8-byte longs instead of ~n-word strings and the
+    per-pair intersect compares longs."""
     sets_ = shingles.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("__sh")
+        F.collect_set(F.xxhash64("shingle")).alias("__sh")
     )
     a = sets_.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
     b = sets_.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))

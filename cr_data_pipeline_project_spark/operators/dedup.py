@@ -742,6 +742,7 @@ def build_neardup_index(
     num_hashes: int = 64,
     bands: int = 32,
     seed: int = 42,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Materializable near-dup index for incremental ingestion: one
     row per document with its LSH band hashes AND its shingle set.
@@ -759,7 +760,14 @@ def build_neardup_index(
     ``array_intersect`` compares longs instead of variable-length
     strings. At 100 TB write it bucketed by a band hash prefix so
     batch probes prune partitions instead of scanning the full
-    index."""
+    index.
+
+    ``hash_shingles=False`` keeps the legacy ``array<string>``
+    encoding — used ONLY when appending to an index written before
+    the hashed encoding existed, so one parquet dir never mixes
+    element types (the probe normalizes either encoding via
+    :func:`normalize_index_shingles`; migrate by rewriting the index
+    offline)."""
     rows_per_band = num_hashes // bands
     sh = shingle_set(df, text_col, id_col, n).persist()
     try:
@@ -778,7 +786,9 @@ def build_neardup_index(
             ]
         )
         sets_ = sh.groupBy(id_col).agg(
-            F.collect_set(F.xxhash64("shingle")).alias("shingles")
+            F.collect_set(
+                F.xxhash64("shingle") if hash_shingles else F.col("shingle")
+            ).alias("shingles")
         )
         return (
             sigs.select(F.col(id_col), band_arr.alias("bands"))
@@ -787,6 +797,19 @@ def build_neardup_index(
         )
     finally:
         sh.unpersist(blocking=False)
+
+
+def normalize_index_shingles(index: DataFrame) -> DataFrame:
+    """Schema-compat shim for persisted indexes written before the
+    hashed-shingle change: a legacy ``shingles array<string>`` column
+    is mapped element-wise through the same ``xxhash64`` encoding the
+    current :func:`build_neardup_index` writes, so old and new index
+    rows intersect correctly. No-op for current indexes."""
+    if dict(index.dtypes).get("shingles") == "array<string>":
+        return index.withColumn(
+            "shingles", F.transform("shingles", lambda x: F.xxhash64(x))
+        )
+    return index
 
 
 def incremental_neardup_pairs(
@@ -816,6 +839,7 @@ def incremental_neardup_pairs(
     ∝ batch size + matched index rows, never corpus size. The
     ``max_bucket`` guard drops degenerate boilerplate buckets on the
     index side, same as the batch LSH path."""
+    index = normalize_index_shingles(index)
     idx_bands = index.select(
         F.col(id_col).alias("index_id"),
         F.posexplode("bands").alias("band_idx", "band_hash"),
@@ -926,62 +950,66 @@ def chunk_dedup_keep(
     whose every chunk was seen earlier disappear entirely (fully
     boilerplate docs).
 
-    Scale: the dedup decision shuffles ``(md5, id, chunk_idx)``
-    projections, never chunk bodies twice — the chunk text rides only
-    the final per-document reassembly groupBy, which repartitions by
-    document id (bounded rows per group ≈ |doc|/chunk_tokens). The
-    first-occurrence window partitions by content hash: near-uniform
-    by construction, and a degenerate hash bucket (one boilerplate
-    chunk repeated 10⁷×) is WindowExec-buffered, which spills —
-    state is disk-bounded, not memory-bounded.
+    Scale — chunk BODIES never shuffle: the first-occurrence decision
+    runs entirely on ``(md5(chunk), id, chunk_idx)`` projections
+    (hash-group min-struct, then regroup the winning indexes by
+    document — two projection-sized shuffles), and the surviving text
+    is re-derived row-locally from the original document in a single
+    doc-sized join. A degenerate hash bucket (one boilerplate chunk
+    repeated 10⁷×) costs one min-struct aggregate cell — map-side
+    combined, O(1) state — not a buffered window.
     """
     w = chunk_tokens
     toks = F.col("__toks")
-    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("long")
+    n_chunks_c = F.ceil(F.size(toks) / F.lit(w)).cast("long")
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+        F.sequence(F.lit(0), n_chunks_c - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
     )
     nparts = df.sparkSession.sparkContext.defaultParallelism
-    exploded = (
-        df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
-        )
-        # parallelize the chunk expressions off a few-split scan, same
-        # rationale as shingle_set
-        .repartition(nparts, F.col(id_col))
+    tokenized = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    # decision table: hashes only — parallelize the chunk expressions
+    # off a few-split scan (same rationale as shingle_set)
+    hashed = (
+        tokenized.repartition(nparts, F.col(id_col))
         .select(
             F.col(id_col),
-            n_chunks.alias("n_chunks"),
-            F.posexplode(chunks).alias("chunk_idx", "chunk"),
+            F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.md5(F.col("__chunk")).alias("__h"),
         )
     )
-    first = (
-        exploded.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
-                    F.col(id_col), F.col("chunk_idx")
-                )
-            ),
-        )
-        .where(F.col("__rn") == 1)
+    # first occurrence per distinct chunk content = lexicographic min
+    # (id, chunk_idx) — a map-side-combining aggregate, then the
+    # winning indexes regroup per document (both shuffles carry
+    # (16B hash, id, idx) rows only)
+    winners = (
+        hashed.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__w"))
+        .select(F.col(f"__w.{id_col}").alias(id_col), F.col("__w.chunk_idx"))
     )
+    kept = winners.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("chunk_idx")).alias("__keep"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # re-derive surviving text row-locally from the original document
     return (
-        first.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("chunk_idx", "chunk"))
-            ).alias("__kept"),
-            F.max("n_chunks").alias("n_chunks"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
+        tokenized.join(kept, id_col)
         .select(
             F.col(id_col),
             F.array_join(
-                F.transform("__kept", lambda s: s["chunk"]), " "
+                F.transform(
+                    "__keep",
+                    lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+                ),
+                " ",
             ).alias("clean_text"),
-            "n_chunks",
+            n_chunks_c.alias("n_chunks"),
             "n_kept",
         )
     )

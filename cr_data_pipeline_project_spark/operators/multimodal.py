@@ -196,6 +196,10 @@ def decode_ppm_features(payload: bytes) -> dict:
         i = j
     i += 1  # the single whitespace after maxval
     width, height, maxval = (int(f) for f in fields)
+    if not (0 < maxval <= 255):
+        # spec-valid maxval > 255 means 2-byte samples — reading them
+        # as uint8 would silently produce garbage means; flag instead
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
     px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
     img = px.reshape(height, width, 3).astype(np.float64) / maxval
     means = img.mean(axis=(0, 1))

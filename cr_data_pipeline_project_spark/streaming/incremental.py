@@ -292,19 +292,7 @@ def neardup_ingest_batch(
     spark = batch_df.sparkSession
 
     def read_if_present(path: str) -> DataFrame | None:
-        """None ONLY for a path that does not exist yet; every other
-        failure (IO error, corrupt footer, permissions) propagates
-        and fails the batch — a swallowed read error here disables a
-        correctness gate (duplicates land / double-ingest on retry),
-        not an optimization."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-                return None
-            raise
+        return _read_parquet_if_present(spark, path)
 
     batch = batch_df.localCheckpoint()
     if batch.isEmpty():
@@ -359,9 +347,15 @@ def neardup_ingest_batch(
         else batch.join(idx.select(id_col), id_col, "left_anti")
     )
     if not to_index.isEmpty():
-        build_neardup_index(to_index, text_col, id_col).write.mode(
-            "append"
-        ).parquet(index_path)
+        # append in the on-disk encoding: a legacy (pre-hashed-
+        # shingle) index keeps array<string> so one parquet dir never
+        # mixes element types; the probe normalizes either encoding
+        legacy = idx is not None and dict(idx.dtypes).get("shingles") == (
+            "array<string>"
+        )
+        build_neardup_index(
+            to_index, text_col, id_col, hash_shingles=not legacy
+        ).write.mode("append").parquet(index_path)
 
 
 # ------------------------------------------------------------------ #
@@ -394,21 +388,25 @@ def scd2_apply_batch(
 ) -> None:
     """Merge one micro-batch of change events into a persisted SCD-2
     interval table (schema: key, state, valid_from, valid_to NULL for
-    current; hash-bucketed layout).
+    current, plus ``last_ts`` — the open run's absorbed-event
+    frontier, NULL on closed rows; hash-bucketed layout).
 
-    Invariant: applying a feed in ANY batch partitioning yields the
-    same history as one-shot :func:`..operators.scd.scd2_intervals`
-    over the concatenated feed (asserted in tests), because each
-    batch recomputes runs from (current open run ∪ fresh events) per
-    key.
+    Invariant: applying a feed in TIME-PARTITIONED batches (each
+    batch's events newer than every previously absorbed event per
+    key — what a watermarked stream delivers) yields the same history
+    as one-shot :func:`..operators.scd.scd2_intervals` over the
+    concatenated feed (asserted in tests).
 
-    Replay idempotency: events with ts ≤ the key's open-run
-    valid_from are dropped — after a successful apply every
-    state-changing event of the batch satisfies that bound, so a
-    foreachBatch replay recomputes identical rows and the dynamic
-    partition overwrite rewrites the same bytes. (Same rule makes
-    out-of-order stragglers older than the current run a documented
-    no-op — bounding THAT is the upstream watermark's job.)
+    Straggler policy + replay idempotency share one rule: events with
+    ts ≤ the key's absorbed frontier (``last_ts``) are dropped. The
+    frontier — not the run's valid_from — is the correct bound: a
+    late event landing INSIDE the open run's already-absorbed span
+    would otherwise recompute a history that silently erases the
+    run's later extent (late-data beyond the frontier is the upstream
+    watermark's job; corrections require an offline rebuild). After a
+    successful apply every state-changing event satisfies the bound,
+    so a foreachBatch replay recomputes identical rows and the
+    dynamic partition overwrite rewrites the same bytes.
 
     Scale: history is hash-bucketed on the key; a batch rewrites only
     the buckets its keys live in (write amplification = touched
@@ -431,22 +429,23 @@ def scd2_apply_batch(
         affected = hist.join(keys, key_col, "left_semi")
         open_rows = affected.where(F.col("valid_to").isNull())
         closed = affected.where(F.col("valid_to").isNotNull()).select(
-            key_col, "state", "valid_from", "valid_to"
+            key_col, "state", "valid_from", "valid_to", "last_ts"
         )
-        # stale-event guard (replay idempotency + straggler policy)
+        # frontier guard (replay idempotency + straggler policy)
         ev = (
             ev.join(
                 open_rows.select(
-                    key_col, F.col("valid_from").alias("__cur_from")
+                    key_col,
+                    F.coalesce("last_ts", "valid_from").alias("__frontier"),
                 ),
                 key_col,
                 "left",
             )
             .where(
-                F.col("__cur_from").isNull()
-                | (F.col(ts_col) > F.col("__cur_from"))
+                F.col("__frontier").isNull()
+                | (F.col(ts_col) > F.col("__frontier"))
             )
-            .drop("__cur_from")
+            .drop("__frontier")
         )
         # seed each key's recompute with its current open run
         seed = open_rows.select(
@@ -455,11 +454,37 @@ def scd2_apply_batch(
             F.col("valid_from").alias(ts_col),
         )
         feed = ev.unionByName(seed)
+        old_frontier = open_rows.select(
+            key_col, F.coalesce("last_ts", "valid_from").alias("__old_f")
+        )
     else:
         closed = None
         feed = ev
+        old_frontier = None
 
     recomputed = scd2_intervals(feed, key_col, value_col, ts_col)
+    # new absorbed frontier per key = max(surviving event ts, old
+    # frontier) — carried only on the open row; an all-stale batch
+    # must NOT lower it (feed max would be the seed's valid_from)
+    fmax = feed.groupBy(key_col).agg(F.max(ts_col).alias("__fmax"))
+    if old_frontier is not None:
+        fmax = (
+            fmax.join(old_frontier, key_col, "left")
+            .select(
+                key_col,
+                F.greatest(
+                    "__fmax", F.coalesce("__old_f", "__fmax")
+                ).alias("__fmax"),
+            )
+        )
+    recomputed = (
+        recomputed.join(fmax, key_col, "left")
+        .withColumn(
+            "last_ts",
+            F.when(F.col("valid_to").isNull(), F.col("__fmax")),
+        )
+        .drop("__fmax")
+    )
     new_affected = (
         recomputed
         if closed is None
@@ -472,7 +497,7 @@ def scd2_apply_batch(
         # must ride along (dynamic overwrite replaces whole buckets)
         bucket_ids = keys.select(bucket(key_col).alias("__bucket")).distinct()
         residents = (
-            hist.select(key_col, "state", "valid_from", "valid_to")
+            hist.select(key_col, "state", "valid_from", "valid_to", "last_ts")
             .withColumn("__bucket", bucket(key_col))
             .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
             .join(keys, key_col, "left_anti")
@@ -500,8 +525,13 @@ def streaming_scd2_ingest(
     stream → per-batch run merge (:func:`scd2_apply_batch`). The
     history table this keeps current is exactly what the as-of join
     (operators/rangejoin.py) consumes as its dimension side."""
+    # dedup includes the value column: two same-timestamp events with
+    # DIFFERENT values are a genuine tie that scd2_intervals resolves
+    # with its deterministic value tiebreak — dropping one of them
+    # here (key+ts only) would make the history depend on arrival
+    # order
     deduped = change_stream.withWatermark(ts_col, watermark).dropDuplicates(
-        [key_col, ts_col]
+        [key_col, ts_col, value_col]
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -102,3 +102,14 @@ def test_decode_dispatch_and_error_capture(spark):
     assert out[3].decode_error is not None and out[3].feat is None
     assert "unsupported" in out[4].decode_error
     assert out[5].decode_error is not None
+
+
+def test_ppm_rejects_wide_samples_and_zero_maxval():
+    import numpy as np
+    import pytest as _pytest
+
+    px8 = np.zeros((2, 2, 3), dtype=np.uint8).tobytes()
+    for maxval in (65535, 0):
+        payload = f"P6\n2 2\n{maxval}\n".encode() + px8
+        with _pytest.raises(ValueError, match="maxval"):
+            multimodal.decode_ppm_features(payload)

@@ -495,3 +495,81 @@ def test_scd2_replay_idempotent_and_stale_dropped(spark, tmp_path):
     stale = batch([(1, "trial", "2024-01-02T00:00:00")])
     scd2_apply_batch(stale, hist, "user_id", "state", "ts")
     assert _scd_rows(spark, hist) == after_first
+
+
+def test_scd2_inside_run_late_event_is_dropped(spark, tmp_path):
+    """A late event landing INSIDE the open run's absorbed span must
+    not rewrite history (frontier guard, not valid_from guard)."""
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        scd2_apply_batch,
+    )
+
+    hist = os.path.join(str(tmp_path), "hist")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, state string, ts string"
+        ).select(
+            "user_id", "state", F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    # run 'free' absorbed Jan1 AND Jan4 (no state change at Jan4,
+    # but the frontier advances to Jan4)
+    b1 = batch(
+        [(1, "free", "2024-01-01T00:00:00"), (1, "free", "2024-01-04T00:00:00")]
+    )
+    scd2_apply_batch(b1, hist, "user_id", "state", "ts")
+    before = _scd_rows(spark, hist)
+    assert before == [(1, "free", "2024-01-01 00:00:00", None)]
+    # Jan2 'pro' is > valid_from but ≤ the absorbed frontier (Jan4):
+    # applying it would erase the run's later extent — must be a no-op
+    late = batch([(1, "pro", "2024-01-02T00:00:00")])
+    scd2_apply_batch(late, hist, "user_id", "state", "ts")
+    assert _scd_rows(spark, hist) == before
+    # and a genuinely-new event past the frontier still applies
+    b2 = batch([(1, "pro", "2024-01-05T00:00:00")])
+    scd2_apply_batch(b2, hist, "user_id", "state", "ts")
+    assert _scd_rows(spark, hist) == [
+        (1, "free", "2024-01-01 00:00:00", "2024-01-05 00:00:00"),
+        (1, "pro", "2024-01-05 00:00:00", None),
+    ]
+
+
+def test_neardup_index_legacy_string_schema_compat(spark, tmp_path):
+    """A pre-hashed-encoding index (shingles array<string>) must stay
+    probe-able AND append-compatible: new batches append in the
+    legacy encoding so the parquet dir never mixes element types."""
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+    )
+
+    idx_path = os.path.join(str(tmp_path), "index")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different words " * 8)],
+        "doc_id long, text string",
+    )
+    legacy = build_neardup_index(corpus, "text", "doc_id", hash_shingles=False)
+    assert dict(legacy.dtypes)["shingles"] == "array<string>"
+    legacy.write.parquet(idx_path)
+
+    probe = spark.createDataFrame(
+        [(10, base + "omega")], "doc_id long, text string"
+    )  # near-identical: jaccard well above the 0.5 threshold
+    got = incremental_neardup_pairs(
+        probe, spark.read.parquet(idx_path), "text", "doc_id", threshold=0.5
+    )
+    assert [(r.new_id, r.index_id) for r in got.collect()] == [(10, 1)]
+
+    # append in matching encoding, dir stays readable end-to-end
+    more = spark.createDataFrame(
+        [(3, "yet another corpus entry " * 8)], "doc_id long, text string"
+    )
+    build_neardup_index(more, "text", "doc_id", hash_shingles=False).write.mode(
+        "append"
+    ).parquet(idx_path)
+    again = incremental_neardup_pairs(
+        probe, spark.read.parquet(idx_path), "text", "doc_id", threshold=0.5
+    )
+    assert [(r.new_id, r.index_id) for r in again.collect()] == [(10, 1)]

@@ -161,3 +161,37 @@ def test_bucket_pairs_equals_naive_self_join(spark, buckets, cap):
             for j in range(i + 1, len(ms)):
                 want.add((ms[i], ms[j]))
     assert got == want
+
+
+def test_chunk_dedup_reassembly_invariants(spark):
+    """Structural invariants of sub-document dedup, independent of
+    data: (1) the min-id document survives intact; (2) every distinct
+    chunk content appears EXACTLY once across all clean_texts;
+    (3) n_kept sums to the number of distinct chunk contents."""
+    from cr_data_pipeline_project_spark.operators.dedup import chunk_dedup_keep
+
+    W = 4
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = []
+    for doc in range(12):
+        n = 3 + (doc * 7) % 9
+        toks = [vocab[(doc * 31 + i * 13) % 5] for i in range(n * W)]
+        rows.append((doc, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup_keep(df, "text", "doc_id", W).collect()}
+
+    def chunks(text):
+        t = text.split()
+        return [" ".join(t[i : i + W]) for i in range(0, len(t), W)]
+
+    all_chunks = [c for _, txt in rows for c in chunks(txt)]
+    distinct = set(all_chunks)
+    # (1) doc 0's earliest-indexed copy of each content wins before
+    # any later doc; its own duplicates collapse to first occurrence
+    seen = set()
+    expect0 = [c for c in chunks(rows[0][1]) if not (c in seen or seen.add(c))]
+    assert out[0].clean_text == " ".join(expect0)
+    # (2) + (3)
+    kept_all = [c for r in out.values() for c in chunks(r.clean_text)]
+    assert sorted(kept_all) == sorted(distinct)
+    assert sum(r.n_kept for r in out.values()) == len(distinct)

@@ -940,7 +940,9 @@ def chunk_dedup_keep(
     chunk_tokens: int = 20,
 ) -> DataFrame:
     """Corpus-wide duplicate-passage removal at sub-document
-    granularity (the C4 / RefinedWeb line-dedup technique, applied to
+    granularity — the C4 (Raffel et al., JMLR 2020, §2.2) /
+    RefinedWeb (Penedo et al., arXiv:2306.01116) line-dedup
+    technique (applied to
     fixed ``chunk_tokens``-token chunks because the fixture corpus is
     single-line): every chunk keeps only its FIRST occurrence
     corpus-wide (min ``(id, chunk_idx)`` by content hash); documents
@@ -1027,7 +1029,8 @@ def ngram_contamination(
     id_col: str,
     n: int = 8,
 ) -> DataFrame:
-    """Exact n-gram decontamination (the GPT-3 appendix-C method):
+    """Exact n-gram decontamination (the GPT-3 method — Brown et
+    al., arXiv:2005.14165, appendix C):
     flag every train document sharing at least one word ``n``-gram
     with the held-out test set. Returns ``(id_col, n_shared_grams)``
     — the count of the train document's DISTINCT n-grams that occur

@@ -6,8 +6,9 @@ value. A training-data warehouse usually wants the *history* too:
 which value was in effect when, so facts can join the dimension
 AS OF their event time (see ``operators/rangejoin.py`` /
 ``operators.rangejoin.asof_join`` for the consuming side). This
-module derives that SCD-2 interval table declaratively from an
-ordered change feed.
+module derives that SCD-2 interval table (Kimball's type-2
+slowly-changing dimension) declaratively from an ordered change
+feed.
 
 Scale notes: one shuffle on the entity key; both windows share the
 same (key) partitioning so Catalyst plans a single Exchange with two

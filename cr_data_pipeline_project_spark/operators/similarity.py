@@ -477,7 +477,8 @@ def semantic_neardup(
     probe: int = 3,
     max_cluster: int = 100_000,
 ) -> DataFrame:
-    """SemDeDup-style semantic near-duplicate pairs: k-means buckets
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    "SemDeDup", arXiv:2303.09540): k-means buckets
     the corpus, candidate pairs form only WITHIN clusters, exact
     cosine verifies. Returns (vec_a, vec_b, score) with score ≥
     ``threshold`` — the sub-quadratic scale twin of

@@ -186,4 +186,23 @@ def test_semantic_neardup_recall_and_precision(spark, sf_dir):
     assert got <= exact  # exact verification ⇒ no false positives
     assert len(exact) > 0
     recall = len(got & exact) / len(exact)
+    # per-round artifact, same contract as q48's: a parameter change
+    # (k, probe, n_iter) can't silently degrade recall
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "metrics", "q91_recall.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "query": "q91_semantic_neardup",
+                "recall_vs_exact": round(recall, 4),
+                "n_exact_pairs": len(exact),
+                "n_found": len(got),
+            },
+            f,
+            indent=1,
+        )
     assert recall >= 0.9, f"semantic dedup recall {recall:.2f}"

@@ -1,0 +1,115 @@
+"""End-to-end training-corpus curation: one call chaining the
+engine's curation operators in the order a production LLM-data
+pipeline runs them, with a per-stage audit trail.
+
+    curated, stats = curate_corpus(docs, holdout=test_docs)
+
+Stage order (each stage sees the previous stage's survivors only —
+cheapest-first so expensive stages run on the smallest corpus):
+
+1. rules        — length bounds + language allowlist (pure
+                  expressions, one scan; the q55 shape)
+2. exact        — content-hash dedup, min-id survivor
+3. neardup      — MinHash-LSH pairs at ``neardup_threshold``; the
+                  larger id of each verified pair drops (the
+                  streaming-ingest convention)
+4. decontam     — exact n-gram overlap with ``holdout`` (GPT-3
+                  appendix-C; skipped when no holdout is given)
+5. split        — deterministic hash split into train/val/test
+
+Every stage is lazy DataFrame composition — ``curate_corpus`` builds
+one plan; nothing executes until the caller writes/collects. The
+audit DataFrame counts documents dropped per stage (one aggregate per
+stage over id-only projections).
+
+Scale: stages 1-2 are scan + one hash shuffle; stage 3 is the LSH
+plan (bucketed candidates, id-only shuffles, hot-bucket guards);
+stage 4 broadcasts the holdout's distinct grams. No stage shuffles
+document bodies except the final survivors' own write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.dedup import (
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    ngram_contamination,
+)
+from .operators.sampling import split_column
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout: DataFrame | None = None,
+    min_chars: int = 100,
+    max_chars: int = 400,
+    langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+    lang_col: str | None = "lang",
+    neardup_threshold: float = 0.7,
+    contamination_ngram: int = 8,
+    split_fractions: dict[str, float] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(curated, stats)``: the curated corpus with a
+    ``split`` column, and a per-stage audit of documents dropped.
+
+    ``stats`` schema: (stage string, n_dropped long) in stage order,
+    plus a final ('kept', n) row — rows sum to ``docs.count()``."""
+    n_chars = F.length(F.col(text_col))
+    rule_ok = (n_chars >= min_chars) & (n_chars <= max_chars)
+    if lang_col is not None:
+        rule_ok = rule_ok & F.col(lang_col).isin(*langs)
+    after_rules = docs.where(rule_ok)
+
+    after_exact = exact_dedup_keep(after_rules, text_col, id_col)
+
+    pairs = minhash_lsh_pairs(
+        after_exact, text_col, id_col, threshold=neardup_threshold
+    )
+    after_neardup = after_exact.join(
+        pairs.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+
+    if holdout is not None:
+        flagged = ngram_contamination(
+            after_neardup, holdout, text_col, id_col, n=contamination_ngram
+        ).select(id_col)
+        after_decontam = after_neardup.join(flagged, id_col, "left_anti")
+    else:
+        after_decontam = after_neardup
+
+    fractions = split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    curated = after_decontam.withColumn(
+        "split", split_column(id_col, fractions)
+    )
+
+    def n(df: DataFrame) -> DataFrame:
+        return df.select(F.count(F.lit(1)).alias("__n"))
+
+    def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        return (
+            n(before)
+            .crossJoin(n(after).select(F.col("__n").alias("__m")))
+            .select(
+                F.lit(name).alias("stage"),
+                (F.col("__n") - F.col("__m")).alias("n_dropped"),
+            )
+        )
+
+    stats = (
+        stage("rules", docs, after_rules)
+        .unionAll(stage("exact_dedup", after_rules, after_exact))
+        .unionAll(stage("neardup", after_exact, after_neardup))
+        .unionAll(stage("decontam", after_neardup, after_decontam))
+        .unionAll(
+            n(curated).select(
+                F.lit("kept").alias("stage"), F.col("__n").alias("n_dropped")
+            )
+        )
+    )
+    return curated, stats

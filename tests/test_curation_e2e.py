@@ -1,0 +1,57 @@
+"""End-to-end corpus curation: one-call chain with per-stage audit."""
+
+from pyspark.sql import functions as F
+
+from cr_data_pipeline_project_spark.catalog import table
+from cr_data_pipeline_project_spark.curation import curate_corpus
+
+
+def test_curate_corpus_accounting_and_determinism(spark, sf_dir):
+    docs = table(spark, "documents", sf_dir)
+    holdout = docs.where(F.col("source") == "src6")
+    train_side = docs.where(F.col("source") != "src6")
+
+    curated, stats = curate_corpus(train_side, holdout=holdout)
+    srows = {r.stage: r.n_dropped for r in stats.collect()}
+    total = train_side.count()
+    # audit sums to the input corpus
+    assert sum(srows.values()) == total
+    assert set(srows) == {"rules", "exact_dedup", "neardup", "decontam", "kept"}
+    assert srows["kept"] > 0
+    # split column present, only declared labels
+    labels = {r.split for r in curated.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    # deterministic end to end
+    a = sorted((r.doc_id, r.split) for r in curated.select("doc_id", "split").collect())
+    curated2, _ = curate_corpus(train_side, holdout=holdout)
+    b = sorted((r.doc_id, r.split) for r in curated2.select("doc_id", "split").collect())
+    assert a == b
+
+
+def test_curate_corpus_stage_semantics(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the spark engine "
+        "shuffling rows across partitions and joining tables with hash keys "
+        "while the optimizer prunes columns and pushes filters to the scan"
+    )
+    rows = [
+        (1, base, "en"),                       # kept
+        (2, base, "en"),                       # exact dup of 1
+        (3, base + " tail", "en"),             # near-dup of 1
+        (4, "short", "en"),                    # rules: too short
+        (5, base.replace("quick", "schnelle"), "zz"),  # rules: bad lang
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    curated, stats = curate_corpus(
+        docs, min_chars=50, max_chars=1000, neardup_threshold=0.7
+    )
+    kept = sorted(r.doc_id for r in curated.select("doc_id").collect())
+    assert kept == [1]
+    srows = {r.stage: r.n_dropped for r in stats.collect()}
+    assert srows == {
+        "rules": 2,
+        "exact_dedup": 1,
+        "neardup": 1,
+        "decontam": 0,
+        "kept": 1,
+    }

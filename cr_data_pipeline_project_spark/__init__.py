@@ -14,8 +14,10 @@ Layout
 - ``operators``  relational + mutation + dedup + similarity + text +
                  window + multimodal operators
 - ``plans``      named query builders — the ``queries()`` surface
+- ``curation``   one-call end-to-end corpus curation chain
 - ``streaming``  Structured Streaming re-expression of the incremental
-                 load (watermark dedup + foreachBatch merge)
+                 load (watermark dedup + foreachBatch merge, near-dup
+                 curation ingest, SCD-2 dimension maintenance)
 """
 
 __version__ = "0.1.0"

@@ -56,3 +56,37 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def state_at(
+    fact: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Attach the SCD-2 state in effect at each fact row's event time:
+    the interval with ``valid_from ≤ ts < valid_to`` (open interval —
+    NULL valid_to — covers to +∞). Exactly one interval matches per
+    covered fact row, since :func:`scd2_intervals` emits a disjoint
+    partition of time per key.
+
+    Scale: this is an EQUI-join on the entity key with the interval
+    bounds as a residual filter — both sides hash/sort-merge on the
+    key, no broadcast and no interval explosion needed, so a
+    corpus-sized dimension history (every user's full change log)
+    joins a corpus-sized fact table with one key shuffle each. (The
+    broadcast ``interval_join`` in operators/rangejoin.py is the
+    right tool only when the interval table is dimension-small.)"""
+    dim = history.select(
+        F.col(key_col),
+        F.col("state"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    cond = (
+        (fact[key_col] == dim[key_col])
+        & (fact[ts_col] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact[ts_col] < dim["valid_to"]))
+    )
+    return fact.join(dim, cond, how).drop(dim[key_col])

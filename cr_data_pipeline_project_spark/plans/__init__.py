@@ -43,10 +43,11 @@ GATE_SLOTS = 50
 GATE_OVERFLOW: tuple[str, ...] = (
     # parked round 4 (driver-green in r03): scalar/projection
     # reference queries + the round-3 additions q75-q77/q79-q84,
-    # plus eight more r03-attested queries parked to open slots for
-    # the round-4 additions q86-q90/q92-q94 (they return in round 5)
+    # plus nine more r03-attested queries parked to open slots for
+    # the round-4 additions q86-q90/q92-q95 (they return in round 5)
     "q20_window_rank",
     "q23_surrogate_keys",
+    "q36_ann_bruteforce_topk",
     "q30_sliding_window",
     "q46_rollup",
     "q49_sql_view_api",

@@ -1868,3 +1868,41 @@ def q94_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_features(media).select(
         "media_id", "n_bytes", "sample_rate", "n_samples", "duration_ms"
     )
+
+
+@q(
+    "q95_state_at_event",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_type) AS prev
+        FROM events),
+    runs AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE prev IS NULL OR prev <> event_type),
+    dim AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_type) AS valid_to
+        FROM runs)
+    SELECT e.event_id, e.user_id, e.ts, d.state
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+)
+def q95_state_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD-2 consume path, end to end: derive the interval
+    history (q89) and attach each event's then-current state via the
+    key-equi + range-residual join — the scale shape for
+    corpus-sized dimension histories (no broadcast, no interval
+    explosion; one key shuffle per side). Every event matches exactly
+    one interval because scd2_intervals partitions time per key."""
+    from ..operators import scd
+
+    ev = table(spark, "events", sf_dir)
+    hist = scd.scd2_intervals(ev, "user_id", "event_type", "ts")
+    return scd.state_at(
+        ev.select("event_id", "user_id", "ts"), hist, "user_id", "ts"
+    ).select("event_id", "user_id", "ts", "state")

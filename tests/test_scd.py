@@ -52,3 +52,39 @@ def test_scd2_tie_deterministic(spark):
     got = scd2_intervals(df, "user_id", "event_type", "ts").collect()
     states = [r.state for r in sorted(got, key=lambda r: (r.state))]
     assert states == ["a", "b"]
+
+
+def test_state_at_covers_every_event_once(spark):
+    rows = [
+        (1, "free", _ts("2024-01-01T00:00:00")),
+        (1, "pro", _ts("2024-01-03T00:00:00")),
+        (1, "free", _ts("2024-01-05T00:00:00")),
+        (2, "pro", _ts("2024-01-02T00:00:00")),
+    ]
+    feed = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    from cr_data_pipeline_project_spark.operators.scd import state_at
+
+    hist = scd2_intervals(feed, "user_id", "event_type", "ts")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-02T12:00:00")),  # inside run 1
+            (101, 1, _ts("2024-01-03T00:00:00")),  # AT a boundary → new run
+            (102, 1, _ts("2024-01-09T00:00:00")),  # open interval
+            (103, 2, _ts("2024-01-02T00:00:01")),
+            (104, 2, _ts("2024-01-01T00:00:00")),  # before first run
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    got = {
+        r.event_id: r.state
+        for r in state_at(facts, hist, "user_id", "ts").collect()
+    }
+    assert got == {100: "free", 101: "pro", 102: "free", 103: "pro"}
+    # 'left' keeps uncovered facts with NULL state
+    left = {
+        r.event_id: r.state
+        for r in state_at(facts, hist, "user_id", "ts", how="left").collect()
+    }
+    assert left[104] is None and len(left) == 5

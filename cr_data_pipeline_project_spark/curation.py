@@ -17,10 +17,14 @@ cheapest-first so expensive stages run on the smallest corpus):
                   appendix-C; skipped when no holdout is given)
 5. split        — deterministic hash split into train/val/test
 
-Every stage is lazy DataFrame composition — ``curate_corpus`` builds
-one plan; nothing executes until the caller writes/collects. The
-audit DataFrame counts documents dropped per stage (one aggregate per
-stage over id-only projections).
+Execution contract: the near-dup stage materializes its (small)
+pair set at call time — ``minhash_lsh_pairs`` ends in an eager
+``localCheckpoint`` so the pair result is computed once and its
+lineage cut — and, when ``with_stats=True`` (default), each stage
+boundary is counted ONCE, eagerly, while building the audit (five
+1-row jobs; each stage's lineage executes exactly once for its
+count). Pass ``with_stats=False`` to skip the audit and keep
+everything downstream of the pair set lazy.
 
 Scale: stages 1-2 are scan + one hash shuffle; stage 3 is the LSH
 plan (bucketed candidates, id-only shuffles, hot-bucket guards);
@@ -52,9 +56,11 @@ def curate_corpus(
     neardup_threshold: float = 0.7,
     contamination_ngram: int = 8,
     split_fractions: dict[str, float] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_stats: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Returns ``(curated, stats)``: the curated corpus with a
-    ``split`` column, and a per-stage audit of documents dropped.
+    ``split`` column, and a per-stage audit of documents dropped
+    (None when ``with_stats=False``).
 
     ``stats`` schema: (stage string, n_dropped long) in stage order,
     plus a final ('kept', n) row — rows sum to ``docs.count()``."""
@@ -88,28 +94,37 @@ def curate_corpus(
         "split", split_column(id_col, fractions)
     )
 
+    if not with_stats:
+        return curated, None
+
+    # each boundary is counted ONCE (eager 1-row checkpoint) — the
+    # naive per-stage (before, after) count pairs would re-execute
+    # every shared upstream lineage twice per adjacent stage
     def n(df: DataFrame) -> DataFrame:
-        return df.select(F.count(F.lit(1)).alias("__n"))
+        return df.select(
+            F.count(F.lit(1)).alias("__n")
+        ).localCheckpoint()
 
-    def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
-        return (
-            n(before)
-            .crossJoin(n(after).select(F.col("__n").alias("__m")))
-            .select(
-                F.lit(name).alias("stage"),
-                (F.col("__n") - F.col("__m")).alias("n_dropped"),
-            )
+    counts = [
+        ("rules", n(docs), n(after_rules)),
+        ("exact_dedup", None, n(after_exact)),
+        ("neardup", None, n(after_neardup)),
+        ("decontam", None, n(after_decontam)),
+    ]
+    stats = None
+    prev = counts[0][1]
+    for name, _, after_n in counts:
+        row = prev.crossJoin(
+            after_n.select(F.col("__n").alias("__m"))
+        ).select(
+            F.lit(name).alias("stage"),
+            (F.col("__n") - F.col("__m")).alias("n_dropped"),
         )
-
-    stats = (
-        stage("rules", docs, after_rules)
-        .unionAll(stage("exact_dedup", after_rules, after_exact))
-        .unionAll(stage("neardup", after_exact, after_neardup))
-        .unionAll(stage("decontam", after_neardup, after_decontam))
-        .unionAll(
-            n(curated).select(
-                F.lit("kept").alias("stage"), F.col("__n").alias("n_dropped")
-            )
+        stats = row if stats is None else stats.unionAll(row)
+        prev = after_n
+    stats = stats.unionAll(
+        prev.select(
+            F.lit("kept").alias("stage"), F.col("__n").alias("n_dropped")
         )
     )
     return curated, stats

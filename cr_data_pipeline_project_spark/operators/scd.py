@@ -5,7 +5,8 @@ The reference maintains current-state dimensions with MERGE upserts
 value. A training-data warehouse usually wants the *history* too:
 which value was in effect when, so facts can join the dimension
 AS OF their event time (see ``operators/rangejoin.py`` /
-``operators.rangejoin.asof_join`` for the consuming side). This
+``operators.rangejoin.as_of_join``, and :func:`state_at` below, for
+the consuming side). This
 module derives that SCD-2 interval table (Kimball's type-2
 slowly-changing dimension) declaratively from an ordered change
 feed.

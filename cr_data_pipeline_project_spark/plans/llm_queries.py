@@ -1819,10 +1819,10 @@ def q93_decontaminated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q94_wav_decode_meta",
     """
     SELECT doc_id AS media_id,
-           (44 + 2 * (400 + (doc_id % 10) * 80))::BIGINT AS n_bytes,
+           (44 + 2 * (200 + (doc_id % 10) * 40))::BIGINT AS n_bytes,
            8000::INTEGER AS sample_rate,
-           (400 + (doc_id % 10) * 80)::BIGINT AS n_samples,
-           ((400 + (doc_id % 10) * 80) / 8)::INTEGER AS duration_ms
+           (200 + (doc_id % 10) * 40)::BIGINT AS n_samples,
+           ((200 + (doc_id % 10) * 40) / 8)::INTEGER AS duration_ms
     FROM documents
     """,
 )
@@ -1852,7 +1852,7 @@ def q94_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         multimodal.synth_wav(
                             100.0 + (i % 400),
                             sample_rate=8000,
-                            n_samples=400 + (i % 10) * 80,
+                            n_samples=200 + (i % 10) * 40,
                         )
                         for i in ids
                     ],

@@ -44,7 +44,12 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # parked round 4 (driver-green in r03): scalar/projection
     # reference queries + the round-3 additions q75-q77/q79-q84,
     # plus nine more r03-attested queries parked to open slots for
-    # the round-4 additions q86-q90/q92-q95 (they return in round 5)
+    # the round-4 additions q86-q90/q92-q95 (they return in round 5),
+    # and three more (q04/q69/q71, all r03-green) parked for the
+    # late-round-4 additions q96-q98
+    "q04_recent_rankings_top100",
+    "q69_doc_length_deciles",
+    "q71_event_percentiles",
     "q20_window_rank",
     "q23_surrogate_keys",
     "q36_ann_bruteforce_topk",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, mutations, similarity, textstats
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -1906,3 +1906,169 @@ def q95_state_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.state_at(
         ev.select("event_id", "user_id", "ts"), hist, "user_id", "ts"
     ).select("event_id", "user_id", "ts", "state")
+
+
+# ------------------------------------------------------------------ #
+# round-4 continuation: snapshot diff / adaptive gate / shard        #
+# manifest                                                           #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q96_snapshot_diff",
+    """
+    WITH prior AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN left(text, 20)
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 11 <> 0),
+    cur AS (
+        SELECT doc_id, md5(text) AS h
+        FROM documents WHERE doc_id % 13 <> 5)
+    SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM prior p FULL JOIN cur c ON p.doc_id = c.doc_id
+    WHERE p.doc_id IS NULL OR c.doc_id IS NULL OR p.h <> c.h
+    """,
+)
+def q96_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — added / removed / changed documents
+    between two corpus versions (the lake's `Lake.read(version=)`
+    consume path: what changed between yesterday's snapshot and
+    today's?). Deterministic simulation: the prior snapshot lacks
+    every 11th doc (added since), truncates every 7th doc's text
+    (changed since), and the current snapshot lacks doc_id % 13 = 5
+    (removed since).
+
+    Scale shape: each side projects to (doc_id, md5(text)) AT THE
+    SCAN — the full-outer join shuffles 16-byte hashes, never
+    document bodies, so diffing two 100 TB snapshots moves only
+    ~id+hash per row. Unchanged rows (the overwhelming majority)
+    are dropped before any further processing."""
+    docs = table(spark, "documents", sf_dir)
+    prior = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.expr("left(text, 20)")
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    cur = docs.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    j = prior.alias("p").join(
+        cur.alias("c"), F.col("p.doc_id") == F.col("c.doc_id"), "full_outer"
+    )
+    return j.where(
+        F.col("p.doc_id").isNull()
+        | F.col("c.doc_id").isNull()
+        | (F.col("p.h") != F.col("c.h"))
+    ).select(
+        F.coalesce("p.doc_id", "c.doc_id").alias("doc_id"),
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+@q(
+    "q97_adaptive_length_gate",
+    """
+    WITH th AS (
+        SELECT source,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+        FROM documents GROUP BY source)
+    SELECT d.source,
+           ROUND(th.lo, 4) AS lo,
+           ROUND(th.hi, 4) AS hi,
+           CAST(SUM(CASE WHEN d.n_chars >= th.lo AND d.n_chars <= th.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.n_chars < th.lo OR d.n_chars > th.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM documents d JOIN th ON d.source = th.source
+    GROUP BY d.source, th.lo, th.hi
+    """,
+)
+def q97_adaptive_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality gate: each source's own p05/p95
+    length band decides what survives — the curation pattern for
+    heterogeneous corpora where one global threshold either guts a
+    short-form source or admits a long-form source's boilerplate
+    (per-domain adaptive filtering, a la CCNet's per-language
+    buckets).
+
+    Two passes, both scale-clean: pass 1 is a per-source exact
+    percentile aggregate (partial-mergeable, same shape as q71; at
+    100 TB swap in approx_percentile's t-digest); the resulting
+    threshold table is one row per source — broadcast — so pass 2
+    is a map-side join + partial-aggregated count, no fact-side
+    shuffle beyond the final per-source rollup."""
+    docs = table(spark, "documents", sf_dir)
+    th = docs.groupBy("source").agg(
+        F.percentile(F.col("n_chars").cast("double"), 0.05).alias("lo"),
+        F.percentile(F.col("n_chars").cast("double"), 0.95).alias("hi"),
+    )
+    kept = (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    return (
+        docs.join(F.broadcast(th), "source")
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+        )
+        .select(
+            "source",
+            F.round("lo", 4).alias("lo"),
+            F.round("hi", 4).alias("hi"),
+            "n_kept",
+            "n_dropped",
+        )
+    )
+
+
+@q(
+    "q98_shard_manifest",
+    """
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, n_tok,
+               row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
+        FROM tok)
+    SELECT CAST((rnk - 1) % 16 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM ranked GROUP BY 1
+    """,
+)
+def q98_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard manifest: docs are round-robined into
+    16 shards by global token-count rank (longest-processing-time
+    round-robin — shard token sums stay within one max-doc of each
+    other), the assignment a distributed dataloader consumes.
+
+    No global single-partition window: the global rank comes from
+    the q58 scale path — repartitionByRange on the rank key +
+    sortWithinPartitions + arithmetic dense ids
+    (mutations.assign_dense_ids), whose parity with row_number() is
+    itself driver-attested by q58. Only a 1-row-per-partition count
+    ever converges on one node."""
+    docs = table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    ordered = tok.repartitionByRange(
+        8, F.col("n_tok").desc(), F.col("doc_id")
+    ).sortWithinPartitions(F.col("n_tok").desc(), F.col("doc_id"))
+    ranked = mutations.assign_dense_ids(ordered, "rnk")
+    return ranked.groupBy(
+        ((F.col("rnk") - 1) % 16).cast("long").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )

@@ -53,11 +53,29 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(_id, vd) × broadcast centroids → (_id, vd, cid) of the
-    nearest centroid, ties broken on smallest cid. Argmin is an
-    aggregate (struct-min), not a window: partial aggregation
-    collapses the k candidates per vector map-side."""
+def _assign(
+    vecs: DataFrame, cents: DataFrame, engine: str = "expr"
+) -> DataFrame:
+    """(_id, vd) × centroids → (_id, vd, cid) of the nearest
+    centroid, ties broken on smallest cid.
+
+    ``engine='expr'``: broadcast join + struct-min aggregate — pure
+    JVM, bit-reproducible sequential folds, the shape the oracled
+    IVF assignment shares. Partial aggregation collapses the k
+    candidates per vector map-side, but each of the N×k distance
+    folds evaluates interpreted — cost grows linearly in k.
+
+    ``engine='arrow'``: one BLAS GEMM per Arrow batch against all k
+    centroids (similarity.nearest_centroids) — no N×k row expansion
+    at all, constant-ish cost in k. Summation order differs in the
+    last ulps, so this path serves the fit loop and other
+    recall-gated surfaces, not bit-parity-tested assignment."""
+    if engine == "arrow":
+        from .similarity import nearest_centroids
+
+        return nearest_centroids(
+            vecs, cents, probe=1, id_col="_id", vec_col="vd", carry_vec=True
+        ).select("_id", "vd", "cid")
     scored = vecs.join(F.broadcast(cents)).withColumn(
         "_d", _sqdist(F.col("vd"), F.col("cv"))
     )
@@ -80,9 +98,16 @@ def kmeans_fit(
     vec_col: str = "emb",
     n_iter: int = 5,
     seed: int = 42,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Fit k centroids with Lloyd's algorithm; returns
-    ``(cid int, cv array<double>)``."""
+    ``(cid int, cv array<double>)``. The Lloyd loop's assign step
+    defaults to the Arrow GEMM engine (see :func:`_assign`) — the
+    fit is ulp-tolerant by contract (tests assert inertia descent
+    and assignment quality, never bit-exact centroids), and the
+    GEMM keeps per-iteration cost flat as k grows toward the √N
+    centroid counts a real IVF fit wants. Pass ``engine='expr'``
+    for the pure-JVM fold loop."""
     vecs = corpus.select(
         F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("vd")
     ).localCheckpoint(eager=True)
@@ -101,7 +126,7 @@ def kmeans_fit(
     )
 
     for _ in range(n_iter):
-        assigned = _assign(vecs, cents)
+        assigned = _assign(vecs, cents, engine=engine)
         cents = (
             assigned.select("cid", F.posexplode("vd").alias("pos", "x"))
             .groupBy("cid", "pos")

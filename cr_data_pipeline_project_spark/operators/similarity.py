@@ -508,23 +508,13 @@ def semantic_neardup(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
 
-    # nearest `probe` centroids per vector: broadcast the k-row
-    # centroid table, keep the `probe` smallest (dist, cid) structs.
-    d = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .select("id", F.struct(d.alias("d"), F.col("cid").alias("cid")).alias("__dc"))
-        .groupBy("id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("__dc")), 1, probe
-            ).alias("__near")
-        )
-        .select("id", F.explode("__near.cid").alias("cid"))
+    # nearest `probe` centroids per vector via the Arrow GEMM kernel
+    # — no N×k row expansion, no per-id collect_list state, and cost
+    # flat in k, which is what lets `k` grow large enough for the
+    # bucketing to actually prune (a small k with probe≈k/3 degrades
+    # toward all-pairs).
+    assigned = nearest_centroids(
+        v, cents, probe=probe, id_col="id", vec_col="v"
     )
     pairs = _bucket_pairs(assigned, ["cid"], "id", max_cluster)
     a = v.select(
@@ -546,3 +536,81 @@ def semantic_neardup(
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("score"))
     )
+
+
+def nearest_centroids(
+    vecs: DataFrame,
+    cents: DataFrame,
+    probe: int = 1,
+    id_col: str = "id",
+    vec_col: str = "v",
+    carry_vec: bool = False,
+) -> DataFrame:
+    """``probe`` nearest centroids per vector as (id[, v], cid) rows —
+    the Arrow-GEMM twin of the expression-fold argmin used by the
+    oracled IVF path (:func:`ivf_assign` keeps the fold: its
+    assignment semantics are part of q42's oracle contract).
+
+    Why a Pandas kernel: assignment scores N×k distances, and the
+    ``zip_with``/``aggregate`` fold evaluates interpreted (outside
+    whole-stage codegen) at ~ms per row-pair — fine for N×k at probe
+    scale, a bottleneck once k grows toward the √N centroid counts a
+    real IVF/bucketing fit wants. The GEMM computes a whole Arrow
+    batch against all k centroids in one BLAS call; the k×dim
+    centroid table is collect()-bounded (same contract as the
+    hyperplane-LSH planes and `cosine_topk_pandas`' query set) and
+    ships in the task closure.
+
+    Determinism: centroids sort by cid before the GEMM, distances
+    compare via ``argmin``/stable ``argsort`` — ties break toward the
+    smallest cid, matching the struct-min fold. BLAS summation order
+    differs from the sequential fold in the last ulps, so callers are
+    the recall-gated / rows-only surfaces (kmeans_fit's Lloyd loop,
+    semantic_neardup's bucketing), never an oracled assignment."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        cents.select("cid", "cv").collect(), key=lambda r: r["cid"]
+    )  # bounded: k×dim doubles
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)  # (k, dim)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cn = (C * C).sum(axis=1)  # ||c||²; ||x||² is argmin-invariant
+    p = min(probe, len(rows))
+
+    out_schema = (
+        f"{id_col} long, {vec_col} array<double>, cid int"
+        if carry_vec
+        else f"{id_col} long, cid int"
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].values)  # (b, dim)
+            D = cn - 2.0 * (V @ C.T)  # (b, k)
+            if p == 1:
+                pick = D.argmin(axis=1)[:, None]  # first hit = min cid
+            else:
+                pick = np.argsort(D, axis=1, kind="stable")[:, :p]
+            b, ids = len(pdf), pdf[id_col].values
+            cols = {
+                id_col: np.repeat(ids, p),
+                "cid": cids[pick].reshape(-1).astype(np.int32),
+            }
+            if carry_vec:
+                cols[vec_col] = [
+                    v for v in pdf[vec_col].values for _ in range(p)
+                ]
+            yield pd.DataFrame(cols)[
+                [id_col, vec_col, "cid"] if carry_vec else [id_col, "cid"]
+            ]
+
+    # null/ragged vectors can't enter np.stack (same guard as the
+    # hyperplane kernel): drop them before the Arrow exchange
+    dim = C.shape[1]
+    clean = vecs.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    return clean.mapInPandas(kern, out_schema)

@@ -1701,7 +1701,7 @@ def q91_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:semantic_neardup)."""
     emb = table(spark, "embeddings", sf_dir)
     return similarity.semantic_neardup(
-        emb, "vec_id", "embedding", threshold=0.45, k=8, n_iter=1, probe=3
+        emb, "vec_id", "embedding", threshold=0.45, k=16, n_iter=1, probe=4
     )
 
 

@@ -165,7 +165,7 @@ def test_q48_recall_gate(spark, sf_dir):
 def test_semantic_neardup_recall_and_precision(spark, sf_dir):
     """Cluster-bucketed semantic dedup vs the exact O(N²) pair set:
     precision must be exact (every emitted pair is cosine-verified);
-    recall across k-means boundaries must stay high with probe=3."""
+    recall across k-means boundaries must stay high with probe=4."""
     from cr_data_pipeline_project_spark.catalog import table
     from cr_data_pipeline_project_spark.operators.similarity import (
         cosine_neardup_pairs,
@@ -180,7 +180,7 @@ def test_semantic_neardup_recall_and_precision(spark, sf_dir):
     got = {
         (r.vec_a, r.vec_b)
         for r in semantic_neardup(
-            emb, "vec_id", "embedding", threshold=0.45, k=8, n_iter=1, probe=3
+            emb, "vec_id", "embedding", threshold=0.45, k=16, n_iter=1, probe=4
         ).collect()
     }
     assert got <= exact  # exact verification ⇒ no false positives

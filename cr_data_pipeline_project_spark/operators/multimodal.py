@@ -281,3 +281,14 @@ def synth_wav(
         w.setframerate(sample_rate)
         w.writeframes(x.tobytes())
     return buf.getvalue()
+
+
+def synth_ppm(width: int, height: int, value: int) -> bytes:
+    """Deterministic binary-PPM (P6) synthesizer — a genuine
+    header+pixel-grid container filled with one constant 8-bit
+    value; the image-side test/fixture source for the real decode
+    path, mirroring :func:`synth_wav`."""
+    import numpy as np
+
+    px = np.full((height, width, 3), value, dtype=np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()

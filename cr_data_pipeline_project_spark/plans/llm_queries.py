@@ -2072,3 +2072,63 @@ def q98_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("sum_tokens"),
     )
+
+
+@q(
+    "q99_ppm_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           (9 + length(CAST(3 + doc_id % 6 AS VARCHAR))
+              + length(CAST(2 + doc_id % 5 AS VARCHAR))
+              + 3 * (3 + doc_id % 6) * (2 + doc_id % 5))::BIGINT AS n_bytes,
+           (3 + doc_id % 6)::INTEGER AS width,
+           (2 + doc_id % 5)::INTEGER AS height,
+           (doc_id % 256)::INTEGER AS mean_val
+    FROM documents
+    """,
+)
+def q99_ppm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end — q94's WAV twin for the image
+    modality: per-document binary-PPM payloads are synthesized as
+    genuine P6 containers (multimodal.synth_ppm), then decoded back
+    by the REAL header+pixel parser (multimodal.decode_ppm_features)
+    via the same Arrow dispatch. The oracle predicts container size,
+    parsed dimensions, and the constant fill value recovered from
+    the decoded per-channel mean — so a corruption anywhere in the
+    byte-level round trip (header layout, row-major pixel order,
+    normalization) hash-mismatches. Payload bytes never shuffle —
+    synth and decode fuse into one narrow Arrow stage."""
+    import pandas as pd
+
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_ppm(
+                            3 + (i % 6), 2 + (i % 5), i % 256
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["image/ppm"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    nparts = spark.sparkContext.defaultParallelism
+    media = docs.repartition(nparts).mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    return multimodal.decode_media_features(media).select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1) * 255)
+        .cast("int")
+        .alias("mean_val"),
+    )

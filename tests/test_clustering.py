@@ -91,3 +91,50 @@ def test_ivf_recall_with_fitted_centroids(spark, emb):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.6  # nprobe 3/8 of a 3-iter fit
+
+
+def test_arrow_assign_matches_expr_fold(spark, emb):
+    """The GEMM assign engine must agree with the bit-reproducible
+    struct-min fold on the fixture (distances between fitted
+    centroids are far wider than BLAS-vs-fold ulp divergence)."""
+    cents = clustering.kmeans_fit(
+        emb, k=4, id_col="vec_id", vec_col="embedding", n_iter=1
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        similarity.as_double_vec("embedding").alias("vd"),
+    )
+    a = {
+        (r["_id"], r["cid"])
+        for r in clustering._assign(vecs, cents, engine="arrow").collect()
+    }
+    e = {
+        (r["_id"], r["cid"])
+        for r in clustering._assign(vecs, cents, engine="expr").collect()
+    }
+    assert a == e
+
+
+def test_nearest_centroids_drops_null_and_ragged(spark, emb):
+    """Null or wrong-dimension vectors are filtered before the Arrow
+    exchange (np.stack would throw on them), not crash the job —
+    same guard as the hyperplane kernel."""
+    cents = clustering.kmeans_fit(
+        emb, k=3, id_col="vec_id", vec_col="embedding", n_iter=0
+    )
+    dim = len(cents.collect()[0]["cv"])
+    bad = spark.createDataFrame(
+        [(100001, None), (100002, [0.5] * (dim - 1))],
+        f"id long, v array<double>",
+    )
+    good = emb.select(
+        F.col("vec_id").alias("id"),
+        similarity.as_double_vec("embedding").alias("v"),
+    )
+    n_good = good.count()
+    out = similarity.nearest_centroids(
+        good.unionByName(bad), cents, probe=2, id_col="id", vec_col="v"
+    )
+    ids = {r["id"] for r in out.collect()}
+    assert 100001 not in ids and 100002 not in ids
+    assert out.count() == 2 * n_good

@@ -472,10 +472,11 @@ def semantic_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    k: int = 16,
+    k: int | None = None,
     n_iter: int = 2,
     probe: int = 3,
     max_cluster: int = 100_000,
+    target_cluster: int = 125,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
     "SemDeDup", arXiv:2303.09540): k-means buckets
@@ -494,15 +495,24 @@ def semantic_neardup(
 
     Scale: compare cost drops from O(N²) to O(Σ|cluster|²) ≈
     N²·probe²/k for balanced clusters; shuffles carry (cluster, id)
-    pairs and one vector row per (vector, probe). The per-id
-    aggregation state for multi-assignment is ``k`` structs (fine for
-    bucketing-scale k; for IVF-scale k repeat the map-side argmin of
-    ``clustering.kmeans_fit`` probe times instead). ``max_cluster``
+    pairs and one vector row per (vector, probe). ``max_cluster``
     drops degenerate clusters (a collapsed centroid swallowing the
-    corpus) via the shared windowed hot-bucket guard."""
+    corpus) via the shared windowed hot-bucket guard.
+
+    ``k`` auto-sizes to ``max(16, ceil(N / target_cluster))`` when
+    not given (one count() job): a FIXED k means cluster occupancy
+    grows ~N and candidate pairs ~N² — measured as a JVM-OOM at 10×
+    the bench fixture (tools/scaling_probe.py). Constant occupancy
+    keeps pair count ~N·target_cluster·probe²; the Arrow GEMM assign
+    (:func:`nearest_centroids`) is what makes per-vector assignment
+    cost flat as k grows."""
     from .clustering import kmeans_fit
     from .dedup import _bucket_pairs
 
+    if k is None:
+        from math import ceil
+
+        k = max(16, ceil(df.count() / target_cluster))
     cents = kmeans_fit(df, k, id_col, vec_col, n_iter)
     v = df.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")

@@ -1698,10 +1698,12 @@ def q91_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-nested exact plan. Rows-only by design (k-means bucketing
     is engine-specific); tests/test_similarity.py asserts recall vs
     q37's exact pair set at the same threshold
-    (operators/similarity.py:semantic_neardup)."""
+    (operators/similarity.py:semantic_neardup). k auto-sizes to
+    constant cluster occupancy — the probe-measured scale rule (a
+    fixed k turns candidate pairs quadratic; see scaling_probe)."""
     emb = table(spark, "embeddings", sf_dir)
     return similarity.semantic_neardup(
-        emb, "vec_id", "embedding", threshold=0.45, k=16, n_iter=1, probe=4
+        emb, "vec_id", "embedding", threshold=0.45, n_iter=1, probe=4
     )
 
 

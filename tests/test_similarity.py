@@ -180,7 +180,7 @@ def test_semantic_neardup_recall_and_precision(spark, sf_dir):
     got = {
         (r.vec_a, r.vec_b)
         for r in semantic_neardup(
-            emb, "vec_id", "embedding", threshold=0.45, k=16, n_iter=1, probe=4
+            emb, "vec_id", "embedding", threshold=0.45, n_iter=1, probe=4
         ).collect()
     }
     assert got <= exact  # exact verification ⇒ no false positives

@@ -1,0 +1,165 @@
+"""Empirical scaling probe for the headline corpus operators.
+
+Measures wall time for the dedup / similarity / curation family at
+three corpus sizes — the sf0.01 fixture (500 docs), the sf0.1
+fixture (5 000 docs), and a synthesized 10× corpus (50 000 docs,
+written once to /tmp) — and prints the effective scaling exponent
+alpha where t ~ n^alpha between the two largest points. Sub-quadratic
+candidate generation should hold alpha well under 2; embarrassingly
+parallel scans should sit near (or below, while fixed overhead
+dominates) 1.
+
+The synthesized corpus replicates sf0.1 documents with id offsets,
+a per-TOKEN replica prefix (every shingle becomes replica-unique, so
+cross-replica mega-dup-clusters cannot form) and a per-replica
+rotation of embedding coordinates (cross-replica cosine ~ random) —
+the intra-replica duplicate structure is preserved exactly, so the
+workload's dup/near-dup DENSITY stays constant while N grows 10x.
+
+Usage: python tools/scaling_probe.py [--out docs/metrics/scaling.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SYN_DIR = "/tmp/spark_graft_scaling_sf1"
+
+
+def synth_big(spark, src_sf: str, replicas: int = 10) -> None:
+    """Write the replicated corpus (documents + embeddings) once."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.catalog import table
+
+    docs = table(spark, "documents", src_sf)
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(replicas):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(F.lit(f"r{r}"), t),
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SYN_DIR, "documents.parquet")
+    )
+
+    emb = table(spark, "embeddings", src_sf)
+    m = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    eparts = []
+    for r in range(replicas):
+        # rotate coordinates by r positions per replica: replica
+        # copies of the same vector become ~orthogonal, so the
+        # near-dup pair density stays that of the source corpus
+        # instead of every vector gaining 9 cross-replica twins
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * m)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.element_at(
+                        F.col("embedding"), ((i + F.lit(r)) % 64) + 1
+                    ),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    bige = eparts[0]
+    for p in eparts[1:]:
+        bige = bige.unionByName(p)
+    bige.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SYN_DIR, "embeddings.parquet")
+    )
+
+
+PROBES = [
+    "q31_dedup_exact_groups",
+    "q33_ngram_jaccard_pairs",
+    "q34_minhash_lsh_pairs",
+    "q35_simhash_pairs",
+    "q38_text_quality",
+    "q40_token_count",
+    "q66_dedup_clusters",
+    "q76_winnow_fingerprints",
+    "q91_semantic_neardup",
+    "q96_snapshot_diff",
+    "q97_adaptive_length_gate",
+    "q98_shard_manifest",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/metrics/scaling.json")
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    from cr_data_pipeline_project_spark.plans import all_queries
+    from cr_data_pipeline_project_spark.session import get_session
+
+    spark = get_session("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(SYN_DIR, "documents.parquet")):
+        print("synthesizing 10x corpus ...", file=sys.stderr)
+        synth_big(spark, "/root/testdata/sf0.1", args.replicas)
+
+    qs = all_queries()
+    # q91 auto-sizes k to constant cluster occupancy (the rule this
+    # probe originally established: a fixed k=16 at 10x the fixture
+    # made candidate pairs quadratic and OOMed the JVM).
+    sizes = {
+        "n500": "/root/testdata/sf0.01",
+        "n5000": "/root/testdata/sf0.1",
+        "n50000": SYN_DIR,
+    }
+    out: dict = {"sizes": {k: v for k, v in sizes.items()}, "queries": {}}
+    for name in PROBES:
+        fn = qs[name]
+        rec: dict = {}
+        try:
+            for label, d in sizes.items():
+                best = math.inf
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                rec[label] = round(best, 3)
+            # effective exponent between the two largest sizes (the
+            # pair least polluted by fixed job overhead)
+            alpha = math.log(rec["n50000"] / rec["n5000"]) / math.log(10)
+            rec["alpha_5k_50k"] = round(alpha, 3)
+        except Exception as exc:  # record and continue the sweep
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        out["queries"][name] = rec
+        print(f"PROBE {name:32s} {rec}", file=sys.stderr, flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"wrote": args.out, "n_probes": len(PROBES)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,8 @@ PROBES = [
     "q66_dedup_clusters",
     "q76_winnow_fingerprints",
     "q91_semantic_neardup",
+    "q74_kmeans_ivf_topk",
+    "q84_incremental_neardup",
     "q96_snapshot_diff",
     "q97_adaptive_length_gate",
     "q98_shard_manifest",

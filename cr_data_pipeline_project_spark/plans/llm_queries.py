@@ -2134,3 +2134,112 @@ def q99_ppm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("mean_val"),
     )
+
+
+@q(
+    "q101_token_budget_apportion",
+    """
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM tok),
+    base AS (
+        SELECT source, n_tokens,
+               (1000000 * n_tokens) // t AS fl,
+               (1000000 * n_tokens) % t AS rem
+        FROM tok, tot),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+        FROM base),
+    l AS (SELECT CAST(1000000 - SUM(fl) AS BIGINT) AS leftover FROM base)
+    SELECT source, n_tokens,
+           CAST(fl + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS budget
+    FROM rk, l
+    """,
+)
+def q101_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token budgets via largest-remainder (Hamilton)
+    apportionment: a global budget of 1 000 000 tokens is split across
+    sources proportional to their token mass, floors first, then one
+    extra token to the largest remainders until the budget is exactly
+    exhausted — Σ budget ≡ 1 000 000 by construction (asserted in
+    tests). All integer arithmetic (DIV/%), so the result is
+    bit-exact across engines — no float shares to drift.
+
+    Scale: one partial-aggregated groupBy over the corpus produces
+    the per-source token table; everything after runs on
+    #sources-bounded rows (the global remainder window orders ~10¹-
+    10³ rows, not corpus data), with the 1-row total and leftover
+    aggregates broadcast."""
+    docs = table(spark, "documents", sf_dir)
+    # The per-source token table feeds three consumers (total,
+    # floors, leftover) — materialize its #sources-bounded rows once
+    # so the corpus is scanned exactly once, not once per consumer.
+    tok = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("tk")
+        )
+        .groupBy("source")
+        .agg(F.sum("tk").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    base = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) div t").alias("fl"),
+        ((F.lit(1000000) * F.col("n_tokens")) % F.col("t")).alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(1000000) - F.sum("fl")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        base.withColumn("r", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("fl")
+                + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+
+
+@q("q100_cluster_balanced_sample")
+def q100_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subset selection: k-means clusters the
+    embedding corpus, then an exactly-m-per-cluster deterministic
+    hash lottery picks the sample — every semantic region is
+    represented regardless of how skewed the corpus density is
+    (cluster-balanced sampling; the embedding-space analogue of q63's
+    per-stratum sampling). Rows-only: the k-means fit is iterative
+    float state (tests assert the structural contract — ≤m per
+    cluster, every non-tiny cluster represented).
+
+    Scale: assignment is one broadcast-kernel pass (q74's shape); the
+    lottery is a per-cluster window over (cluster, hash) — fully
+    partition-parallel, no global window."""
+    from ..operators import clustering
+
+    emb = table(spark, "embeddings", sf_dir)
+    cents = clustering.kmeans_fit(
+        emb, k=8, id_col="vec_id", vec_col="embedding", n_iter=1
+    )
+    assigned = clustering.kmeans_assign(
+        emb, cents, id_col="vec_id", vec_col="embedding"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.xxhash64("vec_id", F.lit(7)), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 20)
+        .select("vec_id", "cluster_id")
+    )

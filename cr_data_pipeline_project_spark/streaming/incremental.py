@@ -544,3 +544,147 @@ def streaming_scd2_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def change_capture_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    changes_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch of :func:`streaming_change_capture`: classify
+    every row against the persisted (id, content-hash) state —
+    ``added`` (unseen id) or ``changed`` (hash differs) — emit the
+    change rows, then upsert the state. Unchanged rows emit nothing.
+
+    The streaming twin of q96's snapshot diff, without ever
+    re-reading either full snapshot: state is hash-bucketed on the
+    id, a batch rewrites only the buckets its CHANGED ids live in
+    (same layout/write-amplification contract as
+    :func:`scd2_apply_batch`). ``removed`` is unobservable in an
+    upsert stream — absence from a batch is not deletion; pair with
+    a tombstone feed or the offline q96 diff for removals.
+
+    Replay idempotency (changes land BEFORE state, both guarded):
+    - crash before the state write → replay reclassifies against the
+      unchanged state and dynamic-overwrites the same per-batch
+      changes partition with identical bytes, then writes state;
+    - crash after the state write is impossible here (state is the
+      last action), but a FULL replay after success re-classifies
+      every row as unchanged → the per-batch changes partition
+      overwrite has nothing to rewrite (dynamic mode leaves the
+      landed partition intact) and the state rewrite recomputes
+      identical buckets.
+
+    Failure posture: only a missing state path reads as empty (first
+    batch); IO errors / corrupt footers abort the batch
+    (:func:`_read_parquet_if_present`'s contract)."""
+    spark = batch_df.sparkSession
+
+    def bucket(c: str):
+        return F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(n_buckets))
+
+    # one row per id per batch (an upsert stream's contract; ties
+    # resolve deterministically on the hash so replay can't flip)
+    batch = (
+        batch_df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy(id_col)
+        .agg(F.max("content_hash").alias("content_hash"))
+        .localCheckpoint()
+    )
+    if batch.isEmpty():
+        return
+    state = _read_parquet_if_present(spark, state_path)
+
+    if state is not None:
+        prev = state.select(
+            F.col(id_col), F.col("content_hash").alias("__prev")
+        )
+        classified = (
+            batch.join(prev, id_col, "left")
+            .withColumn(
+                "status",
+                F.when(F.col("__prev").isNull(), F.lit("added")).when(
+                    F.col("__prev") != F.col("content_hash"),
+                    F.lit("changed"),
+                ),
+            )
+            .where(F.col("status").isNotNull())
+            .select(id_col, "content_hash", "status")
+        )
+    else:
+        classified = batch.select(
+            id_col, "content_hash", F.lit("added").alias("status")
+        )
+    # freeze the classification: both writes below must see the SAME
+    # rows even though the second one mutates the state they derive
+    # from
+    classified = classified.localCheckpoint(eager=True)
+
+    (
+        classified.withColumn("__batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(changes_path)
+    )
+
+    payload = classified.select(id_col, "content_hash").withColumn(
+        "__bucket", bucket(id_col)
+    )
+    if state is not None:
+        bucket_ids = (
+            classified.select(bucket(id_col).alias("__bucket")).distinct()
+        )
+        residents = (
+            state.select(id_col, "content_hash")
+            .withColumn("__bucket", bucket(id_col))
+            .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
+            .join(classified.select(id_col), id_col, "left_anti")
+        )
+        payload = payload.unionByName(residents)
+    (
+        payload.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(state_path)
+    )
+
+
+def streaming_change_capture(
+    stream_docs: DataFrame,
+    state_path: str,
+    changes_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous change-data-capture over an upserting document
+    stream: per micro-batch, emit (id, content_hash, status ∈
+    added|changed) against the persisted content-hash state and
+    upsert the state (:func:`change_capture_batch`). Returns the
+    started StreamingQuery (availableNow-compatible)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        change_capture_batch(
+            batch_df,
+            batch_id,
+            state_path=state_path,
+            changes_path=changes_path,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    return (
+        stream_docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )

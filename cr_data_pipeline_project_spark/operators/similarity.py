@@ -505,14 +505,19 @@ def semantic_neardup(
     the bench fixture (tools/scaling_probe.py). Constant occupancy
     keeps pair count ~N·target_cluster·probe²; the Arrow GEMM assign
     (:func:`nearest_centroids`) is what makes per-vector assignment
-    cost flat as k grows."""
+    cost flat as k grows. The auto-k is capped at 2¹⁶ — beyond that
+    the centroid table itself (k×dim collected to the driver,
+    shipped per task) outgrows the broadcast budget; past ~10⁸
+    vectors, move to a two-level assignment (coarse k-means over
+    √k supercentroids routing to per-cell fine centroids — the IVF
+    literature's standard escape hatch) rather than a flat table."""
     from .clustering import kmeans_fit
     from .dedup import _bucket_pairs
 
     if k is None:
         from math import ceil
 
-        k = max(16, ceil(df.count() / target_cluster))
+        k = min(65536, max(16, ceil(df.count() / target_cluster)))
     cents = kmeans_fit(df, k, id_col, vec_col, n_iter)
     v = df.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
@@ -580,19 +585,29 @@ def nearest_centroids(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     rows = sorted(
         cents.select("cid", "cv").collect(), key=lambda r: r["cid"]
     )  # bounded: k×dim doubles
+
+    id_field = vecs.schema[id_col]
+    vec_field = vecs.schema[vec_col]
+    fields = [StructField(id_col, id_field.dataType)]
+    if carry_vec:
+        fields.append(StructField(vec_col, vec_field.dataType))
+    fields.append(StructField("cid", IntegerType()))
+    out_schema = StructType(fields)
+
+    if not rows:
+        # empty centroid table (empty-corpus fit): no assignments —
+        # the shape the expr fold's broadcast join also produced
+        return vecs.sparkSession.createDataFrame([], out_schema)
+
     C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)  # (k, dim)
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     cn = (C * C).sum(axis=1)  # ||c||²; ||x||² is argmin-invariant
     p = min(probe, len(rows))
-
-    out_schema = (
-        f"{id_col} long, {vec_col} array<double>, cid int"
-        if carry_vec
-        else f"{id_col} long, cid int"
-    )
 
     def kern(batches):
         for pdf in batches:

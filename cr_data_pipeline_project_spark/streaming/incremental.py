@@ -378,6 +378,46 @@ def _read_parquet_if_present(spark: SparkSession, path: str) -> DataFrame | None
         raise
 
 
+def _rewrite_affected_buckets(
+    state: DataFrame | None,
+    payload: DataFrame,
+    affected_keys: DataFrame,
+    key_col: str,
+    path: str,
+    n_buckets: int,
+) -> None:
+    """Hash-bucketed upsert shared by the SCD-2 history and the CDC
+    state: dynamic-partition-overwrite exactly the buckets containing
+    ``affected_keys``, writing ``payload`` (the new rows for those
+    keys) plus the untouched resident rows that share the buckets
+    (dynamic overwrite replaces whole partitions, so they must ride
+    along). ``state`` is the current table (None on first write);
+    ``payload``'s column set defines the stored schema. Write
+    amplification = touched buckets, never table size — both callers'
+    layout contract lives HERE and only here."""
+    bucket = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)
+    )
+    out = payload.withColumn("__bucket", bucket)
+    if state is not None:
+        bucket_ids = affected_keys.select(
+            bucket.alias("__bucket")
+        ).distinct()
+        residents = (
+            state.select(*payload.columns)
+            .withColumn("__bucket", bucket)
+            .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
+            .join(affected_keys.select(key_col), key_col, "left_anti")
+        )
+        out = out.unionByName(residents)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+
+
 def scd2_apply_batch(
     batch_df: DataFrame,
     history_path: str,
@@ -415,9 +455,6 @@ def scd2_apply_batch(
     from ..operators.scd import scd2_intervals
 
     spark = batch_df.sparkSession
-
-    def bucket(c: str):
-        return F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(n_buckets))
 
     ev = batch_df.select(key_col, value_col, ts_col).localCheckpoint()
     if ev.isEmpty():
@@ -490,25 +527,15 @@ def scd2_apply_batch(
         if closed is None
         else closed.unionByName(recomputed)
     )
-    payload = new_affected.withColumn("__bucket", bucket(key_col))
-
-    if hist is not None:
-        # unaffected keys resident in the buckets being rewritten
-        # must ride along (dynamic overwrite replaces whole buckets)
-        bucket_ids = keys.select(bucket(key_col).alias("__bucket")).distinct()
-        residents = (
-            hist.select(key_col, "state", "valid_from", "valid_to", "last_ts")
-            .withColumn("__bucket", bucket(key_col))
-            .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
-            .join(keys, key_col, "left_anti")
-        )
-        payload = payload.unionByName(residents)
-
-    (
-        payload.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(history_path)
+    _rewrite_affected_buckets(
+        hist,
+        new_affected.select(
+            key_col, "state", "valid_from", "valid_to", "last_ts"
+        ),
+        keys,
+        key_col,
+        history_path,
+        n_buckets,
     )
 
 
@@ -585,11 +612,10 @@ def change_capture_batch(
     (:func:`_read_parquet_if_present`'s contract)."""
     spark = batch_df.sparkSession
 
-    def bucket(c: str):
-        return F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(n_buckets))
-
     # one row per id per batch (an upsert stream's contract; ties
-    # resolve deterministically on the hash so replay can't flip)
+    # resolve deterministically on the hash so replay can't flip).
+    # NULL text hashes to NULL — kept null-SAFE below so a doc whose
+    # text becomes (or starts) NULL still classifies correctly.
     batch = (
         batch_df.select(
             F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
@@ -603,15 +629,20 @@ def change_capture_batch(
     state = _read_parquet_if_present(spark, state_path)
 
     if state is not None:
+        # membership marker column — NOT hash nullness: a stored NULL
+        # hash is a real state row, so 'added' must key off the join
+        # marker and 'changed' off a null-safe hash comparison
         prev = state.select(
-            F.col(id_col), F.col("content_hash").alias("__prev")
+            F.col(id_col),
+            F.col("content_hash").alias("__prev"),
+            F.lit(True).alias("__seen"),
         )
         classified = (
             batch.join(prev, id_col, "left")
             .withColumn(
                 "status",
-                F.when(F.col("__prev").isNull(), F.lit("added")).when(
-                    F.col("__prev") != F.col("content_hash"),
+                F.when(F.col("__seen").isNull(), F.lit("added")).when(
+                    ~F.col("__prev").eqNullSafe(F.col("content_hash")),
                     F.lit("changed"),
                 ),
             )
@@ -635,25 +666,13 @@ def change_capture_batch(
         .parquet(changes_path)
     )
 
-    payload = classified.select(id_col, "content_hash").withColumn(
-        "__bucket", bucket(id_col)
-    )
-    if state is not None:
-        bucket_ids = (
-            classified.select(bucket(id_col).alias("__bucket")).distinct()
-        )
-        residents = (
-            state.select(id_col, "content_hash")
-            .withColumn("__bucket", bucket(id_col))
-            .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
-            .join(classified.select(id_col), id_col, "left_anti")
-        )
-        payload = payload.unionByName(residents)
-    (
-        payload.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(state_path)
+    _rewrite_affected_buckets(
+        state,
+        classified.select(id_col, "content_hash"),
+        classified.select(id_col),
+        id_col,
+        state_path,
+        n_buckets,
     )
 
 

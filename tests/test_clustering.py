@@ -138,3 +138,28 @@ def test_nearest_centroids_drops_null_and_ragged(spark, emb):
     ids = {r["id"] for r in out.collect()}
     assert 100001 not in ids and 100002 not in ids
     assert out.count() == 2 * n_good
+
+
+def test_arrow_assign_empty_and_string_ids(spark, emb):
+    """Review regressions: an empty centroid table yields zero
+    assignments (not a numpy crash), and the kernel's output schema
+    follows the id column's actual type instead of assuming long."""
+    empty_cents = spark.createDataFrame([], "cid int, cv array<double>")
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        similarity.as_double_vec("embedding").alias("v"),
+    )
+    assert (
+        similarity.nearest_centroids(vecs, empty_cents, probe=2, id_col="id", vec_col="v").count()
+        == 0
+    )
+    cents = clustering.kmeans_fit(
+        emb, k=3, id_col="vec_id", vec_col="embedding", n_iter=1
+    )
+    sids = vecs.select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("id"), "v"
+    )
+    out = similarity.nearest_centroids(sids, cents, probe=1, id_col="id", vec_col="v")
+    rows = out.collect()
+    assert len(rows) == vecs.count()
+    assert all(r["id"].startswith("doc-") for r in rows)

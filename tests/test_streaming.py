@@ -624,7 +624,6 @@ def test_streaming_change_capture_classifies_batches(spark, tmp_path):
     land("b1.json", [(1, "alpha"), (2, "beta v2"), (3, "gamma")])
     run()
     got = _cdc_changes(spark, changes)
-    assert (1, 2, "changed") in got[2:] or (1, 2, "changed") in got
     by_batch1 = sorted((d, s) for b, d, s in got if b == 1)
     assert by_batch1 == [(2, "changed"), (3, "added")]
     # state holds the latest hash per id, exactly one row per id
@@ -661,3 +660,39 @@ def test_change_capture_replay_idempotent(spark, tmp_path):
         batch([(2, "beta v2")]), 1, state_path=state, changes_path=changes
     )
     assert (1, 2, "changed") in _cdc_changes(spark, changes)
+
+
+def test_change_capture_null_text_is_null_safe(spark, tmp_path):
+    """NULL text must classify correctly in both directions: a doc
+    whose text BECOMES null emits 'changed' once; a doc that STARTS
+    null is 'added' once and never re-emitted (membership comes from
+    the join marker, not hash nullness)."""
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        change_capture_batch,
+    )
+
+    state = os.path.join(str(tmp_path), "state")
+    changes = os.path.join(str(tmp_path), "changes")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    change_capture_batch(
+        batch([(1, "alpha"), (2, None)]), 0, state_path=state, changes_path=changes
+    )
+    assert sorted((d, s) for _, d, s in _cdc_changes(spark, changes)) == [
+        (1, "added"),
+        (2, "added"),
+    ]
+    # doc 1 text becomes NULL -> changed; doc 2 resent as NULL -> nothing
+    change_capture_batch(
+        batch([(1, None), (2, None)]), 1, state_path=state, changes_path=changes
+    )
+    b1 = sorted((d, s) for b, d, s in _cdc_changes(spark, changes) if b == 1)
+    assert b1 == [(1, "changed")]
+    # doc 2 gains text -> changed (null -> value direction)
+    change_capture_batch(
+        batch([(2, "beta")]), 2, state_path=state, changes_path=changes
+    )
+    b2 = sorted((d, s) for b, d, s in _cdc_changes(spark, changes) if b == 2)
+    assert b2 == [(2, "changed")]

@@ -123,18 +123,26 @@ def main() -> None:
     spark = get_session("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(SYN_DIR, "documents.parquet")):
-        print("synthesizing 10x corpus ...", file=sys.stderr)
+    # the cached corpus records its replica count — a run with a
+    # different --replicas regenerates instead of silently reusing it
+    marker = os.path.join(SYN_DIR, f".replicas_{args.replicas}")
+    if not os.path.exists(marker):
+        print(f"synthesizing {args.replicas}x corpus ...", file=sys.stderr)
+        import shutil
+
+        shutil.rmtree(SYN_DIR, ignore_errors=True)
         synth_big(spark, "/root/testdata/sf0.1", args.replicas)
+        open(marker, "w").close()
 
     qs = all_queries()
     # q91 auto-sizes k to constant cluster occupancy (the rule this
     # probe originally established: a fixed k=16 at 10x the fixture
     # made candidate pairs quadratic and OOMed the JVM).
+    big_label = f"n{5000 * args.replicas}"
     sizes = {
         "n500": "/root/testdata/sf0.01",
         "n5000": "/root/testdata/sf0.1",
-        "n50000": SYN_DIR,
+        big_label: SYN_DIR,
     }
     out: dict = {"sizes": {k: v for k, v in sizes.items()}, "queries": {}}
     for name in PROBES:
@@ -150,8 +158,10 @@ def main() -> None:
                 rec[label] = round(best, 3)
             # effective exponent between the two largest sizes (the
             # pair least polluted by fixed job overhead)
-            alpha = math.log(rec["n50000"] / rec["n5000"]) / math.log(10)
-            rec["alpha_5k_50k"] = round(alpha, 3)
+            alpha = math.log(rec[big_label] / rec["n5000"]) / math.log(
+                args.replicas
+            )
+            rec["alpha_vs_5k"] = round(alpha, 3)
         except Exception as exc:  # record and continue the sweep
             rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
         out["queries"][name] = rec

@@ -170,10 +170,10 @@ def decode_wav_features(payload: bytes) -> dict:
     }
 
 
-def decode_ppm_features(payload: bytes) -> dict:
-    """REAL binary-PPM (P6) image decode: header parse + numpy pixel
-    grid. Features: per-channel means and Rec.601 luma mean, all in
-    [0, 1]."""
+def _parse_ppm(payload: bytes):
+    """Parse a binary-PPM (P6) container → (width, height, maxval,
+    H×W×3 uint8 pixel grid). Shared by the feature decoder and the
+    resize kernel."""
     import numpy as np
 
     if not payload.startswith(b"P6"):
@@ -201,7 +201,17 @@ def decode_ppm_features(payload: bytes) -> dict:
         # as uint8 would silently produce garbage means; flag instead
         raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
     px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
-    img = px.reshape(height, width, 3).astype(np.float64) / maxval
+    return width, height, maxval, px.reshape(height, width, 3)
+
+
+def decode_ppm_features(payload: bytes) -> dict:
+    """REAL binary-PPM (P6) image decode: header parse + numpy pixel
+    grid. Features: per-channel means and Rec.601 luma mean, all in
+    [0, 1]."""
+    import numpy as np
+
+    width, height, maxval, grid = _parse_ppm(payload)
+    img = grid.astype(np.float64) / maxval
     means = img.mean(axis=(0, 1))
     luma = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
     return {
@@ -209,6 +219,79 @@ def decode_ppm_features(payload: bytes) -> dict:
         "height": height,
         "feat": [float(means[0]), float(means[1]), float(means[2]), luma],
     }
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize: decode the P6 container, nearest-neighbor
+    sample the pixel grid to (out_w × out_h), re-encode as P6 —
+    deterministic (sample index = floor((i+0.5)·src/dst), the
+    standard nearest-neighbor center rule), pure numpy slicing, no
+    external imaging library."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid target size {out_w}x{out_h}")
+    width, height, maxval, grid = _parse_ppm(payload)
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * height / out_h).astype(np.int64),
+        height - 1,
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * width / out_w).astype(np.int64),
+        width - 1,
+    )
+    out = grid[rows][:, cols]
+    return (
+        f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+        + np.ascontiguousarray(out).tobytes()
+    )
+
+
+RESIZE_SCHEMA = MEDIA_SCHEMA + ", resize_error string"
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Arrow-batched image resize over a MEDIA_SCHEMA table:
+    ``image/ppm`` payloads are nearest-neighbor resampled to
+    (out_w × out_h) with width/height updated; every other media
+    type passes through untouched (a resize stage must not drop the
+    audio rows riding the same table). Corrupt payloads keep their
+    original bytes and carry the error per row — the same
+    batch-survives posture as :func:`decode_media_features`. Payload
+    bytes stay inside their partition: one narrow mapInPandas stage,
+    nothing shuffles."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads, widths, heights, errs = [], [], [], []
+            for p, mt, w, h in zip(
+                pdf["payload"], pdf["media_type"], pdf["width"], pdf["height"]
+            ):
+                if mt != "image/ppm" or p is None:
+                    payloads.append(p)
+                    widths.append(w)
+                    heights.append(h)
+                    errs.append(None)
+                    continue
+                try:
+                    payloads.append(resize_ppm(bytes(p), out_w, out_h))
+                    widths.append(out_w)
+                    heights.append(out_h)
+                    errs.append(None)
+                except (ValueError, IndexError) as exc:
+                    payloads.append(p)
+                    widths.append(w)
+                    heights.append(h)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["resize_error"] = errs
+            yield out
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
 def decode_media_features(df: DataFrame) -> DataFrame:

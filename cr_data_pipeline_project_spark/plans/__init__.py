@@ -45,10 +45,11 @@ GATE_OVERFLOW: tuple[str, ...] = (
     # reference queries + the round-3 additions q75-q77/q79-q84,
     # plus nine more r03-attested queries parked to open slots for
     # the round-4 additions q86-q90/q92-q95 (they return in round 5),
-    # and five more (q04/q42/q56/q69/q71, all r03-green) parked for
-    # the late-round-4 additions q96-q99 and q101
+    # and six more (q04/q42/q51/q56/q69/q71, all r03-green) parked
+    # for the late-round-4 additions q96-q99, q101 and q102
     "q04_recent_rankings_top100",
     "q42_ann_ivf_topk",
+    "q51_salted_join",
     "q56_asof_join",
     "q69_doc_length_deciles",
     "q71_event_percentiles",

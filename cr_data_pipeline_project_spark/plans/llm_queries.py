@@ -2243,3 +2243,64 @@ def q100_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__r") <= 20)
         .select("vec_id", "cluster_id")
     )
+
+
+@q(
+    "q102_ppm_resize_meta",
+    """
+    SELECT doc_id AS media_id,
+           47::BIGINT AS n_bytes,
+           4::INTEGER AS width,
+           3::INTEGER AS height,
+           (doc_id % 256)::INTEGER AS mean_val
+    FROM documents
+    """,
+)
+def q102_ppm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal image chain, end to end and driver-
+    attested: synthesize per-document P6 containers (variable
+    dimensions, constant fill), REAL nearest-neighbor resize to a
+    fixed 4×3 thumbnail (multimodal.resize_ppm — decode, numpy
+    stride-sample, re-encode), then the REAL feature decode. The
+    oracle pins the resized container size (9-byte header + 36
+    pixel bytes = 47), the parsed target dimensions, and the fill
+    value recovered from the decoded means (nearest-neighbor
+    sampling of a constant image is exactly that constant — any
+    interpolation/index error breaks the hash). Payload bytes never
+    shuffle: synth, resize, and decode fuse into one narrow Arrow
+    pipeline."""
+    import pandas as pd
+
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_ppm(
+                            5 + (i % 9), 4 + (i % 7), i % 256
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["image/ppm"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    nparts = spark.sparkContext.defaultParallelism
+    media = docs.repartition(nparts).mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    resized = multimodal.resize_media(media, 4, 3).drop("resize_error")
+    return multimodal.decode_media_features(resized).select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1) * 255)
+        .cast("int")
+        .alias("mean_val"),
+    )

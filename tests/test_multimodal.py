@@ -113,3 +113,48 @@ def test_ppm_rejects_wide_samples_and_zero_maxval():
         payload = f"P6\n2 2\n{maxval}\n".encode() + px8
         with _pytest.raises(ValueError, match="maxval"):
             multimodal.decode_ppm_features(payload)
+
+
+def test_ppm_resize_nearest_neighbor_exact():
+    """Gradient image: the resized grid must equal the closed-form
+    nearest-neighbor sample (center rule), and the output is a valid
+    P6 container that round-trips through the parser."""
+    import numpy as np
+
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = b"P6\n4 2\n255\n" + px.tobytes()
+    out = multimodal.resize_ppm(payload, 2, 1)
+    w, h, maxval, grid = multimodal._parse_ppm(out)
+    assert (w, h, maxval) == (2, 1, 255)
+    # row floor((0+.5)*2/1)=1; cols floor((i+.5)*4/2) = 1, 3
+    assert grid.tolist() == [[px[1, 1].tolist(), px[1, 3].tolist()]]
+    # upscale also works (indices repeat)
+    up = multimodal.resize_ppm(payload, 8, 4)
+    w2, h2, _, grid2 = multimodal._parse_ppm(up)
+    assert (w2, h2) == (8, 4)
+    assert grid2[0, 0].tolist() == px[0, 0].tolist()
+
+
+def test_resize_media_passthrough_and_error_capture(spark):
+    """Non-image rows ride through untouched; corrupt PPMs keep their
+    original payload and carry the per-row error; good PPMs come out
+    at the target size."""
+    wav = multimodal.synth_wav(120.0, n_samples=80)
+    good = multimodal.synth_ppm(6, 5, 42)
+    rows = [
+        (1, good, "image/ppm", None, None, None),
+        (2, wav, "audio/wav", None, None, None),
+        (3, b"P6\ngarbage", "image/ppm", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.resize_media(df, 3, 2).collect()
+    }
+    assert (out[1].width, out[1].height) == (3, 2)
+    assert out[1].resize_error is None
+    d = multimodal.decode_ppm_features(bytes(out[1].payload))
+    assert (d["width"], d["height"]) == (3, 2)
+    assert bytes(out[2].payload) == wav and out[2].resize_error is None
+    assert out[3].resize_error is not None
+    assert bytes(out[3].payload) == b"P6\ngarbage"  # original kept

@@ -49,6 +49,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_max: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable from it.
 
@@ -62,8 +63,56 @@ def connected_components(
     never change label, and in a dedup corpus they are the vast
     majority, so the loop runs over the (small) duplicate subgraph
     and the full node set joins back once at the end.
-    """
+
+    Small-graph fast path: when the dup subgraph holds at most
+    ``small_graph_max`` directed edges (one count job decides), the
+    edge list collects to the driver and a union-find labels it in
+    O(E·α) — the iterative loop's per-round Spark jobs are pure
+    overhead at that size. The bound keeps the collect within the
+    engine's bounded-collect contract (≤ ~16 MB of id pairs, the
+    same order as a broadcast table); past it, the distributed
+    min-label loop runs unchanged. Labels are identical either way
+    (min reachable id), so the q66 oracle equality is
+    path-independent."""
     sym = symmetrize(edges, src, dst).persist()
+
+    n_sym = sym.count()
+    if n_sym <= small_graph_max:
+        pairs = sym.collect()  # bounded by small_graph_max
+        sym.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs:
+            a, b = find(row[0]), find(row[1])
+            if a != b:
+                # union toward the smaller id: every root stays the
+                # minimum member of its component, so the final label
+                # IS find(node)
+                parent[max(a, b)] = min(a, b)
+        members = {row[0] for row in pairs}
+        out = [(m, find(m)) for m in members]
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(
+            out, f"node {dict(nodes.dtypes)[node_col]}, lbl {dict(nodes.dtypes)[node_col]}"
+        )
+        return (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(F.broadcast(labels), "node", "left")
+            .select(
+                F.col("node").alias(node_col),
+                F.coalesce(F.col("lbl"), F.col("node")).alias("component_id"),
+            )
+        )
+
     # sym holds both directions, so src alone covers every endpoint.
     labels = (
         sym.select(F.col("src").alias("node"))

@@ -65,3 +65,32 @@ def test_symmetrize_drops_self_loops_and_dedups(spark):
     sym = graph.symmetrize(e)
     rows = {(r["src"], r["dst"]) for r in sym.collect()}
     assert rows == {("a", "b"), ("b", "a")}
+
+
+def test_fast_path_and_distributed_loop_agree(spark):
+    """The driver union-find fast path and the iterative min-label
+    loop must produce identical labels (the q66 oracle equality is
+    path-independent). small_graph_max=0 forces the distributed
+    loop on the same input."""
+    import random
+
+    rng = random.Random(11)
+    nodes = [(i,) for i in range(200)]
+    # random chains + rings → multi-hop components, some isolated
+    edges = [
+        (i, rng.randrange(200)) for i in range(0, 150, 2)
+    ] + [(i, i + 1) for i in range(150, 160)]
+    ndf = spark.createDataFrame(nodes, "node long").repartition(5)
+    edf = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    fast = {
+        (r["node"], r["component_id"])
+        for r in graph.connected_components(ndf, edf).collect()
+    }
+    dist = {
+        (r["node"], r["component_id"])
+        for r in graph.connected_components(
+            ndf, edf, small_graph_max=0
+        ).collect()
+    }
+    assert fast == dist
+    assert len(fast) == 200

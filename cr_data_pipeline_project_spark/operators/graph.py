@@ -68,9 +68,9 @@ def connected_components(
     ``small_graph_max`` directed edges (one count job decides), the
     edge list collects to the driver and a union-find labels it in
     O(E·α) — the iterative loop's per-round Spark jobs are pure
-    overhead at that size. The bound keeps the collect within the
-    engine's bounded-collect contract (≤ ~16 MB of id pairs, the
-    same order as a broadcast table); past it, the distributed
+    overhead at that size. Only one direction per undirected edge is
+    collected (≤ small_graph_max/2 Rows; budget ~100 B/Row of driver
+    heap when raising the bound); past it, the distributed
     min-label loop runs unchanged. Labels are identical either way
     (min reachable id), so the q66 oracle equality is
     path-independent."""
@@ -78,7 +78,10 @@ def connected_components(
 
     n_sym = sym.count()
     if n_sym <= small_graph_max:
-        pairs = sym.collect()  # bounded by small_graph_max
+        # union-find is direction-agnostic: collect each undirected
+        # edge once (halves the Rows the driver materializes; the
+        # symmetrized list is only the distributed loop's concern)
+        pairs = sym.where(F.col("src") < F.col("dst")).collect()
         sym.unpersist()
         parent: dict = {}
 
@@ -97,7 +100,8 @@ def connected_components(
                 # minimum member of its component, so the final label
                 # IS find(node)
                 parent[max(a, b)] = min(a, b)
-        members = {row[0] for row in pairs}
+        # one-direction collect → endpoints come from both slots
+        members = {row[0] for row in pairs} | {row[1] for row in pairs}
         out = [(m, find(m)) for m in members]
         spark = nodes.sparkSession
         labels = spark.createDataFrame(

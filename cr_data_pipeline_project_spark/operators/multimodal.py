@@ -196,6 +196,11 @@ def _parse_ppm(payload: bytes):
         i = j
     i += 1  # the single whitespace after maxval
     width, height, maxval = (int(f) for f in fields)
+    if width <= 0 or height <= 0:
+        # a negative dim would silently satisfy numpy reshape via
+        # dimension inference; zero dims yield NaN means — both must
+        # be per-row errors, not quiet garbage
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
     if not (0 < maxval <= 255):
         # spec-valid maxval > 255 means 2-byte samples — reading them
         # as uint8 would silently produce garbage means; flag instead
@@ -279,7 +284,11 @@ def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     widths.append(out_w)
                     heights.append(out_h)
                     errs.append(None)
-                except (ValueError, IndexError) as exc:
+                except Exception as exc:  # per-row capture by contract
+                    # (same posture as decode_media_features: a
+                    # hostile header can raise far outside ValueError
+                    # — e.g. numpy OverflowError on absurd dims — and
+                    # one bad blob must not kill the batch)
                     payloads.append(p)
                     widths.append(w)
                     heights.append(h)

@@ -2076,6 +2076,51 @@ def q98_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _synth_ppm_media(spark, sf_dir, dims):
+    """Per-document constant-fill P6 payload table (MEDIA_SCHEMA):
+    ``dims(doc_id) -> (width, height, value)``. Shared by the image
+    gate queries so the synth plumbing cannot drift between them."""
+    import pandas as pd
+
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_ppm(*dims(i)) for i in ids
+                    ],
+                    "media_type": ["image/ppm"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    nparts = spark.sparkContext.defaultParallelism
+    return docs.repartition(nparts).mapInPandas(
+        synth, multimodal.MEDIA_SCHEMA
+    )
+
+
+def _ppm_meta_projection(decoded):
+    """(media_id, n_bytes, width, height, mean_val) — the shared
+    oracle-facing projection of a decoded constant-fill image."""
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1) * 255)
+        .cast("int")
+        .alias("mean_val"),
+    )
+
+
 @q(
     "q99_ppm_decode_meta",
     """
@@ -2100,40 +2145,10 @@ def q99_ppm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-level round trip (header layout, row-major pixel order,
     normalization) hash-mismatches. Payload bytes never shuffle —
     synth and decode fuse into one narrow Arrow stage."""
-    import pandas as pd
-
-    docs = table(spark, "documents", sf_dir).select("doc_id")
-
-    def synth(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "payload": [
-                        multimodal.synth_ppm(
-                            3 + (i % 6), 2 + (i % 5), i % 256
-                        )
-                        for i in ids
-                    ],
-                    "media_type": ["image/ppm"] * len(ids),
-                    "width": pd.array([None] * len(ids), dtype="Int32"),
-                    "height": pd.array([None] * len(ids), dtype="Int32"),
-                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
-                }
-            )
-
-    nparts = spark.sparkContext.defaultParallelism
-    media = docs.repartition(nparts).mapInPandas(synth, multimodal.MEDIA_SCHEMA)
-    return multimodal.decode_media_features(media).select(
-        "media_id",
-        "n_bytes",
-        "width",
-        "height",
-        F.round(F.element_at("feat", 1) * 255)
-        .cast("int")
-        .alias("mean_val"),
+    media = _synth_ppm_media(
+        spark, sf_dir, lambda i: (3 + (i % 6), 2 + (i % 5), i % 256)
     )
+    return _ppm_meta_projection(multimodal.decode_media_features(media))
 
 
 @q(
@@ -2269,38 +2284,8 @@ def q102_ppm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation/index error breaks the hash). Payload bytes never
     shuffle: synth, resize, and decode fuse into one narrow Arrow
     pipeline."""
-    import pandas as pd
-
-    docs = table(spark, "documents", sf_dir).select("doc_id")
-
-    def synth(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "payload": [
-                        multimodal.synth_ppm(
-                            5 + (i % 9), 4 + (i % 7), i % 256
-                        )
-                        for i in ids
-                    ],
-                    "media_type": ["image/ppm"] * len(ids),
-                    "width": pd.array([None] * len(ids), dtype="Int32"),
-                    "height": pd.array([None] * len(ids), dtype="Int32"),
-                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
-                }
-            )
-
-    nparts = spark.sparkContext.defaultParallelism
-    media = docs.repartition(nparts).mapInPandas(synth, multimodal.MEDIA_SCHEMA)
-    resized = multimodal.resize_media(media, 4, 3).drop("resize_error")
-    return multimodal.decode_media_features(resized).select(
-        "media_id",
-        "n_bytes",
-        "width",
-        "height",
-        F.round(F.element_at("feat", 1) * 255)
-        .cast("int")
-        .alias("mean_val"),
+    media = _synth_ppm_media(
+        spark, sf_dir, lambda i: (5 + (i % 9), 4 + (i % 7), i % 256)
     )
+    resized = multimodal.resize_media(media, 4, 3).drop("resize_error")
+    return _ppm_meta_projection(multimodal.decode_media_features(resized))

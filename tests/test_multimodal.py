@@ -158,3 +158,29 @@ def test_resize_media_passthrough_and_error_capture(spark):
     assert bytes(out[2].payload) == wav and out[2].resize_error is None
     assert out[3].resize_error is not None
     assert bytes(out[3].payload) == b"P6\ngarbage"  # original kept
+
+
+def test_ppm_hostile_headers_are_per_row_errors(spark):
+    """Negative, zero, and absurdly large header dimensions must be
+    captured per row (ValueError / OverflowError), never quiet
+    garbage and never a task-killing escape."""
+    import pytest as _pytest
+
+    for bad in (b"P6\n-1 2\n255\n" + b"\x00" * 12, b"P6\n0 2\n255\n"):
+        with _pytest.raises(ValueError, match="dimensions"):
+            multimodal._parse_ppm(bad)
+    rows = [
+        (1, b"P6\n-1 2\n255\n" + b"\x00" * 12, "image/ppm", None, None, None),
+        (2, b"P6\n9999999999 9999999999\n255\nx", "image/ppm", None, None, None),
+        (3, multimodal.synth_ppm(4, 4, 7), "image/ppm", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.resize_media(df, 2, 2).collect()}
+    assert out[1].resize_error is not None
+    assert out[2].resize_error is not None  # OverflowError captured
+    assert out[3].resize_error is None and out[3].width == 2
+    dec = {
+        r.media_id: r
+        for r in multimodal.decode_media_features(df).collect()
+    }
+    assert dec[1].decode_error is not None and dec[2].decode_error is not None

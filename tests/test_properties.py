@@ -195,3 +195,46 @@ def test_chunk_dedup_reassembly_invariants(spark):
     kept_all = [c for r in out.values() for c in chunks(r.clean_text)]
     assert sorted(kept_all) == sorted(distinct)
     assert sum(r.n_kept for r in out.values()) == len(distinct)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@SLOW
+def test_connected_components_matches_reachability(spark, edges):
+    """CC labels (fast path) equal the min id of each node's
+    reachability closure computed by a pure-Python BFS — on
+    arbitrary random graphs including self-loops, duplicate edges,
+    and isolated nodes."""
+    from cr_data_pipeline_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 41
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for start in range(n):
+        seen, stack = {start}, [start]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        want[start] = min(seen)
+    assert got == want

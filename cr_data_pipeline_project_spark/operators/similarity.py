@@ -532,12 +532,19 @@ def semantic_neardup(
         v, cents, probe=probe, id_col="id", vec_col="v"
     )
     pairs = _bucket_pairs(assigned, ["cid"], "id", max_cluster)
+    # The verify joins fetch CORPUS-sized vector tables — hint them
+    # to shuffle-hash: a parquet size estimate under the broadcast
+    # threshold would otherwise broadcast the whole vector table
+    # (deserialized arrays are many times the file size; measured as
+    # a driver broadcast-build OOM at 100k×64d in the 50× scaling
+    # sweep), and at real corpus scale broadcasting vectors is never
+    # the right plan.
     a = v.select(
         F.col("id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
+    ).hint("shuffle_hash")
     b = v.select(
         F.col("id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
+    ).hint("shuffle_hash")
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")

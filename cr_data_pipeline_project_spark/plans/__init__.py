@@ -34,60 +34,58 @@ GATE_SLOTS = 50
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation at least
-# every other round: round 4 brings back the 26 queries parked
-# during round 3 (text/curation analytics, mutations, streaming
-# batch twins — all driver-green in CORRECTNESS_r02) and parks the
-# 26 freshly r03-attested ones below — all of which stay covered
-# every round by tests/test_oracle_parity.py and
-# tools/check_oracle.py, which run the FULL surface.
+# every other round: round 5 brings back the 41 queries parked
+# during round 4 (all driver-green in CORRECTNESS_r02/r03) and
+# parks 41 of the 50 freshly r04-attested ones below, keeping the
+# nine newest round-4 additions (q93-q99, q101, q102) in-window —
+# all parked queries stay covered every round by
+# tests/test_oracle_parity.py and tools/check_oracle.py, which run
+# the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
-    # parked round 4 (driver-green in r03): scalar/projection
-    # reference queries + the round-3 additions q75-q77/q79-q84,
-    # plus nine more r03-attested queries parked to open slots for
-    # the round-4 additions q86-q90/q92-q95 (they return in round 5),
-    # and six more (q04/q42/q51/q56/q69/q71, all r03-green) parked
-    # for the late-round-4 additions q96-q99, q101 and q102
-    "q04_recent_rankings_top100",
-    "q42_ann_ivf_topk",
-    "q51_salted_join",
-    "q56_asof_join",
-    "q69_doc_length_deciles",
-    "q71_event_percentiles",
-    "q20_window_rank",
-    "q23_surrogate_keys",
-    "q36_ann_bruteforce_topk",
-    "q30_sliding_window",
-    "q46_rollup",
-    "q49_sql_view_api",
-    "q50_column_profile",
-    "q58_dense_ids_scale",
-    "q65_int8_quantize",
-    "q03_player_win_rate",
-    "q05_player_clan_view",
-    "q06_distinct_single",
-    "q07_dedup_by_key",
-    "q08_dedup_composite_count",
-    "q11_union_dedup",
-    "q12_key_synthesis",
-    "q13_ts_parse_strict",
-    "q14_url_encode",
-    "q16_element_at_default",
-    "q17_json_extract",
-    "q18_null_mask_fill",
-    "q19_case_round",
-    "q21_multikey_sort",
-    "q27_season_calendar",
-    "q59_last_completed_seasons",
-    "q60_current_plus_seasons",
-    "q75_tfidf_top_terms",
-    "q76_winnow_fingerprints",
-    "q77_cluster_centroid_sums",
-    "q79_frame_sample_plan",
-    "q80_per_source_dup_stats",
-    "q81_event_funnel",
-    "q82_rolling_daily_events",
-    "q83_cross_source_leakage",
-    "q84_incremental_neardup",
+    # parked round 5 (driver-green in r04): the reference-query and
+    # dedup/text/sampling entries attested in CORRECTNESS_r04; they
+    # return in round 6
+    "q01_pricing_summary",
+    "q02_brand_usage_wins",
+    "q09_anti_join_new_keys",
+    "q10_semi_join_kept_keys",
+    "q15_range_join_season",
+    "q22_priority_share",
+    "q24_merge_upsert",
+    "q25_insert_if_absent",
+    "q26_cascade_delete",
+    "q28_tumbling_window",
+    "q29_sessionization",
+    "q45_nested_flatten",
+    "q31_dedup_exact_groups",
+    "q32_dedup_fingerprint_keep",
+    "q33_ngram_jaccard_pairs",
+    "q34_minhash_lsh_pairs",
+    "q35_simhash_pairs",
+    "q37_embedding_neardup",
+    "q53_group_zscore",
+    "q52_hash_split",
+    "q38_text_quality",
+    "q39_lang_id",
+    "q40_token_count",
+    "q41_fingerprint",
+    "q57_dataset_mixing",
+    "q55_curation_pipeline",
+    "q43_multimodal_meta",
+    "q61_repetition_ratio",
+    "q62_pii_redaction",
+    "q63_stratified_sample",
+    "q64_sequence_packing",
+    "q66_dedup_clusters",
+    "q67_event_pivot",
+    "q68_audience_setops",
+    "q70_term_doc_freq",
+    "q86_bloom_prefilter_gate",
+    "q87_chunk_dedup",
+    "q88_ngram_decontamination",
+    "q89_scd2_intervals",
+    "q90_stratified_sample_scale",
+    "q92_cluster_representatives",
 )
 
 

@@ -30,6 +30,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+# Per-block float64 budget for the blocked per-cluster GEMM verify
+# (_verify_clusters_gemm): 8M doubles = 64 MB per worker, independent
+# of cluster size.
+_GEMM_BLOCK_ELEMS = 8_000_000
+
 
 def as_double_vec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -580,11 +585,21 @@ def _verify_clusters_gemm(
     pair-join path moved, without the pair-table join fan-out.
 
     A pair sharing several probed clusters is scored in each;
-    duplicates collapse with distinct() (identical to 6 dp — same
-    two vectors, ulp-level blocking differences vanish at the
-    rounding the operator already applies). The hot-cluster guard
-    drops groups beyond ``max_cluster`` BEFORE grouping, same
-    contract as `_bucket_pairs`."""
+    duplicates collapse on the PAIR KEY alone (groupBy + max(score))
+    — BLAS blocking can differ between two clusters' matrices, so a
+    cosine sitting exactly on a 1e-6 rounding boundary may emit two
+    rows differing in the 6th decimal; keying the one-row-per-pair
+    contract on (vec_a, vec_b) makes it independent of ulp-level
+    score agreement. The hot-cluster guard drops groups beyond
+    ``max_cluster`` BEFORE grouping, same contract as
+    `_bucket_pairs`.
+
+    Memory: the GEMM is BLOCKED — score ``V[i:i+B] @ V.T`` and
+    threshold per block (B ≈ ``_GEMM_BLOCK_ELEMS``/m rows), so peak
+    worker allocation is O(B·m) ≈ 64 MB regardless of cluster size,
+    not the O(m²) a full similarity matrix + triu_indices would
+    need (a skewed-but-under-cap 50k cluster would otherwise
+    allocate tens of GB in one Python worker)."""
     import numpy as np
     import pandas as pd
 
@@ -608,23 +623,36 @@ def _verify_clusters_gemm(
         ids = pdf["id"].values[order]
         V = np.stack(pdf["v"].values[order])
         n = pdf["nrm"].values[order]
-        S = (V @ V.T) / np.outer(n, n)
-        iu = np.triu_indices(len(ids), k=1)
-        s = S[iu]
-        m = s >= threshold
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu[0][m]],
-                "vec_b": ids[iu[1][m]],
-                "score": np.round(s[m], 6),
-            }
-        )
+        m = len(ids)
+        blk = max(1, _GEMM_BLOCK_ELEMS // m)
+        cols_g = np.arange(m)[None, :]
+        outs = []
+        for i0 in range(0, m - 1, blk):
+            i1 = min(i0 + blk, m)
+            S = (V[i0:i1] @ V.T) / np.outer(n[i0:i1], n)
+            mask = S >= threshold
+            # strictly-upper triangle: global col > global row
+            mask &= cols_g > np.arange(i0, i1)[:, None]
+            r, c = np.nonzero(mask)
+            if len(r):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[r + i0],
+                            "vec_b": ids[c],
+                            "score": np.round(S[r, c], 6),
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
     out = joined.groupBy("cid").applyInPandas(
         lambda pdf: per_cluster(pdf),
         f"vec_a {id_type}, vec_b {id_type}, score double",
     )
-    return out.distinct()
+    return out.groupBy("vec_a", "vec_b").agg(F.max("score").alias("score"))
 
 
 def nearest_centroids(
@@ -691,6 +719,34 @@ def nearest_centroids(
             D = cn - 2.0 * (V @ C.T)  # (b, k)
             if p == 1:
                 pick = D.argmin(axis=1)[:, None]  # first hit = min cid
+            elif p < D.shape[1]:
+                # O(k) select of the top-p, then stable-sort only the
+                # p candidates — a full stable argsort of all k
+                # distances is O(k log k) per row and sorts the whole
+                # (batch, k) matrix just to take the top 3-4 once
+                # auto-k reaches 2¹⁶. Sorting the candidate COLUMN
+                # INDICES ascending first, then a stable value sort,
+                # reproduces full-argsort tie semantics (ties break
+                # toward the smallest cid) within the selected set.
+                part = np.argpartition(D, p - 1, axis=1)[:, :p]
+                part.sort(axis=1)
+                vals = np.take_along_axis(D, part, axis=1)
+                order = np.argsort(vals, axis=1, kind="stable")
+                pick = np.take_along_axis(part, order, axis=1)
+                # BOUNDARY ties (a tie spanning the p-th slot) let
+                # argpartition keep an arbitrary tied member; detect
+                # rows where an unselected column equals the p-th
+                # value and redo just those with the full stable sort
+                # — exact float64 ties only arise from duplicate
+                # centroids, so this path is O(rare · k log k).
+                vmax = vals.max(axis=1)
+                tied = (D == vmax[:, None]).sum(axis=1) > (
+                    vals == vmax[:, None]
+                ).sum(axis=1)
+                if tied.any():
+                    pick[tied] = np.argsort(
+                        D[tied], axis=1, kind="stable"
+                    )[:, :p]
             else:
                 pick = np.argsort(D, axis=1, kind="stable")[:, :p]
             b, ids = len(pdf), pdf[id_col].values

@@ -1076,7 +1076,7 @@ def q85_tfidf_float_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring promises. Rows-only by design: ``ln`` ULP behavior
     differs across engines, so the exact-integer ordering (q75)
     carries the cross-engine attestation and this variant is gated by
-    a tolerance test (tests/test_llm_queries.py) against an
+    a tolerance test (tests/test_approx.py:14) against an
     independent pandas recomputation instead.
 
     Plan shape is identical to q75 (same tf/df aggregates, same
@@ -2277,8 +2277,9 @@ def q102_ppm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions, constant fill), REAL nearest-neighbor resize to a
     fixed 4×3 thumbnail (multimodal.resize_ppm — decode, numpy
     stride-sample, re-encode), then the REAL feature decode. The
-    oracle pins the resized container size (9-byte header + 36
-    pixel bytes = 47), the parsed target dimensions, and the fill
+    oracle pins the resized container size (11-byte header
+    'P6\\n4 3\\n255\\n' + 36 pixel bytes = 47; q99's formula
+    9 + len(w) + len(h) + 3wh is the general form), the parsed target dimensions, and the fill
     value recovered from the decoded means (nearest-neighbor
     sampling of a constant image is exactly that constant — any
     interpolation/index error breaks the hash). Payload bytes never

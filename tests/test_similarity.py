@@ -206,3 +206,75 @@ def test_semantic_neardup_recall_and_precision(spark, sf_dir):
             indent=1,
         )
     assert recall >= 0.9, f"semantic dedup recall {recall:.2f}"
+
+
+def test_gemm_verify_blocking_invariant(spark, sf_dir, monkeypatch):
+    """The blocked per-cluster GEMM (O(B·m) worker memory) must be
+    invisible in the results: a degenerate 1-row block budget and an
+    effectively-unblocked budget produce identical pair sets AND
+    identical rounded scores."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators import similarity
+
+    emb = table(spark, "embeddings", sf_dir)
+
+    def run():
+        return {
+            (r.vec_a, r.vec_b): r.score
+            for r in similarity.semantic_neardup(
+                emb, "vec_id", "embedding", threshold=0.45, n_iter=1,
+                probe=2, verify="gemm",
+            ).collect()
+        }
+
+    monkeypatch.setattr(similarity, "_GEMM_BLOCK_ELEMS", 1)
+    tiny = run()
+    monkeypatch.setattr(similarity, "_GEMM_BLOCK_ELEMS", 10**9)
+    big = run()
+    assert tiny == big
+    assert len(big) > 0
+
+
+def test_nearest_centroids_argpartition_tie_semantics(spark):
+    """The O(k) argpartition select must reproduce the full stable
+    argsort's pick order — including ties breaking toward the
+    smallest cid (centroids 1 and 3 are identical here, so every
+    vector is equidistant to both)."""
+    import numpy as np
+
+    from cr_data_pipeline_project_spark.operators.similarity import (
+        nearest_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(6, 4)).round(3)
+    C[3] = C[1]  # exact duplicate centroid → distance ties
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(40)],
+        "id bigint, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(6)],
+        "cid int, cv array<double>",
+    )
+    got = {}
+    for r in nearest_centroids(vecs, cents, probe=3).collect():
+        got.setdefault(r.id, []).append(r.cid)
+
+    V = np.array(
+        [r.v for r in vecs.orderBy("id").collect()], dtype=np.float64
+    )
+    D = (C * C).sum(axis=1) - 2.0 * (V @ C.T)
+    want = np.argsort(D, axis=1, kind="stable")[:, :3]
+    tie_seen = 0
+    for i in range(40):
+        assert got[i] == [int(c) for c in want[i]], i
+        # whenever the duplicate-centroid tie reaches the top-3, the
+        # smaller cid (1) must rank first — cid 3 can only appear
+        # after it (both fit when the tie spans two of the 3 slots)
+        if 1 in got[i] or 3 in got[i]:
+            assert 1 in got[i], got[i]
+            if 3 in got[i]:
+                assert got[i].index(1) < got[i].index(3), got[i]
+            tie_seen += 1
+    assert tie_seen > 0

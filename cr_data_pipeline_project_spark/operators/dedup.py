@@ -812,6 +812,32 @@ def normalize_index_shingles(index: DataFrame) -> DataFrame:
     return index
 
 
+def explode_index_bands(
+    index: DataFrame, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Build-time companion table for :func:`incremental_neardup_pairs`:
+    the index's (band_idx, band_hash, index_id) rows with degenerate
+    buckets (> ``max_bucket`` members — boilerplate bands) already
+    dropped. Materialize this NEXT TO the index (one extra parquet
+    dir, ~32 small rows per doc) so each arriving batch probes it
+    directly instead of re-exploding the corpus bands and re-running
+    the hot-bucket prepass per probe — at 100 TB, write it bucketed
+    by band_hash so probes prune partitions."""
+    idx_bands = index.select(
+        F.col(id_col).alias("index_id"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    hot = (
+        idx_bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket)
+        .select("band_idx", "band_hash")
+    )
+    return idx_bands.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+    )
+
+
 def incremental_neardup_pairs(
     new_docs: DataFrame,
     index: DataFrame,
@@ -823,6 +849,8 @@ def incremental_neardup_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int = 1000,
+    index_bands: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between an incoming batch and an existing
     corpus index (built by :func:`build_neardup_index`) — the
@@ -832,100 +860,118 @@ def incremental_neardup_pairs(
 
     Returns (new_id, index_id, jaccard) with jaccard ≥ ``threshold``.
 
-    Plan: the batch's band hashes join the index's exploded bands on
-    (band_idx, band_hash) — ids only, a one-sided bucket probe (no
-    corpus self-pairing, no batch self-pairing); verified candidates
-    fetch both shingle arrays and intersect in-row. Shuffle volume
-    ∝ batch size + matched index rows, never corpus size. The
-    ``max_bucket`` guard drops degenerate boilerplate buckets on the
-    index side, same as the batch LSH path."""
+    Plan: ONE groupBy(id) over the batch shingles computes the
+    minhash signature mins AND the hashed shingle set together (they
+    consume the same ``xxhash64(shingle)`` projection, so fusing them
+    halves the batch-side aggregation work); the batch's band hashes
+    then join the index's exploded bands on (band_idx, band_hash) —
+    ids only through the explode, a one-sided bucket probe (no corpus
+    self-pairing, no batch self-pairing); verified candidates fetch
+    both shingle arrays and intersect in-row. The verify branch
+    re-reads the fused aggregate, whose exchange Spark deduplicates
+    (ReusedExchange — identical subtree), so the shingles are still
+    computed once. Shuffle volume ∝ batch size + matched index rows,
+    never corpus size. The ``max_bucket`` guard drops degenerate
+    boilerplate buckets on the index side, same as the batch LSH
+    path.
+
+    Pass ``index_bands`` (a materialized :func:`explode_index_bands`
+    table) to skip the per-probe corpus-band explode + hot-bucket
+    prepass — the deployed shape, where both are paid once at build
+    time.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the
+    verified pairs — right for callers that consume the result more
+    than once (the streaming ingest anti-joins it AND writes the
+    quarantine log). Single-pass callers (one collect / one sink
+    write) should pass ``materialize=False`` and skip the checkpoint
+    replay."""
     index = normalize_index_shingles(index)
-    idx_bands = index.select(
-        F.col(id_col).alias("index_id"),
-        F.posexplode("bands").alias("band_idx", "band_hash"),
-    )
-    # degenerate-bucket guard on the index side (the corpus is the
-    # unbounded party): drop band buckets beyond max_bucket members
-    hot = (
-        idx_bands.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > max_bucket)
-        .select("band_idx", "band_hash")
-    )
-    idx_bands = idx_bands.join(
-        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
-    )
+    if index_bands is None:
+        # degenerate-bucket guard on the index side (the corpus is
+        # the unbounded party): drop buckets beyond max_bucket members
+        idx_bands = explode_index_bands(index, id_col, max_bucket)
+    else:
+        idx_bands = index_bands
 
     rows_per_band = num_hashes // bands
-    new_sh = shingle_set(new_docs, text_col, id_col, n).persist()
-    try:
-        new_sigs = minhash_signatures(
-            new_docs, text_col, id_col, n, num_hashes, seed, shingles=new_sh
+    # Fused batch aggregation: signature mins + hashed shingle set in
+    # one pass. Base hash projected once per shingle row (embedded in
+    # each min aggregate it would be recomputed per-aggregate — no
+    # cross-aggregate CSE), same as minhash_signatures.
+    base = shingle_set(new_docs, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("__sh64")
+    )
+    base = base.withColumn(
+        "__h32", F.pmod(F.col("__sh64"), F.lit(1 << 32))
+    )
+    coeffs = _perm_coeffs(num_hashes, seed)
+    mins = [
+        F.min(
+            F.pmod(
+                F.lit(a) * F.col("__h32") + F.lit(b), F.lit(_MERSENNE_P)
+            )
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    # Same xxhash64 shingle encoding the index stores — set sizes and
+    # intersections are hash-collision-exact (see
+    # :func:`build_neardup_index`).
+    agg = base.groupBy(id_col).agg(
+        *mins, F.collect_set("__sh64").alias("__sh_new")
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"__m{j * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            )
+            for j in range(bands)
+        ]
+    )
+    new_bands = agg.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    )
+    cand = (
+        new_bands.join(idx_bands, ["band_idx", "band_hash"])
+        .where(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            agg.select(F.col(id_col).alias("new_id"), "__sh_new"),
+            "new_id",
         )
-        new_bands = new_sigs.select(
-            F.col(id_col).alias("new_id"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[j * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        )
-                        for j in range(bands)
-                    ]
+        .join(
+            index.select(
+                F.col(id_col).alias("index_id"),
+                F.col("shingles").alias("__sh_idx"),
+            ),
+            "index_id",
+        )
+        .withColumn(
+            "__c",
+            F.size(F.array_intersect(F.col("__sh_new"), F.col("__sh_idx"))),
+        )
+        .select(
+            "new_id",
+            "index_id",
+            (
+                F.col("__c")
+                / (
+                    F.size("__sh_new")
+                    + F.size("__sh_idx")
+                    - F.col("__c")
                 )
-            ).alias("band_idx", "band_hash"),
+            ).alias("jaccard"),
         )
-        cand = (
-            new_bands.join(idx_bands, ["band_idx", "band_hash"])
-            .where(F.col("new_id") != F.col("index_id"))
-            .select("new_id", "index_id")
-            .distinct()
-        )
-        # Same xxhash64 encoding the index stores — set sizes and
-        # intersections are hash-collision-exact (see
-        # :func:`build_neardup_index`).
-        new_sets = new_sh.groupBy(id_col).agg(
-            F.collect_set(F.xxhash64("shingle")).alias("__sh_new")
-        )
-        verified = (
-            cand.join(
-                new_sets.select(
-                    F.col(id_col).alias("new_id"), "__sh_new"
-                ),
-                "new_id",
-            )
-            .join(
-                index.select(
-                    F.col(id_col).alias("index_id"),
-                    F.col("shingles").alias("__sh_idx"),
-                ),
-                "index_id",
-            )
-            .withColumn(
-                "__c",
-                F.size(F.array_intersect(F.col("__sh_new"), F.col("__sh_idx"))),
-            )
-            .select(
-                "new_id",
-                "index_id",
-                (
-                    F.col("__c")
-                    / (
-                        F.size("__sh_new")
-                        + F.size("__sh_idx")
-                        - F.col("__c")
-                    )
-                ).alias("jaccard"),
-            )
-            .where(F.col("jaccard") >= threshold)
-            .localCheckpoint()
-        )
-        return verified
-    finally:
-        new_sh.unpersist(blocking=False)
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.localCheckpoint() if materialize else verified
 
 
 # ------------------------------------------------------------------ #

@@ -86,6 +86,10 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q89_scd2_intervals",
     "q90_stratified_sample_scale",
     "q92_cluster_representatives",
+    # parked mid-round-5 (driver-green in r04) to open slots for the
+    # round-5 additions q103/q104 (the q84 build/probe bench split)
+    "q93_decontaminated_export",
+    "q94_wav_decode_meta",
 )
 
 

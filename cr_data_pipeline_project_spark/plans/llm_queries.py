@@ -1520,19 +1520,133 @@ def q84_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction; deployed, the index is a lake table amortized
     across every arriving batch and the probe itself is the only
     per-batch cost.)"""
+    old, new = _neardup_corpus_split(spark, sf_dir)
+    index = dedup.build_neardup_index(old, "text", "doc_id")
+    pairs = dedup.incremental_neardup_pairs(
+        new, index, "text", "doc_id", threshold=0.7, materialize=False
+    )
+    return pairs.select(
+        "new_id", "index_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _neardup_corpus_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus, arriving-batch) split shared by q84/q103/q104: the
+    newest ~10% of documents stand in for an incoming batch. The
+    1-row cutoff aggregate is broadcast into both filters: stays one
+    lazy plan (no driver collect) and the scan under each side still
+    prunes via the pushed doc_id comparison at runtime (AQE)."""
     docs = table(spark, "documents", sf_dir)
-    # 1-row cutoff aggregate, broadcast into both filters: stays one
-    # lazy plan (no driver collect) and the scan under each side
-    # still prunes via the pushed doc_id comparison at runtime (AQE).
     cut = docs.agg(
         F.floor(F.max("doc_id") * 0.9).cast("long").alias("__cut")
     )
     both = docs.crossJoin(F.broadcast(cut))
     old = both.where(F.col("doc_id") < F.col("__cut")).drop("__cut")
     new = both.where(F.col("doc_id") >= F.col("__cut")).drop("__cut")
-    index = dedup.build_neardup_index(old, "text", "doc_id")
+    return old, new
+
+
+# Materialized near-dup index paths, one per (process, sf_dir) — the
+# deployed amortization: the index is a lake table written once per
+# corpus snapshot and probed by every arriving batch. q103 measures
+# the build+write, q104 the probe; bench's min-of-3 on q104 therefore
+# tracks the per-batch cost a deployed pipeline pays (round-4 verdict:
+# the combined q84 number was ~all one-off build cost, hiding probe
+# regressions).
+_NEARDUP_INDEX_PATHS: dict[str, str] = {}
+
+
+def _build_and_write_neardup_index(spark: SparkSession, sf_dir: str) -> str:
+    """(Re)build the corpus index and write it to this process's lake
+    stand-in path for ``sf_dir`` — the full deployed build, parquet
+    writes included: the (id, bands, shingles) index itself PLUS the
+    pre-exploded, hot-bucket-pruned bands table probes join against
+    (dedup.explode_index_bands), so per-probe cost excludes the
+    corpus-band explode and the degenerate-bucket prepass."""
+    import os
+    import tempfile
+
+    base = _NEARDUP_INDEX_PATHS.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="sg_neardup_idx_")
+    idx_path = os.path.join(base, "index")
+    old, _ = _neardup_corpus_split(spark, sf_dir)
+    dedup.build_neardup_index(old, "text", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    dedup.explode_index_bands(index, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "bands"))
+    _NEARDUP_INDEX_PATHS[sf_dir] = base
+    return base
+
+
+def _materialized_neardup_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(index, pre-exploded bands) read from the materialized build,
+    building first only if this process hasn't yet (a probe's
+    steady-state cost excludes the amortized build)."""
+    import os
+
+    base = _NEARDUP_INDEX_PATHS.get(sf_dir)
+    if base is None:
+        base = _build_and_write_neardup_index(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(base, "index")),
+        spark.read.parquet(os.path.join(base, "bands")),
+    )
+
+
+@q(
+    "q103_neardup_index_build",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cut AS (
+        SELECT CAST(FLOOR(MAX(doc_id) * 0.9) AS BIGINT) AS c
+        FROM documents
+    )
+    SELECT COUNT(DISTINCT doc_id) AS n_index_docs
+    FROM sh WHERE doc_id < (SELECT c FROM cut)
+    """,
+)
+def q103_neardup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-off half of q84, benchmarked separately: build the
+    corpus near-dup index (minhash bands + hashed shingle sets,
+    dedup.build_neardup_index) and WRITE it to the lake stand-in —
+    the full deployed build cost, parquet write included, re-run
+    every invocation by design. Returns the count of indexed
+    documents read back from the written files, so the oracle attests
+    the build actually landed one row per corpus document (every doc
+    yields ≥1 shingle: shorter-than-n docs contribute their full text
+    as one)."""
+    import os
+
+    base = _build_and_write_neardup_index(spark, sf_dir)
+    return spark.read.parquet(os.path.join(base, "index")).agg(
+        F.count(F.lit(1)).alias("n_index_docs")
+    )
+
+
+@q("q104_neardup_probe", ORACLES["q84_incremental_neardup"])
+def q104_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-batch half of q84, benchmarked separately: probe the
+    MATERIALIZED corpus index (built at most once per process by
+    q103/this query, amortized exactly like the deployed lake table)
+    with the arriving batch. Same pair semantics and oracle as q84 —
+    LSH banding recall is provably ≈1 at j ≥ 0.7, and verification
+    is exact-Jaccard over the stored hashed shingle sets — so this
+    row stays green while the bench's min-of-3 isolates the
+    steady-state probe cost: index scan + one-sided band join +
+    intersect-verify, shuffle ∝ batch size + matched index rows."""
+    _, new = _neardup_corpus_split(spark, sf_dir)
+    index, idx_bands = _materialized_neardup_index(spark, sf_dir)
     pairs = dedup.incremental_neardup_pairs(
-        new, index, "text", "doc_id", threshold=0.7
+        new, index, "text", "doc_id", threshold=0.7, index_bands=idx_bands,
+        materialize=False,
     )
     return pairs.select(
         "new_id", "index_id", F.round("jaccard", 4).alias("jaccard")

@@ -483,6 +483,7 @@ def semantic_neardup(
     max_cluster: int = 100_000,
     target_cluster: int = 125,
     verify: str = "gemm",
+    routing: str = "flat",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
     "SemDeDup", arXiv:2303.09540): k-means buckets
@@ -514,9 +515,11 @@ def semantic_neardup(
     cost flat as k grows. The auto-k is capped at 2¹⁶ — beyond that
     the centroid table itself (k×dim collected to the driver,
     shipped per task) outgrows the broadcast budget; past ~10⁸
-    vectors, move to a two-level assignment (coarse k-means over
-    √k supercentroids routing to per-cell fine centroids — the IVF
-    literature's standard escape hatch) rather than a flat table."""
+    vectors, move to ``routing='two_level'`` (coarse k-means over
+    √k supercentroids routing to per-cell fine centroids,
+    :func:`nearest_centroids_two_level` — the IVF literature's
+    standard escape hatch) rather than a flat table: it never
+    collects the k×dim fine table, so the 2¹⁶ cap does not apply."""
     from .clustering import kmeans_fit
     from .dedup import _bucket_pairs
 
@@ -534,9 +537,14 @@ def semantic_neardup(
     # flat in k, which is what lets `k` grow large enough for the
     # bucketing to actually prune (a small k with probe≈k/3 degrades
     # toward all-pairs).
-    assigned = nearest_centroids(
-        v, cents, probe=probe, id_col="id", vec_col="v"
-    )
+    if routing == "two_level":
+        assigned = nearest_centroids_two_level(
+            v, cents, probe=probe, id_col="id", vec_col="v"
+        )
+    else:
+        assigned = nearest_centroids(
+            v, cents, probe=probe, id_col="id", vec_col="v"
+        )
     if verify == "gemm":
         return _verify_clusters_gemm(v, assigned, threshold, max_cluster)
     pairs = _bucket_pairs(assigned, ["cid"], "id", max_cluster)
@@ -653,6 +661,110 @@ def _verify_clusters_gemm(
         f"vec_a {id_type}, vec_b {id_type}, score double",
     )
     return out.groupBy("vec_a", "vec_b").agg(F.max("score").alias("score"))
+
+
+def nearest_centroids_two_level(
+    vecs: DataFrame,
+    cents: DataFrame,
+    probe: int = 1,
+    id_col: str = "id",
+    vec_col: str = "v",
+    coarse_k: int | None = None,
+    route_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-level (coarse → fine) centroid assignment — the documented
+    escape hatch past :func:`nearest_centroids`' flat-table limit
+    (the 2¹⁶ auto-k cap in :func:`semantic_neardup`): ~√k coarse
+    supercentroids route each vector to a CELL, and the fine
+    centroids live per cell, so no task ever holds the full k×dim
+    table — the IVF literature's standard coarse-quantizer shape
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011, §IV). Returns (id, cid) like the flat
+    assigner (no ``carry_vec``).
+
+    Plan: (1) fit ``coarse_k`` (default ⌈√k⌉) supercentroids over
+    the k fine centroids themselves (a k-row fit — cheap); (2) flat-
+    assign each fine centroid to its nearest cell (√k-sized table);
+    (3) flat-assign each vector to its ``route_probe`` nearest cells
+    (multi-probe ROUTING — a vector whose true nearest fine centroid
+    sits just across a cell boundary still reaches it unless all
+    ``route_probe`` cells miss); (4) a cell-cogrouped Arrow kernel
+    scores each cell's vectors against that cell's fine centroids
+    only (per-task memory ~(batch + k/√k)·dim); (5) a per-id window
+    over the ≤ route_probe·probe candidate rows merges to the global
+    top-``probe``, ties toward the smallest cid — the same tie
+    contract as the flat assigner.
+
+    Only the √k coarse table is ever collected/broadcast; fine
+    centroids stay distributed. Exactness: the distance
+    ``||c||² − 2·v·c`` omits the assignment-invariant ``||v||²``, so
+    scores merge correctly across cells. Recall is governed by
+    ``route_probe`` (recall test vs flat assignment in
+    tests/test_similarity.py); vectors routed only to empty cells
+    (possible but vanishingly rare for route_probe ≥ 2) simply emit
+    fewer than ``probe`` rows."""
+    import numpy as np
+    import pandas as pd
+
+    from math import ceil, isqrt
+
+    from .clustering import kmeans_fit
+
+    k = cents.count()
+    if coarse_k is None:
+        coarse_k = max(2, isqrt(int(k)))
+    fine = cents.select(F.col("cid").alias("fid"), F.col("cv").alias("fv"))
+    coarse = kmeans_fit(fine, coarse_k, "fid", "fv", n_iter=2, seed=seed)
+
+    fine_cells = (
+        nearest_centroids(fine, coarse, probe=1, id_col="fid", vec_col="fv")
+        .withColumnRenamed("cid", "cell")
+        .join(fine, "fid")
+    )
+    vec_cells = nearest_centroids(
+        vecs.select(F.col(id_col).alias("__vid"), as_double_vec(vec_col).alias("__vv")),
+        coarse,
+        probe=min(route_probe, coarse_k),
+        id_col="__vid",
+        vec_col="__vv",
+        carry_vec=True,
+    ).withColumnRenamed("cid", "cell")
+
+    id_type = dict(vecs.dtypes)[id_col]
+    p = probe
+
+    def per_cell(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(left) or not len(right):
+            return pd.DataFrame({"__vid": [], "cid": [], "__d": []})
+        order = np.argsort(right["fid"].values)  # ascending fid → tie order
+        fids = right["fid"].values[order]
+        Fm = np.stack(right["fv"].values[order])
+        V = np.stack(left["__vv"].values)
+        D = (Fm * Fm).sum(axis=1) - 2.0 * (V @ Fm.T)
+        pp = min(p, len(fids))
+        pick = np.argsort(D, axis=1, kind="stable")[:, :pp]
+        rows = np.repeat(np.arange(len(left)), pp)
+        cols = pick.reshape(-1)
+        return pd.DataFrame(
+            {
+                "__vid": left["__vid"].values[rows],
+                "cid": fids[cols].astype(np.int32),
+                "__d": D[rows, cols],
+            }
+        )
+
+    cand = (
+        vec_cells.groupby("cell")
+        .cogroup(fine_cells.groupby("cell"))
+        .applyInPandas(per_cell, f"__vid {id_type}, cid int, __d double")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__d"), F.col("cid"))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= probe)
+        .select(F.col("__vid").alias(id_col), "cid")
+    )
 
 
 def nearest_centroids(

@@ -1821,6 +1821,27 @@ def q91_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q105_semantic_neardup_two_level")
+def q105_semantic_neardup_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q91 with two-level (coarse → fine) centroid routing
+    (similarity.nearest_centroids_two_level) — the assignment shape
+    for corpora past the flat assigner's 2¹⁶ auto-k cap (~10⁸
+    vectors at constant cluster occupancy): only the ~√k coarse
+    table is ever collected; fine centroids stay distributed and
+    meet their vectors in a cell-cogrouped Arrow kernel. Rows-only
+    like q91; tests/test_similarity.py asserts assignment agreement
+    with the flat path (≥95%) and pair recall vs the exact O(N²)
+    baseline; the scaling probe records its exponent alongside
+    q91's."""
+    emb = table(spark, "embeddings", sf_dir)
+    return similarity.semantic_neardup(
+        emb, "vec_id", "embedding", threshold=0.45, n_iter=1, probe=4,
+        routing="two_level",
+    )
+
+
 @q(
     "q92_cluster_representatives",
     f"""

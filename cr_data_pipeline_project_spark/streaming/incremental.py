@@ -26,6 +26,8 @@ Scale notes
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -394,11 +396,24 @@ def _rewrite_affected_buckets(
     along). ``state`` is the current table (None on first write);
     ``payload``'s column set defines the stored schema. Write
     amplification = touched buckets, never table size — both callers'
-    layout contract lives HERE and only here."""
+    layout contract lives HERE and only here.
+
+    Deletions (keys in ``affected_keys`` but absent from ``payload``,
+    the CDC tombstone path) have one physical subtlety: a bucket
+    whose every row is deleted receives ZERO output rows, and dynamic
+    overwrite never touches a partition it writes nothing to — the
+    stale dir would silently survive. Those emptied bucket dirs are
+    removed explicitly AFTER the commit (the non-destructive write
+    first; a crash in between replays to the same classification,
+    since the stale rows are still keyed to the same batch, and the
+    replayed rewrite deletes them again — idempotent). The dir
+    removal uses the local filesystem API; an object-store deployment
+    swaps in its FS client here."""
     bucket = F.pmod(
         F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)
     )
     out = payload.withColumn("__bucket", bucket)
+    emptied: list[int] = []
     if state is not None:
         bucket_ids = affected_keys.select(
             bucket.alias("__bucket")
@@ -409,13 +424,32 @@ def _rewrite_affected_buckets(
             .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
             .join(affected_keys.select(key_col), key_col, "left_anti")
         )
-        out = out.unionByName(residents)
+        # checkpoint: (1) the emptied-bucket scan below and the write
+        # must see the same rows; (2) the write no longer reads the
+        # very files it is overwriting. Small by contract — affected
+        # buckets only.
+        out = out.unionByName(residents).localCheckpoint(eager=True)
+        written = {
+            r["__bucket"] for r in out.select("__bucket").distinct().collect()
+        }
+        emptied = [
+            r["__bucket"]
+            for r in bucket_ids.collect()  # bounded: ≤ n_buckets rows
+            if r["__bucket"] not in written
+        ]
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(path)
     )
+    if emptied:
+        import shutil
+
+        for b in emptied:
+            shutil.rmtree(
+                os.path.join(path, f"__bucket={b}"), ignore_errors=True
+            )
 
 
 def scd2_apply_batch(
@@ -582,6 +616,7 @@ def change_capture_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    tombstones: DataFrame | None = None,
 ) -> None:
     """One micro-batch of :func:`streaming_change_capture`: classify
     every row against the persisted (id, content-hash) state —
@@ -592,20 +627,31 @@ def change_capture_batch(
     re-reading either full snapshot: state is hash-bucketed on the
     id, a batch rewrites only the buckets its CHANGED ids live in
     (same layout/write-amplification contract as
-    :func:`scd2_apply_batch`). ``removed`` is unobservable in an
-    upsert stream — absence from a batch is not deletion; pair with
-    a tombstone feed or the offline q96 diff for removals.
+    :func:`scd2_apply_batch`).
+
+    ``tombstones`` (optional, id rows) is the deletion feed an
+    upsert stream cannot express on its own (absence from a batch is
+    not deletion): each tombstoned id PRESENT in state emits a
+    ``removed`` change row (carrying the last stored hash) and its
+    state row is deleted through the same bucketed rewrite (in the
+    delete set, not the payload). A tombstone for an unknown id is a
+    no-op; an id both upserted and tombstoned in one batch resolves
+    to REMOVED (the tombstone wins — deterministic, so replay can't
+    flip it). Without a tombstone feed, removals fall back to the
+    offline q96 diff.
 
     Replay idempotency (changes land BEFORE state, both guarded):
     - crash before the state write → replay reclassifies against the
       unchanged state and dynamic-overwrites the same per-batch
-      changes partition with identical bytes, then writes state;
+      changes partition with identical bytes (tombstoned ids are
+      still in state, so `removed` rows reproduce too), then writes
+      state;
     - crash after the state write is impossible here (state is the
       last action), but a FULL replay after success re-classifies
-      every row as unchanged → the per-batch changes partition
-      overwrite has nothing to rewrite (dynamic mode leaves the
-      landed partition intact) and the state rewrite recomputes
-      identical buckets.
+      every row as unchanged — and every tombstoned id as unknown —
+      so the per-batch changes partition overwrite has nothing to
+      rewrite (dynamic mode leaves the landed partition intact) and
+      the state rewrite recomputes identical buckets.
 
     Failure posture: only a missing state path reads as empty (first
     batch); IO errors / corrupt footers abort the batch
@@ -624,7 +670,15 @@ def change_capture_batch(
         .agg(F.max("content_hash").alias("content_hash"))
         .localCheckpoint()
     )
-    if batch.isEmpty():
+    tomb = None
+    if tombstones is not None:
+        tomb = tombstones.select(F.col(id_col)).distinct().localCheckpoint()
+        if tomb.isEmpty():
+            tomb = None
+        else:
+            # in-batch conflict rule: the tombstone wins
+            batch = batch.join(tomb, id_col, "left_anti")
+    if batch.isEmpty() and tomb is None:
         return
     state = _read_parquet_if_present(spark, state_path)
 
@@ -653,6 +707,16 @@ def change_capture_batch(
         classified = batch.select(
             id_col, "content_hash", F.lit("added").alias("status")
         )
+    if tomb is not None and state is not None:
+        # removals: tombstoned ids that exist in state; the emitted
+        # row carries the LAST STORED hash (the content being
+        # removed) — ids unknown to state emit nothing
+        removed = state.join(tomb, id_col, "left_semi").select(
+            F.col(id_col),
+            F.col("content_hash"),
+            F.lit("removed").alias("status"),
+        )
+        classified = classified.unionByName(removed)
     # freeze the classification: both writes below must see the SAME
     # rows even though the second one mutates the state they derive
     # from
@@ -668,7 +732,11 @@ def change_capture_batch(
 
     _rewrite_affected_buckets(
         state,
-        classified.select(id_col, "content_hash"),
+        # removed ids are in the delete set (affected_keys) but NOT
+        # the payload — the bucketed rewrite drops their state rows
+        classified.where(F.col("status") != "removed").select(
+            id_col, "content_hash"
+        ),
         classified.select(id_col),
         id_col,
         state_path,
@@ -683,21 +751,38 @@ def streaming_change_capture(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    op_col: str | None = None,
 ):
     """Continuous change-data-capture over an upserting document
     stream: per micro-batch, emit (id, content_hash, status ∈
-    added|changed) against the persisted content-hash state and
-    upsert the state (:func:`change_capture_batch`). Returns the
-    started StreamingQuery (availableNow-compatible)."""
+    added|changed|removed) against the persisted content-hash state
+    and upsert the state (:func:`change_capture_batch`). Returns the
+    started StreamingQuery (availableNow-compatible).
+
+    ``op_col`` names an optional operation column in the feed (the
+    Debezium-style shape a real CDC source emits): rows whose op is
+    the literal ``'delete'`` become the batch's tombstone feed (ids
+    only, text ignored); every other row — any other op value or
+    NULL — is an upsert. Without ``op_col`` the stream is pure
+    upserts and ``removed`` stays unobservable (offline q96 diff is
+    the fallback)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        tomb = None
+        docs = batch_df
+        if op_col is not None:
+            tomb = batch_df.where(F.col(op_col) == "delete").select(id_col)
+            docs = batch_df.where(
+                F.col(op_col).isNull() | (F.col(op_col) != "delete")
+            )
         change_capture_batch(
-            batch_df,
+            docs,
             batch_id,
             state_path=state_path,
             changes_path=changes_path,
             id_col=id_col,
             text_col=text_col,
+            tombstones=tomb,
         )
 
     return (

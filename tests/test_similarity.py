@@ -278,3 +278,49 @@ def test_nearest_centroids_argpartition_tie_semantics(spark):
                 assert got[i].index(1) < got[i].index(3), got[i]
             tie_seen += 1
     assert tie_seen > 0
+
+
+def test_two_level_routing_matches_flat(spark, sf_dir):
+    """nearest_centroids_two_level (the past-2^16-k escape hatch) must
+    agree with the flat assigner at fixture scale — multi-probe cell
+    routing recovers ≥95% of the flat (id, cid) assignments — and
+    semantic_neardup(routing='two_level') must keep exact precision
+    and high recall vs the O(N²) pair baseline."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.clustering import kmeans_fit
+    from cr_data_pipeline_project_spark.operators.similarity import (
+        as_double_vec,
+        cosine_neardup_pairs,
+        nearest_centroids,
+        nearest_centroids_two_level,
+        semantic_neardup,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        F.col("vec_id").alias("id"), as_double_vec("embedding").alias("v")
+    )
+    cents = kmeans_fit(emb, 16, "vec_id", "embedding", 1)
+    flat = {(r.id, r.cid) for r in nearest_centroids(v, cents, probe=3).collect()}
+    two = {
+        (r.id, r.cid)
+        for r in nearest_centroids_two_level(v, cents, probe=3).collect()
+    }
+    assert len(flat) > 0
+    assert len(flat & two) / len(flat) >= 0.95
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_neardup(
+            emb, "vec_id", "embedding", threshold=0.45, n_iter=1, probe=4,
+            routing="two_level",
+        ).collect()
+    }
+    assert got <= exact  # exact GEMM verification ⇒ no false positives
+    assert len(got & exact) / max(len(exact), 1) >= 0.9

@@ -696,3 +696,193 @@ def test_change_capture_null_text_is_null_safe(spark, tmp_path):
     )
     b2 = sorted((d, s) for b, d, s in _cdc_changes(spark, changes) if b == 2)
     assert b2 == [(2, "changed")]
+
+
+def test_change_capture_tombstones_remove_and_delete_state(spark, tmp_path):
+    """Tombstone feed (round-4 verdict #4): a tombstoned id present in
+    state emits 'removed' (carrying the last stored hash) and its
+    state row is deleted via the bucketed rewrite; an unknown id is a
+    no-op; an id both upserted and tombstoned in one batch resolves
+    to removed (the tombstone wins)."""
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        change_capture_batch,
+    )
+
+    state = os.path.join(str(tmp_path), "state")
+    changes = os.path.join(str(tmp_path), "changes")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def tomb(ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    change_capture_batch(
+        batch([(1, "alpha"), (2, "beta"), (3, "gamma")]),
+        0, state_path=state, changes_path=changes,
+    )
+    # batch 1: delete 2; delete unknown 99; upsert+tombstone 3 -> removed
+    change_capture_batch(
+        batch([(3, "gamma v2"), (4, "delta")]),
+        1, state_path=state, changes_path=changes,
+        tombstones=tomb([2, 3, 99]),
+    )
+    b1 = sorted((d, s) for b, d, s in _cdc_changes(spark, changes) if b == 1)
+    assert b1 == [(2, "removed"), (3, "removed"), (4, "added")]
+    assert [d for d, _ in _cdc_state(spark, state)] == [1, 4]
+    # the removed rows carry the LAST STORED hash (of 'beta'/'gamma')
+    import hashlib
+
+    got = {
+        (r["doc_id"], r["content_hash"])
+        for r in spark.read.parquet(changes).where("status = 'removed'").collect()
+    }
+    assert got == {
+        (2, hashlib.md5(b"beta").hexdigest()),
+        (3, hashlib.md5(b"gamma").hexdigest()),
+    }
+    # re-adding a removed id is a fresh 'added'
+    change_capture_batch(
+        batch([(2, "beta back")]), 2, state_path=state, changes_path=changes
+    )
+    b2 = sorted((d, s) for b, d, s in _cdc_changes(spark, changes) if b == 2)
+    assert b2 == [(2, "added")]
+
+
+def test_change_capture_tombstone_replay_idempotent(spark, tmp_path, monkeypatch):
+    """Replay safety for the tombstone path: (a) a crash BETWEEN the
+    changes write and the state write replays to byte-identical sinks
+    (state still holds the tombstoned id, so 'removed' reproduces);
+    (b) a full replay after success emits nothing new (the id is gone
+    from state, so the tombstone is a no-op and the landed partition
+    survives untouched)."""
+    from cr_data_pipeline_project_spark.streaming import incremental as inc
+
+    state = os.path.join(str(tmp_path), "state")
+    changes = os.path.join(str(tmp_path), "changes")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    tomb = spark.createDataFrame([(1,)], "doc_id long")
+    inc.change_capture_batch(
+        batch([(1, "alpha"), (2, "beta")]), 0,
+        state_path=state, changes_path=changes,
+    )
+
+    # (a) crash between writes: state rewrite raises AFTER changes land
+    real = inc._rewrite_affected_buckets
+    calls = {"n": 0}
+
+    def crashing(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before state write")
+
+    monkeypatch.setattr(inc, "_rewrite_affected_buckets", crashing)
+    try:
+        inc.change_capture_batch(
+            batch([(2, "beta v2")]), 1,
+            state_path=state, changes_path=changes, tombstones=tomb,
+        )
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1
+    monkeypatch.setattr(inc, "_rewrite_affected_buckets", real)
+    mid_changes = _cdc_changes(spark, changes)  # changes landed, state stale
+    assert (1, 1, "removed") in mid_changes and (1, 2, "changed") in mid_changes
+    assert [d for d, _ in _cdc_state(spark, state)] == [1, 2]  # state untouched
+
+    inc.change_capture_batch(  # replay completes the batch
+        batch([(2, "beta v2")]), 1,
+        state_path=state, changes_path=changes, tombstones=tomb,
+    )
+    s1, c1 = _cdc_state(spark, state), _cdc_changes(spark, changes)
+    assert c1 == mid_changes  # identical classification bytes
+    assert [d for d, _ in s1] == [2]
+
+    # (b) full replay after success: nothing changes
+    inc.change_capture_batch(
+        batch([(2, "beta v2")]), 1,
+        state_path=state, changes_path=changes, tombstones=tomb,
+    )
+    assert _cdc_state(spark, state) == s1
+    assert _cdc_changes(spark, changes) == c1
+
+
+def test_change_capture_tombstone_q96_equivalence(spark, tmp_path):
+    """A batch+tombstone feed derived from two snapshots must emit
+    exactly the offline q96 snapshot diff: upserts = the new
+    snapshot's rows, tombstones = ids absent from it — the CDC
+    changes for that batch partition into the same
+    added/changed/removed sets."""
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        change_capture_batch,
+    )
+
+    state = os.path.join(str(tmp_path), "state")
+    changes = os.path.join(str(tmp_path), "changes")
+
+    old = {1: "alpha", 2: "beta", 3: "gamma", 4: "delta"}
+    new = {2: "beta", 3: "gamma v2", 5: "epsilon"}
+    expected = sorted(
+        [(i, "added") for i in new.keys() - old.keys()]
+        + [(i, "removed") for i in old.keys() - new.keys()]
+        + [(i, "changed") for i in new.keys() & old.keys() if new[i] != old[i]]
+    )
+
+    def batch(d):
+        return spark.createDataFrame(list(d.items()), "doc_id long, text string")
+
+    change_capture_batch(
+        batch(old), 0, state_path=state, changes_path=changes
+    )
+    tomb = spark.createDataFrame(
+        [(i,) for i in old.keys() - new.keys()], "doc_id long"
+    )
+    change_capture_batch(
+        batch(new), 1, state_path=state, changes_path=changes, tombstones=tomb
+    )
+    b1 = sorted((d, s) for b, d, s in _cdc_changes(spark, changes) if b == 1)
+    assert b1 == expected
+    # final state ids == the new snapshot's ids
+    assert [d for d, _ in _cdc_state(spark, state)] == sorted(new)
+
+
+def test_streaming_change_capture_op_column_deletes(spark, tmp_path):
+    """The Debezium-style single-feed shape: rows with op='delete'
+    become tombstones, every other op (or NULL) upserts."""
+    import json
+
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_change_capture,
+    )
+
+    src = os.path.join(str(tmp_path), "in")
+    state = os.path.join(str(tmp_path), "state")
+    changes = os.path.join(str(tmp_path), "changes")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    def land(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for d, t, op in rows:
+                f.write(json.dumps({"doc_id": d, "text": t, "op": op}) + "\n")
+
+    def run():
+        with few_partitions(spark):
+            stream = spark.readStream.schema(
+                "doc_id long, text string, op string"
+            ).json(src)
+            q = streaming_change_capture(
+                stream, state, changes, ckpt, op_col="op"
+            )
+            q.awaitTermination(120)
+
+    land("b0.json", [(1, "alpha", None), (2, "beta", "upsert")])
+    run()
+    land("b1.json", [(1, None, "delete"), (3, "gamma", None)])
+    run()
+    got = _cdc_changes(spark, changes)
+    b1 = sorted((d, s) for b, d, s in got if b == 1)
+    assert b1 == [(1, "removed"), (3, "added")]
+    assert [d for d, _ in _cdc_state(spark, state)] == [2, 3]

@@ -103,8 +103,11 @@ PROBES = [
     "q66_dedup_clusters",
     "q76_winnow_fingerprints",
     "q91_semantic_neardup",
+    "q105_semantic_neardup_two_level",
     "q74_kmeans_ivf_topk",
     "q84_incremental_neardup",
+    "q103_neardup_index_build",
+    "q104_neardup_probe",
     "q96_snapshot_diff",
     "q97_adaptive_length_gate",
     "q98_shard_manifest",

@@ -37,11 +37,58 @@ from ..sources.battlelog import PLAYER_BATTLELOG, flatten_matches
 
 def stream_battlelog_json(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of landed battlelog JSON (swap for Kafka by
-    changing only this reader)."""
+    changing only this reader — :func:`stream_battlelog_kafka`)."""
     from ..session import prepare
 
     prepare(spark)  # UTC match_key rendering on any session
     return spark.readStream.schema(PLAYER_BATTLELOG).json(path)
+
+
+def parse_kafka_battlelog(records: DataFrame) -> DataFrame:
+    """Decode Kafka-shaped records (binary ``value`` holding one
+    battlelog JSON document per message) into the same
+    ``PLAYER_BATTLELOG`` rows the file source emits — the
+    source-independent half of :func:`stream_battlelog_kafka`, split
+    out so its parsing is testable without a broker or the connector
+    jar (a static DataFrame with a ``value`` column exercises the
+    identical expressions). Malformed JSON yields null fields
+    (``from_json`` semantics), matching the file source's PERMISSIVE
+    default."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), PLAYER_BATTLELOG).alias(
+            "__j"
+        )
+    ).select("__j.*")
+
+
+def stream_battlelog_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka twin of :func:`stream_battlelog_json`: same downstream
+    pipeline (watermark → stateful dedup → idempotent foreachBatch),
+    different reader — the production completion of the documented
+    swap-one-reader seam. Requires the ``spark-sql-kafka`` connector
+    on the classpath; absent (as in this sandbox), the ``.load()``
+    raises and callers/tests skip, the same import-gated posture as
+    the Delta backend (lake_delta.py).
+
+    Scale: one Spark input partition per Kafka partition — size the
+    topic's partition count to the ingest parallelism wanted;
+    ``maxOffsetsPerTrigger`` bounds per-micro-batch volume."""
+    from ..session import prepare
+
+    prepare(spark)  # UTC match_key rendering on any session
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_battlelog(raw)
 
 
 def streaming_match_load(

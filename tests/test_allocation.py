@@ -59,3 +59,25 @@ def test_cluster_balanced_sample_quota(spark, sf_dir):
     # deterministic lottery: a second run picks the same sample
     again = {(r.vec_id, r.cluster_id) for r in q100_cluster_balanced_sample(spark, sf_dir).collect()}
     assert again == {(r.vec_id, r.cluster_id) for r in rows}
+
+    # per-round balance artifact (round-4 verdict #6, same contract
+    # as q48/q91's recall files): a future k / lottery / quota change
+    # can't silently degrade the balance property
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "metrics", "q100_balance.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "query": "q100_cluster_balanced_sample",
+                "n_clusters_represented": len(per),
+                "n_clusters_fit": len(occ),
+                "max_per_cluster": max(len(v) for v in per.values()),
+                "quota": 20,
+                "n_sampled": len(rows),
+            },
+            f,
+            indent=1,
+        )

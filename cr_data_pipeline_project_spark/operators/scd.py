@@ -32,6 +32,7 @@ def scd2_intervals(
     value_col: str,
     ts_col: str,
     tiebreak_col: str | None = None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Collapse an ordered change feed into SCD-2 validity intervals:
     one row per (key, run of equal consecutive values) with
@@ -39,23 +40,67 @@ def scd2_intervals(
     the next run, NULL for the current value).
 
     Deterministic under timestamp ties via ``tiebreak_col`` (defaults
-    to the value column itself)."""
+    to the value column itself).
+
+    ``delete_col`` (optional boolean column) marks DELETE events —
+    the feed shape a CDC source with tombstones produces: a delete at
+    ts T closes the key's open interval (``valid_to = T``) without
+    opening a new one, so the key has NO current row until a later
+    re-add opens a fresh interval. Mechanically, delete events ride
+    through the run-collapse as their own runs (normalized to one
+    sentinel run regardless of any value they carry, so consecutive
+    deletes collapse) and are dropped after the ``lead`` has used
+    their ts as the preceding run's ``valid_to``. A delete for an
+    absent key contributes nothing. NULL in the column reads as
+    ``False`` (an upsert)."""
     tb: Column = F.col(tiebreak_col or value_col)
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), tb)
+    if delete_col is None:
+        changed = (
+            df.withColumn("__prev", F.lag(value_col).over(w))
+            .where(
+                F.col("__prev").isNull()
+                | (F.col("__prev") != F.col(value_col))
+            )
+            .drop("__prev")
+        )
+        return changed.select(
+            F.col(key_col),
+            F.col(value_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w).alias("valid_to"),
+        )
+    value_type = dict(df.dtypes)[value_col]
+    mark = F.coalesce(F.col(delete_col), F.lit(False))
+    # run identity: (is_delete, value), with delete rows normalized
+    # to a single sentinel so consecutive deletes form one run
+    cur = F.when(
+        mark,
+        F.struct(
+            F.lit(True).alias("d"),
+            F.lit(None).cast(value_type).alias("v"),
+        ),
+    ).otherwise(
+        F.struct(F.lit(False).alias("d"), F.col(value_col).alias("v"))
+    )
     changed = (
-        df.withColumn("__prev", F.lag(value_col).over(w))
+        df.withColumn("__cur", cur)
+        .withColumn("__prev", F.lag("__cur").over(w))
         .where(
             F.col("__prev").isNull()
-            | (F.col("__prev") != F.col(value_col))
+            | ~F.col("__prev").eqNullSafe(F.col("__cur"))
         )
-        .drop("__prev")
     )
-    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), tb)
-    return changed.select(
-        F.col(key_col),
-        F.col(value_col).alias("state"),
-        F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"),
+    return (
+        changed.select(
+            F.col(key_col),
+            F.col("__cur.v").alias("state"),
+            F.col("__cur.d").alias("__d"),
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w).alias("valid_to"),
+        )
+        .where(~F.col("__d"))
+        .drop("__d")
     )
 
 

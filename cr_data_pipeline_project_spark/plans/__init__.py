@@ -88,8 +88,13 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q92_cluster_representatives",
     # parked mid-round-5 (driver-green in r04) to open slots for the
     # round-5 additions q103/q104 (the q84 build/probe bench split)
+    # and q106-q108 (as-of snapshot, retention cohorts, verbatim
+    # decontamination)
     "q93_decontaminated_export",
     "q94_wav_decode_meta",
+    "q95_state_at_event",
+    "q96_snapshot_diff",
+    "q97_adaptive_length_gate",
 )
 
 

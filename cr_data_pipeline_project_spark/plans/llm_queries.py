@@ -2425,3 +2425,177 @@ def q102_ppm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = multimodal.resize_media(media, 4, 3).drop("resize_error")
     return _ppm_meta_projection(multimodal.decode_media_features(resized))
+
+
+# ------------------------------------------------------------------ #
+# round-5 additions: SCD-2 as-of snapshot / retention cohorts /       #
+# verbatim decontamination                                            #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q106_scd2_asof_snapshot",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_type) AS prev
+        FROM events),
+    runs AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE prev IS NULL OR prev <> event_type),
+    iv AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_type) AS valid_to
+        FROM runs),
+    cut AS (SELECT MAX(ts) AS t FROM events WHERE event_id % 10 = 0)
+    SELECT user_id, state, valid_from
+    FROM iv, cut
+    WHERE valid_from <= t AND (valid_to IS NULL OR valid_to > t)
+    """,
+)
+def q106_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction: every user's state AS
+    OF a reference instant T — the query an SCD-2 history exists to
+    answer and a MERGE-maintained current-state table cannot
+    (reference src/db_ops.py:62-149 keeps only the latest value). T
+    is a deterministic in-data instant (max ts over a fixed id
+    slice), computed as a 1-row aggregate and broadcast into the
+    interval filter — one lazy plan, no driver collect. Interval
+    derivation is q89's audited shape (one key-partitioned window
+    pair); the as-of filter is a residual predicate on it, so the
+    whole snapshot costs one key shuffle at any corpus size."""
+    from ..operators import scd
+
+    ev = table(spark, "events", sf_dir)
+    iv = scd.scd2_intervals(ev, "user_id", "event_type", "ts")
+    cut = ev.where(F.col("event_id") % 10 == 0).agg(
+        F.max("ts").alias("__t")
+    )
+    return (
+        iv.crossJoin(F.broadcast(cut))
+        .where(
+            (F.col("valid_from") <= F.col("__t"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("__t")))
+        )
+        .select("user_id", "state", "valid_from")
+    )
+
+
+@q(
+    "q107_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    acts AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT CAST(cw AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', cw, wk) // 7 AS INTEGER)
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM acts JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q107_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-activity
+    week, counted in each subsequent week they return — the
+    engagement analytic every event warehouse ships (the reference's
+    rankings feed covers standings, not retention). Both engines
+    truncate weeks to Monday and the offset is whole-day arithmetic
+    over DATEs (rendered ISO-string for dtype-stable comparison), so
+    the matrix is bit-portable. Plan: one groupBy for
+    the cohort dimension, one distinct for (user, week) activity,
+    one key-equi join — the cohort table is |users| rows and the join
+    shuffles (user, week) pairs only; at 100 TB both aggregations
+    partial-combine map-side and nothing exceeds |users| × active
+    weeks."""
+    ev = table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    acts = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    return (
+        acts.join(firsts, "user_id")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("wk", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@q(
+    "q108_verbatim_decontamination",
+    """
+    WITH probes AS (
+        SELECT doc_id AS probe_id,
+               array_to_string((string_split(text, ' '))[1:8], ' ')
+                   AS snippet
+        FROM documents
+        WHERE doc_id % 11 = 0 AND len(string_split(text, ' ')) >= 8)
+    SELECT p.probe_id, d.doc_id AS hit_id
+    FROM probes p JOIN documents d
+      ON d.doc_id <> p.probe_id AND instr(d.text, p.snippet) > 0
+    """,
+)
+def q108_verbatim_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring decontamination — the verbatim complement of
+    q88's n-gram overlap (GPT-3 appx-C): each benchmark probe (here
+    the leading 8-word snippet of a deterministic doc slice, standing
+    in for a test-set prompt) is searched VERBATIM inside every
+    training document; any containment is a leak, however the
+    surrounding text differs. Plan: the probe set is benchmark-sized
+    by construction (a test suite, not a corpus), so it broadcasts
+    and the scan side evaluates `instr` map-side in one pass over the
+    training text — no shuffle at all until the (tiny) hit set. At
+    100 TB the per-doc cost is |probes| substring searches; past ~10⁴
+    probes move to q88's indexed n-gram path first and verbatim-check
+    only its candidates."""
+    docs = table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    probes = (
+        docs.where((F.col("doc_id") % 11 == 0) & (F.size(toks) >= 8))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 8)).alias("snippet"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").alias("hit_id"), "text")
+        .join(
+            F.broadcast(probes),
+            (F.col("hit_id") != F.col("probe_id"))
+            & (F.instr(F.col("text"), F.col("snippet")) > 0),
+        )
+        .select("probe_id", "hit_id")
+    )
+
+
+@q("q109_pq_reconstruction")
+def q109_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression telemetry: fit per-subspace
+    codebooks (8 subspaces × 16 centroids over the 64-dim corpus),
+    encode every vector to 8 sub-centroid ids, decode, and report
+    per-vector reconstruction error — the rollout check before an
+    ANN index switches to PQ codes (operators/pq.py; Jégou et al.,
+    TPAMI 2011). Rows-only by design (codebooks are iterative float
+    state, like q74/q91); tests/test_pq.py pins the structural
+    contract and the error-beats-baseline bar."""
+    from ..operators import pq as pqmod
+
+    emb = table(spark, "embeddings", sf_dir)
+    return pqmod.pq_reconstruction_report(
+        emb, "vec_id", "embedding", m=8, k=16, n_iter=1
+    )

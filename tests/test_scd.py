@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from cr_data_pipeline_project_spark.operators.scd import scd2_intervals
 
 
@@ -88,3 +90,82 @@ def test_state_at_covers_every_event_once(spark):
         for r in state_at(facts, hist, "user_id", "ts", how="left").collect()
     }
     assert left[104] is None and len(left) == 5
+
+
+def test_scd2_delete_events_close_intervals(spark):
+    """CDC-tombstone-shaped feed: a delete closes the open interval at
+    its ts (no current row until a re-add); consecutive deletes
+    collapse; a delete carrying a value normalizes to the same
+    sentinel; a delete for an absent key contributes nothing."""
+    rows = [
+        (1, "free", False, _ts("2024-01-01T00:00:00")),
+        (1, "pro", False, _ts("2024-01-03T00:00:00")),
+        (1, None, True, _ts("2024-01-05T00:00:00")),    # delete
+        (1, "junk", True, _ts("2024-01-06T00:00:00")),  # dup delete w/ value
+        (1, "free", False, _ts("2024-01-08T00:00:00")), # re-add
+        (2, "pro", False, _ts("2024-01-01T00:00:00")),
+        (2, None, True, _ts("2024-01-02T00:00:00")),    # deleted, stays gone
+        (3, None, True, _ts("2024-01-01T00:00:00")),    # delete absent key
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, is_delete boolean, ts timestamp"
+    )
+    got = sorted(
+        scd2_intervals(
+            df, "user_id", "event_type", "ts", delete_col="is_delete"
+        ).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    assert [(r.user_id, r.state) for r in got] == [
+        (1, "free"),
+        (1, "pro"),
+        (1, "free"),
+        (2, "pro"),
+    ]
+    # the delete's ts closes the run it follows
+    assert got[1].valid_to == _ts("2024-01-05T00:00:00")
+    assert got[2].valid_from == _ts("2024-01-08T00:00:00")
+    assert got[2].valid_to is None
+    assert got[3].valid_to == _ts("2024-01-02T00:00:00")  # key 2: closed, gone
+    # user 3 (delete before any add) emits nothing; user 2 has no
+    # current row
+    assert all(r.user_id != 3 for r in got)
+    current = [r for r in got if r.valid_to is None]
+    assert [(r.user_id, r.state) for r in current] == [(1, "free")]
+
+
+def test_scd2_delete_col_null_reads_as_upsert(spark):
+    rows = [
+        (1, "a", None, _ts("2024-01-01T00:00:00")),
+        (1, "b", False, _ts("2024-01-02T00:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, is_delete boolean, ts timestamp"
+    )
+    got = scd2_intervals(
+        df, "user_id", "event_type", "ts", delete_col="is_delete"
+    ).collect()
+    assert sorted((r.user_id, r.state) for r in got) == [(1, "a"), (1, "b")]
+
+
+def test_scd2_delete_none_equals_plain(spark):
+    """delete_col=None must reproduce the original two-window plan
+    exactly on a delete-free feed (same rows, same intervals)."""
+    rows = [
+        (1, "x", _ts("2024-01-01T00:00:00")),
+        (1, "y", _ts("2024-01-02T00:00:00")),
+        (2, "x", _ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    ).withColumn("no_del", F.lit(False))
+    plain = sorted(
+        map(tuple, scd2_intervals(df, "user_id", "event_type", "ts")
+            .select("user_id", "state", "valid_from", "valid_to").collect())
+    )
+    deled = sorted(
+        map(tuple, scd2_intervals(
+            df, "user_id", "event_type", "ts", delete_col="no_del"
+        ).select("user_id", "state", "valid_from", "valid_to").collect())
+    )
+    assert plain == deled

@@ -2557,12 +2557,19 @@ def q108_verbatim_decontamination(
     in for a test-set prompt) is searched VERBATIM inside every
     training document; any containment is a leak, however the
     surrounding text differs. Plan: the probe set is benchmark-sized
-    by construction (a test suite, not a corpus), so it broadcasts
-    and the scan side evaluates `instr` map-side in one pass over the
-    training text — no shuffle at all until the (tiny) hit set. At
-    100 TB the per-doc cost is |probes| substring searches; past ~10⁴
-    probes move to q88's indexed n-gram path first and verbatim-check
-    only its candidates."""
+    by construction (a test suite, not a corpus), so it folds into
+    ONE broadcast array row and each training document evaluates a
+    `filter(probes, p -> instr(text, p.snippet) > 0)` HOF in a
+    single map-side pass — no per-pair row materialization (the
+    broadcast nested-loop join streamed |probes|·|docs| joined rows
+    just to discard them), no shuffle at all until the (tiny)
+    exploded hit set. The scan side REPARTITIONS to full parallelism
+    first: the instr sweep is the expensive per-row compute, and a
+    narrow input (one split, for the single-file fixture) would run
+    it serially — the same trap shingle_set documents; measured 10×
+    at sf0.1. At 100 TB the per-doc cost is |probes| substring
+    searches; past ~10⁴ probes move to q88's indexed n-gram path
+    first and verbatim-check only its candidates."""
     docs = table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     probes = (
@@ -2571,15 +2578,20 @@ def q108_verbatim_decontamination(
             F.col("doc_id").alias("probe_id"),
             F.concat_ws(" ", F.slice(toks, 1, 8)).alias("snippet"),
         )
+        .agg(F.collect_list(F.struct("probe_id", "snippet")).alias("__ps"))
     )
+    hits = F.filter(
+        F.col("__ps"),
+        lambda p: (p["probe_id"] != F.col("hit_id"))
+        & (F.instr(F.col("text"), p["snippet"]) > 0),
+    )
+    nparts = spark.sparkContext.defaultParallelism
     return (
         docs.select(F.col("doc_id").alias("hit_id"), "text")
-        .join(
-            F.broadcast(probes),
-            (F.col("hit_id") != F.col("probe_id"))
-            & (F.instr(F.col("text"), F.col("snippet")) > 0),
-        )
-        .select("probe_id", "hit_id")
+        .repartition(nparts, F.col("hit_id"))
+        .crossJoin(F.broadcast(probes))
+        .select("hit_id", F.explode(hits).alias("__hit"))
+        .select(F.col("__hit.probe_id").alias("probe_id"), "hit_id")
     )
 
 

@@ -506,11 +506,13 @@ def scd2_apply_batch(
     value_col: str,
     ts_col: str,
     n_buckets: int = 64,
+    delete_col: str | None = None,
 ) -> None:
     """Merge one micro-batch of change events into a persisted SCD-2
     interval table (schema: key, state, valid_from, valid_to NULL for
-    current, plus ``last_ts`` — the open run's absorbed-event
-    frontier, NULL on closed rows; hash-bucketed layout).
+    current, plus ``last_ts`` — the absorbed-event frontier, carried
+    ONLY on the key's frontier row — the open run, or the tombstone
+    marker below; NULL on real closed rows; hash-bucketed layout).
 
     Invariant: applying a feed in TIME-PARTITIONED batches (each
     batch's events newer than every previously absorbed event per
@@ -529,30 +531,53 @@ def scd2_apply_batch(
     so a foreachBatch replay recomputes identical rows and the
     dynamic partition overwrite rewrites the same bytes.
 
+    ``delete_col`` (optional boolean column) marks DELETE events, the
+    CDC-tombstone feed shape: a delete closes the key's open run at
+    its ts without opening a new one (``scd2_intervals``'
+    ``delete_col`` semantics). A key whose latest event is a delete
+    keeps its frontier in a TOMBSTONE marker row — ``state NULL,
+    valid_from = valid_to = last_ts = frontier`` — so stale replays
+    stay dropped after the deletion; the empty interval matches no
+    ``state_at`` lookup and run-boundary consumers can exclude it
+    with ``valid_to IS DISTINCT FROM valid_from``. A later re-add
+    replaces the marker with a fresh open run.
+
     Scale: history is hash-bucketed on the key; a batch rewrites only
     the buckets its keys live in (write amplification = touched
     buckets, not table size). All joins/windows are key-partitioned;
-    the open-run seed adds one row per affected key."""
+    the frontier seed adds one row per affected key."""
     from ..operators.scd import scd2_intervals
 
     spark = batch_df.sparkSession
 
-    ev = batch_df.select(key_col, value_col, ts_col).localCheckpoint()
+    cols = [key_col, value_col, ts_col]
+    if delete_col is not None:
+        cols.append(delete_col)
+    ev = batch_df.select(*cols)
+    if delete_col is not None:
+        ev = ev.withColumn(
+            delete_col, F.coalesce(F.col(delete_col), F.lit(False))
+        )
+    ev = ev.localCheckpoint()
     if ev.isEmpty():
         return
+    value_type = dict(ev.dtypes)[value_col]
     keys = ev.select(key_col).distinct()
     hist = _read_parquet_if_present(spark, history_path)
 
     if hist is not None:
         affected = hist.join(keys, key_col, "left_semi")
-        open_rows = affected.where(F.col("valid_to").isNull())
-        closed = affected.where(F.col("valid_to").isNotNull()).select(
+        # the frontier row per key: the open run, or (delete-aware
+        # histories) the tombstone marker — exactly the rows where
+        # last_ts is set
+        frontier_rows = affected.where(F.col("last_ts").isNotNull())
+        closed = affected.where(F.col("last_ts").isNull()).select(
             key_col, "state", "valid_from", "valid_to", "last_ts"
         )
         # frontier guard (replay idempotency + straggler policy)
         ev = (
             ev.join(
-                open_rows.select(
+                frontier_rows.select(
                     key_col,
                     F.coalesce("last_ts", "valid_from").alias("__frontier"),
                 ),
@@ -565,14 +590,28 @@ def scd2_apply_batch(
             )
             .drop("__frontier")
         )
-        # seed each key's recompute with its current open run
-        seed = open_rows.select(
+        # seed each key's recompute with its frontier: the open run
+        # as an upsert, a tombstone as a delete event at its ts
+        open_seed = frontier_rows.where(F.col("valid_to").isNull()).select(
             F.col(key_col),
             F.col("state").alias(value_col),
             F.col("valid_from").alias(ts_col),
         )
+        if delete_col is not None:
+            open_seed = open_seed.withColumn(delete_col, F.lit(False))
+            tomb_seed = frontier_rows.where(
+                F.col("valid_to").isNotNull()
+            ).select(
+                F.col(key_col),
+                F.lit(None).cast(value_type).alias(value_col),
+                F.col("valid_from").alias(ts_col),
+                F.lit(True).alias(delete_col),
+            )
+            seed = open_seed.unionByName(tomb_seed)
+        else:
+            seed = open_seed
         feed = ev.unionByName(seed)
-        old_frontier = open_rows.select(
+        old_frontier = frontier_rows.select(
             key_col, F.coalesce("last_ts", "valid_from").alias("__old_f")
         )
     else:
@@ -580,7 +619,9 @@ def scd2_apply_batch(
         feed = ev
         old_frontier = None
 
-    recomputed = scd2_intervals(feed, key_col, value_col, ts_col)
+    recomputed = scd2_intervals(
+        feed, key_col, value_col, ts_col, delete_col=delete_col
+    )
     # new absorbed frontier per key = max(surviving event ts, old
     # frontier) — carried only on the open row; an all-stale batch
     # must NOT lower it (feed max would be the seed's valid_from)
@@ -608,6 +649,24 @@ def scd2_apply_batch(
         if closed is None
         else closed.unionByName(recomputed)
     )
+    if delete_col is not None:
+        # keys left with NO open run (latest event was a delete, or a
+        # deleted key touched only by stale replays) keep their
+        # frontier in a tombstone marker row
+        open_keys = recomputed.where(F.col("valid_to").isNull()).select(
+            key_col
+        )
+        tombs = (
+            fmax.join(open_keys, key_col, "left_anti")
+            .select(
+                F.col(key_col),
+                F.lit(None).cast(value_type).alias("state"),
+                F.col("__fmax").alias("valid_from"),
+                F.col("__fmax").alias("valid_to"),
+                F.col("__fmax").alias("last_ts"),
+            )
+        )
+        new_affected = new_affected.unionByName(tombs)
     _rewrite_affected_buckets(
         hist,
         new_affected.select(
@@ -628,22 +687,31 @@ def streaming_scd2_ingest(
     value_col: str,
     ts_col: str,
     watermark: str = "2 hours",
+    delete_col: str | None = None,
 ) -> StreamingQuery:
     """Continuously-maintained SCD-2 dimension: watermarked change
     stream → per-batch run merge (:func:`scd2_apply_batch`). The
     history table this keeps current is exactly what the as-of join
-    (operators/rangejoin.py) consumes as its dimension side."""
+    (operators/rangejoin.py) consumes as its dimension side.
+    ``delete_col`` (optional boolean column in the feed) flows
+    through to the batch merge's tombstone handling."""
     # dedup includes the value column: two same-timestamp events with
     # DIFFERENT values are a genuine tie that scd2_intervals resolves
     # with its deterministic value tiebreak — dropping one of them
     # here (key+ts only) would make the history depend on arrival
-    # order
+    # order (the delete flag joins the key for the same reason)
+    dedup_cols = [key_col, ts_col, value_col]
+    if delete_col is not None:
+        dedup_cols.append(delete_col)
     deduped = change_stream.withWatermark(ts_col, watermark).dropDuplicates(
-        [key_col, ts_col, value_col]
+        dedup_cols
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scd2_apply_batch(batch_df, history_path, key_col, value_col, ts_col)
+        scd2_apply_batch(
+            batch_df, history_path, key_col, value_col, ts_col,
+            delete_col=delete_col,
+        )
 
     return (
         deduped.writeStream.outputMode("append")

@@ -886,3 +886,160 @@ def test_streaming_change_capture_op_column_deletes(spark, tmp_path):
     b1 = sorted((d, s) for b, d, s in got if b == 1)
     assert b1 == [(1, "removed"), (3, "added")]
     assert [d for d, _ in _cdc_state(spark, state)] == [2, 3]
+
+
+def _scd_real_rows(spark, path):
+    """History rows excluding frontier-tombstone markers (state NULL,
+    empty interval)."""
+    return sorted(
+        (r.user_id, r.state, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in spark.read.parquet(path)
+        .where(
+            F.col("state").isNotNull()
+            | F.col("valid_to").isNull()
+            | (F.col("valid_to") != F.col("valid_from"))
+        )
+        .collect()
+    )
+
+
+def test_scd2_delete_batch_split_invariant(spark, tmp_path):
+    """A delete-carrying feed applied in two batches must equal the
+    one-shot delete-aware scd2_intervals over the whole feed (modulo
+    the frontier tombstone markers, which the one-shot derivation has
+    no need for)."""
+    from cr_data_pipeline_project_spark.operators.scd import scd2_intervals
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        scd2_apply_batch,
+    )
+
+    events = [
+        (1, "free", False, "2024-01-01T00:00:00"),
+        (1, "pro", False, "2024-01-03T00:00:00"),
+        (2, "pro", False, "2024-01-02T00:00:00"),
+        # --- batch boundary ---
+        (1, None, True, "2024-01-05T00:00:00"),   # delete 1
+        (1, "free", False, "2024-01-07T00:00:00"),  # re-add 1
+        (2, None, True, "2024-01-06T00:00:00"),   # delete 2, stays gone
+        (3, None, True, "2024-01-04T00:00:00"),   # delete absent key
+    ]
+    hist = os.path.join(str(tmp_path), "hist")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, state string, is_del boolean, ts string"
+        ).select(
+            "user_id", "state", "is_del",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    scd2_apply_batch(
+        batch(events[:3]), hist, "user_id", "state", "ts",
+        delete_col="is_del",
+    )
+    scd2_apply_batch(
+        batch(events[3:]), hist, "user_id", "state", "ts",
+        delete_col="is_del",
+    )
+    want = sorted(
+        (r.user_id, r.state, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in scd2_intervals(
+            batch(events), "user_id", "state", "ts", delete_col="is_del"
+        ).collect()
+    )
+    assert _scd_real_rows(spark, hist) == want
+    # key 2 ends deleted: a tombstone marker holds its frontier
+    tombs = (
+        spark.read.parquet(hist)
+        .where(F.col("state").isNull() & (F.col("valid_to") == F.col("valid_from")))
+        .collect()
+    )
+    # ...including the absent-key delete (3): its frontier keeps any
+    # later-arriving stale upsert dropped, same straggler policy as
+    # live keys
+    assert sorted((r.user_id, str(r.last_ts)) for r in tombs) == [
+        (2, "2024-01-06 00:00:00"),
+        (3, "2024-01-04 00:00:00"),
+    ]
+    # current rows: only key 1 (re-added)
+    current = spark.read.parquet(hist).where(F.col("valid_to").isNull()).collect()
+    assert [(r.user_id, r.state) for r in current] == [(1, "free")]
+
+
+def test_scd2_delete_replay_and_stale_after_delete(spark, tmp_path):
+    """Replay of a delete-carrying batch is byte-identical; a straggler
+    with ts <= the deletion frontier must NOT resurrect the key (the
+    tombstone carries the frontier); a genuinely newer upsert does."""
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        scd2_apply_batch,
+    )
+
+    hist = os.path.join(str(tmp_path), "hist")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, state string, is_del boolean, ts string"
+        ).select(
+            "user_id", "state", "is_del",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    def rows():
+        # None-safe twin of _scd_rows (tombstones carry state NULL)
+        return sorted(
+            (r.user_id, r.state or "", str(r.valid_from),
+             (r.valid_to and str(r.valid_to)) or "")
+            for r in spark.read.parquet(hist)
+            .select("user_id", "state", "valid_from", "valid_to")
+            .collect()
+        )
+
+    b0 = batch([
+        (1, "free", False, "2024-01-01T00:00:00"),
+        (1, None, True, "2024-01-03T00:00:00"),
+    ])
+    scd2_apply_batch(b0, hist, "user_id", "state", "ts", delete_col="is_del")
+    after = rows()
+    scd2_apply_batch(b0, hist, "user_id", "state", "ts", delete_col="is_del")
+    assert rows() == after  # replay: identical incl. tombstone
+
+    stale = batch([(1, "zombie", False, "2024-01-02T00:00:00")])
+    scd2_apply_batch(stale, hist, "user_id", "state", "ts", delete_col="is_del")
+    assert rows() == after  # dropped at the frontier
+
+    newer = batch([(1, "back", False, "2024-01-04T00:00:00")])
+    scd2_apply_batch(newer, hist, "user_id", "state", "ts", delete_col="is_del")
+    rows = spark.read.parquet(hist)
+    assert [(r.user_id, r.state) for r in rows.where(F.col("valid_to").isNull()).collect()] == [(1, "back")]
+    # the tombstone marker is gone once the key is re-added
+    assert rows.where(F.col("state").isNull() & (F.col("valid_to") == F.col("valid_from"))).count() == 0
+
+
+def test_scd2_tombstone_invisible_to_state_at(spark, tmp_path):
+    """The empty-interval tombstone must match no as-of lookup."""
+    from cr_data_pipeline_project_spark.operators.scd import state_at
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        scd2_apply_batch,
+    )
+
+    hist = os.path.join(str(tmp_path), "hist")
+    b = spark.createDataFrame(
+        [
+            (1, "free", False, "2024-01-01T00:00:00"),
+            (1, None, True, "2024-01-03T00:00:00"),
+        ],
+        "user_id long, state string, is_del boolean, ts string",
+    ).select(
+        "user_id", "state", "is_del", F.col("ts").cast("timestamp").alias("ts")
+    )
+    scd2_apply_batch(b, hist, "user_id", "state", "ts", delete_col="is_del")
+    facts = spark.createDataFrame(
+        [(1, "2024-01-02T00:00:00"), (1, "2024-01-04T00:00:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = state_at(
+        facts, spark.read.parquet(hist), "user_id", "ts", how="left"
+    ).collect()
+    by_ts = {str(r.ts): r.state for r in got}
+    assert by_ts["2024-01-02 00:00:00"] == "free"   # inside the closed run
+    assert by_ts["2024-01-04 00:00:00"] is None     # after deletion: no state

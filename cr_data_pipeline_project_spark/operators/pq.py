@@ -208,6 +208,109 @@ def pq_decode(
     )
 
 
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search
+    mode PQ exists for (Jégou et al., TPAMI 2011 §IV.A): each query
+    precomputes an m×|codebook| lookup table of squared distances
+    from its sub-vectors to every sub-centroid; a corpus vector's
+    approximate distance is then m table lookups + adds, touching
+    only its CODES — the float vectors never load at query time.
+
+    Returns (query_id, neighbor_id, rank, adist) — rank 1..k by
+    ascending approximate squared L2, ties toward the smaller id.
+
+    Scale: the query set is bounded (collect()-bounded like
+    cosine_topk_pandas' contract) and the LUT stack ships in the
+    task closure (|Q|·m·k doubles — tiny). The corpus side streams
+    map-side over the codes table with NO shuffle; each Arrow batch
+    emits its local top-k per query, and one final per-query window
+    merges ≤ batches·k candidate rows. Self-matches (same id) are
+    excluded."""
+    import numpy as np
+    import pandas as pd
+
+    books: dict[int, list] = {}
+    for r in codebooks.collect():  # bounded: m·k' rows
+        books.setdefault(int(r["sub"]), []).append(
+            (int(r["cid"]), np.array(r["cv"], dtype=np.float64))
+        )
+    m = len(books)
+    kcent = max(c for ent in books.values() for c, _ in ent) + 1
+    sub_d = len(next(iter(books.values()))[0][1])
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qv")
+    ).collect()  # bounded query set by contract
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], f"query_id long, neighbor_id long, rank int, adist double"
+        )
+    qids = [r["__qid"] for r in qrows]
+    # LUT[qi]: (m, kcent) squared distances, +inf for absent cids
+    luts = []
+    for r in qrows:
+        q = np.array(r["__qv"], dtype=np.float64)
+        L = np.full((m, kcent), np.inf)
+        for s, ent in books.items():
+            qs = q[s * sub_d : (s + 1) * sub_d]
+            for cid, cv in ent:
+                d = qs - cv
+                L[s, cid] = float(d @ d)
+        luts.append(L)
+    LUT = np.stack(luts)  # (Q, m, kcent)
+    subs_idx = np.arange(m)
+
+    id_type = dict(codes.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[query_id_col]
+    schema = (
+        f"query_id {qid_type}, neighbor_id {id_type}, adist double"
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["codes"].values).astype(np.int64)  # (n, m)
+            ids = pdf[id_col].values
+            for qi, qid in enumerate(qids):
+                d = LUT[qi][subs_idx[None, :], M].sum(axis=1)
+                mask = ids != qid
+                cand_ids, cand_d = ids[mask], d[mask]
+                kk = min(k, len(cand_ids))
+                if kk == 0:
+                    continue
+                part = np.argpartition(cand_d, kk - 1)[:kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qid, kk),
+                        "neighbor_id": cand_ids[part],
+                        "adist": cand_d[part],
+                    }
+                )
+
+    partial = codes.mapInPandas(kern, schema)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist")
+        )
+    )
+
+
 def pq_reconstruction_report(
     df: DataFrame,
     id_col: str = "vec_id",

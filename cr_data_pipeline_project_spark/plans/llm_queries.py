@@ -2611,3 +2611,27 @@ def q109_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pqmod.pq_reconstruction_report(
         emb, "vec_id", "embedding", m=8, k=16, n_iter=1
     )
+
+
+@q("q110_pq_ann_topk")
+def q110_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: fit codebooks,
+    encode the corpus once, then answer a bounded query set from
+    CODES ALONE — m table lookups + adds per corpus vector, the
+    float embeddings never load at query time (operators/pq.py:
+    pq_topk; Jégou et al., TPAMI 2011 §IV.A). The compressed-search
+    complement of q42's IVF and q44's GEMM paths. Rows-only like its
+    family (codebooks are iterative float state);
+    tests/test_pq.py pins twin recall ≥0.8 at this operating point
+    on planted near-dup structure."""
+    from ..operators import pq as pqmod
+
+    emb = table(spark, "embeddings", sf_dir)
+    books = pqmod.pq_fit(emb, "vec_id", "embedding", m=8, k=16, n_iter=1)
+    codes = pqmod.pq_encode(emb, books, "vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pqmod.pq_topk(
+        codes, books, queries, "vec_id", "embedding", "query_id", k=10
+    )

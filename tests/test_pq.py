@@ -67,3 +67,43 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = table(spark, "embeddings", SF)
     with pytest.raises(ValueError):
         pq.pq_fit(emb, m=7)
+
+
+def test_pq_adc_topk_recall_on_planted_twins(spark):
+    """ADC search over planted near-dup twins (base i ↔ noisy copy
+    i+1000): the twin must rank inside the top-5 for most probes —
+    the operating-point recall bar for m=8, k=16 codebooks. Random
+    fixture vectors carry no neighbor structure PQ could preserve,
+    so the bar is on planted structure, like the hyperplane-LSH
+    test. Self-matches must never appear."""
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append(
+            (i + 1000, [float(x + rng.gauss(0, 0.05)) for x in v])
+        )
+    # background corpus: unrelated vectors
+    for j in range(2000, 2400):
+        rows.append((j, [float(rng.gauss(0, 1)) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq.pq_fit(emb, m=8, k=16, n_iter=2)
+    codes = pq.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.pq_topk(
+        codes, books, queries, query_id_col="query_id", k=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= 5
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert len(by_q) == 40
+    hits = sum(1 for q, ns in by_q.items() if q + 1000 in ns)
+    assert hits / 40 >= 0.8, f"ADC twin recall {hits}/40"

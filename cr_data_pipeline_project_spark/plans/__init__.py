@@ -95,6 +95,9 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q95_state_at_event",
     "q96_snapshot_diff",
     "q97_adaptive_length_gate",
+    # ...and q111/q112 (contamination report, near-dup dedup export)
+    "q98_shard_manifest",
+    "q99_ppm_decode_meta",
 )
 
 

@@ -108,6 +108,8 @@ PROBES = [
     "q84_incremental_neardup",
     "q103_neardup_index_build",
     "q104_neardup_probe",
+    "q108_verbatim_decontamination",
+    "q110_pq_ann_topk",
     "q96_snapshot_diff",
     "q97_adaptive_length_gate",
     "q98_shard_manifest",

@@ -36,9 +36,10 @@ GATE_SLOTS = 50
 # round, so every query gets a driver-green attestation at least
 # every other round: round 5 brings back the 41 queries parked
 # during round 4 (all driver-green in CORRECTNESS_r02/r03) and
-# parks 41 of the 50 freshly r04-attested ones below, keeping the
-# nine newest round-4 additions (q93-q99, q101, q102) in-window —
-# all parked queries stay covered every round by
+# parks ALL 50 r04-attested ones below — the freed 9 slots hold the
+# nine new round-5 oracled queries (q103/q104, q106-q108,
+# q111-q114), so every round-5 addition gets driver attestation this
+# round. All parked queries stay covered every round by
 # tests/test_oracle_parity.py and tools/check_oracle.py, which run
 # the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
@@ -96,8 +97,11 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q96_snapshot_diff",
     "q97_adaptive_length_gate",
     # ...and q111/q112 (contamination report, near-dup dedup export)
+    # and q113/q114 (TPC-H Q3/Q5 multi-way-join shapes)
     "q98_shard_manifest",
     "q99_ppm_decode_meta",
+    "q101_token_budget_apportion",
+    "q102_ppm_resize_meta",
 )
 
 

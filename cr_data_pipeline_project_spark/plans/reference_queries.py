@@ -1128,3 +1128,117 @@ def q60_current_plus_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.calendar import current_plus_n_seasons
 
     return current_plus_n_seasons(spark, 3, _dt.datetime(2025, 6, 15))
+
+
+# --------------------------------------------------------------------
+# Round-5 additions: the classic multi-way-join analytics shapes
+# (TPC-H Q3/Q5) on the warehouse tables — the join-order/broadcast
+# workout the reference's 2-3-table views never reach.
+
+
+@q(
+    "q113_shipping_priority",
+    """
+    SELECT l_orderkey,
+           (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+               AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q113_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way customer→orders→lineitem
+    join with disjoint date predicates on both fact sides, revenue
+    top-10. Decimal-cast sums for cross-engine exactness (file
+    header); the LIMIT is fully tie-broken (revenue, date, orderkey)
+    so the row set is deterministic. Scale: both date filters push
+    to the scans; customer is the small side (broadcast at fixture,
+    key-shuffle at warehouse scale — an equi join either way); the
+    aggregation partial-combines on l_orderkey before the top-k."""
+    cu = table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(
+            F.desc("revenue"), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@q(
+    "q114_local_supplier_volume",
+    """
+    SELECT n_name,
+           (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q114_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-way join — two fact
+    tables plus customer/supplier/nation/region dims — with the
+    co-location residual (customer and supplier in the same nation),
+    per-nation revenue. The canonical Catalyst join-ordering workout:
+    region→nation prune first (broadcast), the c_nationkey =
+    s_nationkey residual rides the supplier equi join, the date
+    filter pushes to the orders scan. Decimal-cast sum for exact
+    parity; unordered output (the driver sorts)."""
+    cu = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, "lineitem", sf_dir)
+    su = table(spark, "supplier", sf_dir)
+    na = table(spark, "nation", sf_dir)
+    re = table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    return (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            su,
+            (li["l_suppkey"] == su["s_suppkey"])
+            & (cu["c_nationkey"] == su["s_nationkey"]),
+        )
+        .join(na, su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

@@ -109,3 +109,42 @@ def test_exact_profile_no_expand(spark):
     per-column shape (no Expand ×N row replication)."""
     plan = _plan(spark, "q50_column_profile")
     assert "Expand" not in plan
+
+
+def test_q113_date_filters_push_to_scans(spark):
+    """TPC-H Q3: both date predicates (orders, lineitem) must reach
+    their parquet scans as pushed filters."""
+    f = _formatted(spark, "q113_shipping_priority")
+    pushed = [
+        line
+        for line in f.splitlines()
+        if "PushedFilters" in line and "orderdate" in line.lower()
+    ] + [
+        line
+        for line in f.splitlines()
+        if "PushedFilters" in line and "shipdate" in line.lower()
+    ]
+    assert len(pushed) >= 2, "q113 date predicates not pushed to scans"
+
+
+def test_q114_sixway_join_no_cartesian(spark):
+    """TPC-H Q5: six tables, zero cartesian products, and the
+    region→nation prune rides broadcast joins."""
+    plan = _plan(spark, "q114_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q106_windows_share_one_exchange(spark):
+    """The as-of snapshot's two interval windows (lag + lead) share
+    one hash exchange on the key — the scd2_intervals plan contract
+    (docs/SCALE.md, window functions)."""
+    plan = _plan(spark, "q106_scd2_asof_snapshot")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_q112_export_no_cartesian(spark):
+    """The dedup export composes the q33/q66/q92 machinery plus one
+    keep-list semi join — no cartesian product may appear anywhere
+    in the composition."""
+    assert "CartesianProduct" not in _plan(spark, "q112_neardup_dedup_export")

@@ -311,6 +311,118 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    codes_with_cell: DataFrame,
+    codebooks: DataFrame,
+    cell_centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the production ANN stack (Jégou et al., TPAMI 2011
+    §V) — a coarse quantizer routes each query to its ``nprobe``
+    nearest CELLS, and the ADC scan touches only those cells' codes
+    instead of the whole corpus: compute drops by ~n_cells/nprobe on
+    top of PQ's 32× byte compression.
+
+    ``codes_with_cell``: (id_col, codes, cell) — the PQ-encoded
+    corpus with its coarse assignment (clustering.kmeans_assign),
+    which at warehouse scale is WRITTEN PARTITIONED BY cell so the
+    scan prunes files; here the per-query cell mask is applied
+    in-kernel. ``cell_centroids``: (cid, cv) from kmeans_fit —
+    n_cells×dim, collect-bounded. Returns (query_id, neighbor_id,
+    rank, adist) like :func:`pq_topk`; a query recalls a neighbor
+    only if they share a probed cell — the standard IVF recall
+    trade, governed by ``nprobe``."""
+    import numpy as np
+    import pandas as pd
+
+    cells = sorted(
+        cell_centroids.select("cid", "cv").collect(), key=lambda r: r["cid"]
+    )  # bounded: n_cells×dim
+    C = np.array([list(r["cv"]) for r in cells], dtype=np.float64)
+    cell_ids = np.array([r["cid"] for r in cells], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+
+    books: dict[int, list] = {}
+    for r in codebooks.collect():
+        books.setdefault(int(r["sub"]), []).append(
+            (int(r["cid"]), np.array(r["cv"], dtype=np.float64))
+        )
+    m = len(books)
+    kcent = max(c for ent in books.values() for c, _ in ent) + 1
+    sub_d = len(next(iter(books.values()))[0][1])
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qv")
+    ).collect()  # bounded query set by contract
+    if not qrows:
+        return codes_with_cell.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adist double"
+        )
+    qids, luts, probed = [], [], []
+    p = min(nprobe, len(cells))
+    for r in qrows:
+        q = np.array(r["__qv"], dtype=np.float64)
+        qids.append(r["__qid"])
+        # coarse routing: p nearest cells (ties toward smaller cid
+        # via stable sort over ascending-cid columns)
+        D = cn - 2.0 * (C @ q)
+        order = np.argsort(D, kind="stable")[:p]
+        probed.append(set(int(c) for c in cell_ids[order]))
+        L = np.full((m, kcent), np.inf)
+        for s, ent in books.items():
+            qs = q[s * sub_d : (s + 1) * sub_d]
+            for cid, cv in ent:
+                d = qs - cv
+                L[s, cid] = float(d @ d)
+        luts.append(L)
+    LUT = np.stack(luts)
+    subs_idx = np.arange(m)
+
+    id_type = dict(codes_with_cell.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[query_id_col]
+    schema = f"query_id {qid_type}, neighbor_id {id_type}, adist double"
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["codes"].values).astype(np.int64)
+            ids = pdf[id_col].values
+            rcells = pdf["cell"].values
+            for qi, qid in enumerate(qids):
+                mask = np.isin(rcells, list(probed[qi])) & (ids != qid)
+                if not mask.any():
+                    continue
+                d = LUT[qi][subs_idx[None, :], M[mask]].sum(axis=1)
+                cand_ids = ids[mask]
+                kk = min(k, len(cand_ids))
+                part = np.argpartition(d, kk - 1)[:kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qid, kk),
+                        "neighbor_id": cand_ids[part],
+                        "adist": d[part],
+                    }
+                )
+
+    partial = codes_with_cell.mapInPandas(kern, schema)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist")
+        )
+    )
+
+
 def pq_reconstruction_report(
     df: DataFrame,
     id_col: str = "vec_id",

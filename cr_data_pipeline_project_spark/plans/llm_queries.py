@@ -2781,3 +2781,32 @@ def q112_neardup_dedup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
     )
+
+
+@q("q115_ivfpq_topk")
+def q115_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack — IVF routing over PQ codes
+    (operators/pq.py:ivfpq_topk; Jégou et al., TPAMI 2011 §V): a
+    coarse k-means quantizer routes each query to its nprobe nearest
+    cells and the ADC scan touches only those cells' codes — compute
+    ~nprobe/n_cells of q110's full scan on top of the 32× byte
+    compression, the shape a billion-vector index deploys (corpus
+    written partitioned by cell → file pruning). Rows-only like its
+    family; tests/test_pq.py pins twin recall ≥0.7 and
+    probed-cell-only results."""
+    from ..operators import clustering, pq as pqmod
+
+    emb = table(spark, "embeddings", sf_dir)
+    cells = clustering.kmeans_fit(emb, 8, "vec_id", "embedding", n_iter=1)
+    assigned = clustering.kmeans_assign(emb, cells, "vec_id", "embedding")
+    books = pqmod.pq_fit(emb, "vec_id", "embedding", m=8, k=16, n_iter=1)
+    codes = pqmod.pq_encode(emb, books, "vec_id", "embedding").join(
+        assigned.withColumnRenamed("cluster_id", "cell"), "vec_id"
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pqmod.ivfpq_topk(
+        codes, books, cells, queries,
+        "vec_id", "embedding", "query_id", k=10, nprobe=4,
+    )

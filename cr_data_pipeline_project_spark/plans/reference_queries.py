@@ -1242,3 +1242,43 @@ def q114_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@q(
+    "q116_windowed_heavy_hitters",
+    """
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n, rnk FROM (
+        SELECT window_start, event_type, n,
+               (ROW_NUMBER() OVER (PARTITION BY window_start
+                   ORDER BY n DESC, event_type))::INT AS rnk
+        FROM w) t
+    WHERE rnk <= 3
+    """,
+)
+def q116_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window heavy hitters: the top-3 event types of every
+    tumbling hour — the dashboard/alerting analytic a streaming
+    pipeline materializes continuously (q28's windowed counts with a
+    per-window rank on top; ties toward the lexicographically first
+    type, fully deterministic). Scale: the count partial-combines
+    map-side; the rank window partitions by window_start — thousands
+    of independent partitions of |event_types| rows each, never a
+    global window. Streaming twin: windowed_event_counts → rank in
+    foreachBatch."""
+    ev = table(spark, "events", sf_dir)
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    rw = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= 3)
+    )

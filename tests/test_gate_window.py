@@ -12,7 +12,11 @@ import json
 import re
 
 import __spark_entry__ as entrymod
-from cr_data_pipeline_project_spark.plans import GATE_OVERFLOW, GATE_SLOTS
+from cr_data_pipeline_project_spark.plans import (
+    GATE_OVERFLOW,
+    GATE_PENDING,
+    GATE_SLOTS,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -78,3 +82,30 @@ def test_overflow_names_exist():
     names = set(entrymod.queries())
     stale = [n for n in GATE_OVERFLOW if n not in names]
     assert not stale, f"GATE_OVERFLOW references unknown queries: {stale}"
+
+
+def test_pending_queries_never_driver_attested():
+    """GATE_PENDING is ONLY for brand-new oracled queries awaiting
+    their first rotation: a query with any past driver row belongs in
+    the window or GATE_OVERFLOW — letting it sit in pending would
+    dodge re-attestation indefinitely."""
+    benches = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    seen = set()
+    for path in benches:
+        with open(path) as f:
+            seen |= set(json.load(f))
+    stale = [n for n in GATE_PENDING if n in seen]
+    assert not stale, (
+        f"GATE_PENDING holds driver-attested queries (rotate them "
+        f"into the window or GATE_OVERFLOW): {stale}"
+    )
+
+
+def test_pending_registered_right_after_window():
+    """Pending queries sit immediately after the gate window (so the
+    next rotation naturally pulls them in) and are all oracled."""
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    tail = names[GATE_SLOTS : GATE_SLOTS + len(GATE_PENDING)]
+    assert tail == [n for n in GATE_PENDING if n in names]
+    assert all(n in oracles for n in GATE_PENDING)

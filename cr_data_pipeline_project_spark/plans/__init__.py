@@ -116,6 +116,8 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # query with a driver row hiding here would dodge re-attestation).
 GATE_PENDING: tuple[str, ...] = (
     "q116_windowed_heavy_hitters",
+    "q117_embedding_standardize",
+    "q118_grouped_correlation",
 )
 
 

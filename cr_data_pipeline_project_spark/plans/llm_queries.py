@@ -2810,3 +2810,117 @@ def q115_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, books, cells, queries,
         "vec_id", "embedding", "query_id", k=10, nprobe=4,
     )
+
+
+@q(
+    "q117_embedding_standardize",
+    """
+    WITH x AS (
+        SELECT vec_id, (i - 1)::INT AS pos,
+               floor(embedding[i] * 1e6 + 0.5) / 1e6 AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+    stats AS (
+        SELECT pos,
+               (SUM(v::DECIMAL(28,12)))::DOUBLE AS s1,
+               (SUM((v*v)::DECIMAL(28,12)))::DOUBLE AS s2,
+               COUNT(*) AS n
+        FROM x GROUP BY pos)
+    SELECT vec_id, pos,
+           ROUND((v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+    FROM x JOIN stats USING (pos)
+    """,
+)
+def q117_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-standardization of the embedding corpus — the
+    preprocessing step before distance-based ops (k-means, PQ,
+    LSH) when dimensions carry different scales. Exact cross-engine
+    parity via the q53 decimal-moments pattern PLUS a pre-
+    quantization to 6 fractional digits (explicit half-up
+    floor(x*1e6+0.5)/1e6, the int8-quantize trick) — full-precision
+    doubles would otherwise hit each engine's decimal ROUNDING MODE
+    at the cast (measured: 44 of 32k rows flipped). After it, Σv and
+    Σv² accumulate as exact DECIMAL (order-independent) and the
+    double finish (mean, variance, z) is a fixed chain of single
+    IEEE ops — no tolerance needed. Plan: one posexplode, one (pos)-grouped
+    partial-combining aggregate of 64 rows, one broadcast join back;
+    element rows shuffle once. At 100 TB: identical shape — the
+    stats table is |dims| rows regardless of corpus size."""
+    emb = table(spark, "embeddings", sf_dir)
+    x = emb.select(
+        "vec_id",
+        F.posexplode(similarity.as_double_vec("embedding")).alias("pos", "__r"),
+    ).select(
+        "vec_id",
+        "pos",
+        (F.floor(F.col("__r") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("v"),
+    )
+    dec = "decimal(28,12)"
+    stats = x.groupBy("pos").agg(
+        F.sum(F.col("v").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    return (
+        x.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round((F.col("v") - mu) / F.sqrt(var), 6).alias("z"),
+        )
+    )
+
+
+@q(
+    "q118_grouped_correlation",
+    """
+    SELECT l_returnflag,
+           ROUND(
+             (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+           6) AS corr_qty_price,
+           n
+    FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               (SUM(l_quantity::DECIMAL(28,6)))::DOUBLE AS sx,
+               (SUM(l_extendedprice::DECIMAL(28,6)))::DOUBLE AS sy,
+               (SUM((l_quantity*l_quantity)::DECIMAL(28,6)))::DOUBLE AS sxx,
+               (SUM((l_extendedprice*l_extendedprice)::DECIMAL(28,6)))::DOUBLE AS syy,
+               (SUM((l_quantity*l_extendedprice)::DECIMAL(28,6)))::DOUBLE AS sxy
+        FROM lineitem GROUP BY l_returnflag) t
+    """,
+)
+def q118_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation (quantity vs extended price per
+    return flag) with EXACT cross-engine parity: the five moment sums
+    accumulate as DECIMAL — `corr()` built-ins are float-sum-order
+    dependent and never hash-match across engines — and the
+    correlation finish is a fixed chain of IEEE double ops. One
+    partial-combining aggregate over the fact table; group count
+    bounded by the flag cardinality."""
+    li = table(spark, "lineitem", sf_dir)
+    dec = "decimal(28,6)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag", F.round(corr, 6).alias("corr_qty_price"), "n"
+    )

@@ -238,3 +238,67 @@ def test_connected_components_matches_reachability(spark, edges):
                     stack.append(y)
         want[start] = min(seen)
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(1, 4),            # key
+            st.sampled_from(["a", "b", "c"]),  # value
+            st.booleans(),                # is_delete
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    split=st.integers(1, 13),
+)
+@SLOW
+def test_scd2_delete_batch_split_equals_oneshot(spark, tmp_path_factory, data, split):
+    """For ANY delete-carrying feed and ANY time-ordered batch split,
+    the batched streaming merge must equal the one-shot delete-aware
+    interval derivation (modulo frontier-tombstone markers). Events
+    get strictly increasing timestamps, so every split point is a
+    valid watermark boundary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.scd import scd2_intervals
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        scd2_apply_batch,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, None if d else v, d, base + dt.timedelta(hours=i))
+        for i, (k, v, d) in enumerate(data)
+    ]
+    schema = "user_id long, state string, is_del boolean, ts timestamp"
+
+    hist = str(tmp_path_factory.mktemp("scd")) + "/hist"
+    cut = min(split, len(rows))
+    for part in (rows[:cut], rows[cut:]):
+        if part:
+            scd2_apply_batch(
+                spark.createDataFrame(part, schema), hist,
+                "user_id", "state", "ts", delete_col="is_del",
+            )
+
+    want = sorted(
+        (r.user_id, r.state, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in scd2_intervals(
+            spark.createDataFrame(rows, schema),
+            "user_id", "state", "ts", delete_col="is_del",
+        ).collect()
+    )
+    got = sorted(
+        (r.user_id, r.state, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in spark.read.parquet(hist)
+        .where(
+            F.col("state").isNotNull()
+            | F.col("valid_to").isNull()
+            | (F.col("valid_to") != F.col("valid_from"))
+        )
+        .collect()
+    ) if os.path.exists(hist) else []
+    assert got == want

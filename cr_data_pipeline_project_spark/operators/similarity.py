@@ -36,6 +36,24 @@ from pyspark.sql.window import Window
 _GEMM_BLOCK_ELEMS = 8_000_000
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW scan-rooted frame to the session's default
+    parallelism before compute that dominates one exchange of the
+    input rows: a single-split input (one parquet file — every local
+    fixture) would otherwise run the stage serially, the trap
+    shingle_set documents (measured 10× on the q108 instr sweep and
+    on the per-doc media synth/encode chain). Apply ONLY where the
+    per-row compute is heavy — for the small-vector GEMM kernels the
+    added exchange measured SLOWER than the serial kernel at fixture
+    scale, and a real warehouse scan arrives multi-split, making this
+    a no-op there. The partition probe inspects the planned RDD (no
+    job runs)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def as_double_vec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -423,9 +441,17 @@ def cosine_topk_pandas(
             )
 
     # fewer, larger Arrow batches: GEMM efficiency scales with batch
-    # rows; 32 slivers of a small corpus would pay per-batch overhead
+    # rows; 32 slivers of a small corpus would pay per-batch overhead.
+    # coalesce can only DECREASE partitions — a single-split scan (the
+    # local fixture) must repartition UP or the GEMM runs serially.
     n_parts = max(2, min(8, corpus.sparkSession.sparkContext.defaultParallelism // 4))
-    scored = corpus.select(id_col, vec_col).coalesce(n_parts).mapInPandas(
+    side = corpus.select(id_col, vec_col)
+    side = (
+        side.repartition(n_parts)
+        if side.rdd.getNumPartitions() < n_parts
+        else side.coalesce(n_parts)
+    )
+    scored = side.mapInPandas(
         score_part, "query_id long, neighbor_id long, cos double"
     ).where(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
@@ -877,6 +903,11 @@ def nearest_centroids(
     # null/ragged vectors can't enter np.stack (same guard as the
     # hyperplane kernel): drop them before the Arrow exchange
     dim = C.shape[1]
+    # Input partitioning is the CALLER's contract: an automatic
+    # repartition here would re-shuffle every Lloyd iteration for
+    # nothing — measured ~0.5 s/query at fixture scale, where the
+    # k×batch GEMMs are far cheaper than one extra exchange (and a
+    # real warehouse scan arrives multi-split anyway).
     clean = vecs.select(id_col, vec_col).where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     )

@@ -1977,7 +1977,13 @@ def q94_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage."""
     import pandas as pd
 
-    docs = table(spark, "documents", sf_dir).select("doc_id")
+    from ..operators.similarity import ensure_parallelism
+
+    # single-split fixture scan -> the whole synth/resize/decode
+    # chain would run serially (the shingle_set trap)
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -2218,7 +2224,13 @@ def _synth_ppm_media(spark, sf_dir, dims):
     gate queries so the synth plumbing cannot drift between them."""
     import pandas as pd
 
-    docs = table(spark, "documents", sf_dir).select("doc_id")
+    from ..operators.similarity import ensure_parallelism
+
+    # single-split fixture scan -> the whole synth/resize/decode
+    # chain would run serially (the shingle_set trap)
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
 
     def synth(batches):
         for pdf in batches:

@@ -1043,3 +1043,73 @@ def test_scd2_tombstone_invisible_to_state_at(spark, tmp_path):
     by_ts = {str(r.ts): r.state for r in got}
     assert by_ts["2024-01-02 00:00:00"] == "free"   # inside the closed run
     assert by_ts["2024-01-04 00:00:00"] is None     # after deletion: no state
+
+
+def test_streaming_windowed_heavy_hitters(spark, tmp_path):
+    """q116's streaming twin: windowed counts stream through
+    foreachBatch, a per-window rank lands the top-k — the batch and
+    streaming paths must agree on the same events."""
+    import json
+
+    from pyspark.sql.window import Window
+
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src = os.path.join(str(tmp_path), "in")
+    sink = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    events = [
+        (i, f"2024-01-01T10:{i % 50:02d}:00", t)
+        for i, t in enumerate(
+            ["view"] * 9 + ["click"] * 6 + ["buy"] * 3 + ["scroll"] * 1
+        )
+    ] + [
+        (100 + i, f"2024-01-01T11:{i % 50:02d}:00", t)
+        for i, t in enumerate(["click"] * 5 + ["view"] * 2)
+    ]
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for eid, ts, typ in events:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "event_type": typ}) + "\n")
+
+    def rank_and_land(batch_df, batch_id):
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n"), F.col("event_type")
+        )
+        (
+            batch_df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(sink)
+        )
+
+    with few_partitions(spark):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        ).json(src)
+        q = (
+            windowed_event_counts(stream, watermark="10 minutes")
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(rank_and_land)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = sorted(
+        (str(r.window_start), r.rnk, r.event_type, r.n)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [
+        ("2024-01-01 10:00:00", 1, "view", 9),
+        ("2024-01-01 10:00:00", 2, "click", 6),
+        ("2024-01-01 10:00:00", 3, "buy", 3),
+        ("2024-01-01 11:00:00", 1, "click", 5),
+        ("2024-01-01 11:00:00", 2, "view", 2),
+    ]

@@ -99,7 +99,6 @@ def kmeans_fit(
     n_iter: int = 5,
     seed: int = 42,
     engine: str = "arrow",
-    checkpoint_input: bool = True,
 ) -> DataFrame:
     """Fit k centroids with Lloyd's algorithm; returns
     ``(cid int, cv array<double>)``. The Lloyd loop's assign step
@@ -108,18 +107,10 @@ def kmeans_fit(
     and assignment quality, never bit-exact centroids), and the
     GEMM keeps per-iteration cost flat as k grows toward the √N
     centroid counts a real IVF fit wants. Pass ``engine='expr'``
-    for the pure-JVM fold loop.
-
-    ``checkpoint_input=False`` skips the input materialization —
-    for callers that already hold a checkpointed/cached frame and
-    run MANY fits over cheap projections of it (the PQ subspace
-    loop re-materialized the sliced corpus once per subspace
-    otherwise)."""
+    for the pure-JVM fold loop."""
     vecs = corpus.select(
         F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("vd")
-    )
-    if checkpoint_input:
-        vecs = vecs.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
 
     # deterministic seeds, numbered 0..k-1 in hash order (k rows on
     # the driver-side window is trivial)

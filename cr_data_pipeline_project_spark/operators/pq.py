@@ -42,11 +42,18 @@ from .similarity import as_double_vec
 
 
 def _sub_rows(v: DataFrame, m: int, sub_d: int) -> DataFrame:
-    """(_id, _v) → one (sub, _id, sv) row per subspace slice."""
+    """(_id, _v) → one (sub, _id, sv) row per subspace slice. Null or
+    wrong-dimension vectors are dropped FIRST — they cannot enter
+    np.stack in the assignment kernel (the same guard the similarity
+    kernels carry; one malformed embedding would otherwise crash the
+    whole job inside the Arrow worker)."""
+    clean = v.where(
+        F.col("_v").isNotNull() & (F.size("_v") == m * sub_d)
+    )
     slices = F.array(
         *[F.slice("_v", s * sub_d + 1, sub_d) for s in range(m)]
     )
-    return v.select(F.col("_id"), F.posexplode(slices).alias("sub", "sv"))
+    return clean.select(F.col("_id"), F.posexplode(slices).alias("sub", "sv"))
 
 
 def _assign_all_subs(rows: DataFrame, books: DataFrame, carry_sv: bool):
@@ -79,7 +86,10 @@ def _assign_all_subs(rows: DataFrame, books: DataFrame, carry_sv: bool):
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = np.empty(len(pdf), dtype=np.int32)
+            # -1 sentinel: a subspace with no codebook entries (a
+            # partially-written codebook) must fail fast, not emit
+            # whatever np.empty leaves in memory
+            out = np.full(len(pdf), -1, dtype=np.int32)
             subs = pdf["sub"].values
             for s, (cids, C, cn) in packed.items():
                 msk = subs == s
@@ -88,6 +98,11 @@ def _assign_all_subs(rows: DataFrame, books: DataFrame, carry_sv: bool):
                 V = np.stack(pdf["sv"].values[msk])
                 D = cn - 2.0 * (V @ C.T)
                 out[msk] = cids[D.argmin(axis=1)]
+            if (out < 0).any():
+                missing = sorted(set(subs[out < 0].tolist()))
+                raise ValueError(
+                    f"codebook has no entries for subspace(s) {missing}"
+                )
             cols = {"sub": subs.astype("int32"), "_id": pdf["_id"], "cid": out}
             if carry_sv:
                 cols["sv"] = pdf["sv"]
@@ -246,12 +261,18 @@ def pq_topk(
     kcent = max(c for ent in books.values() for c, _ in ent) + 1
     sub_d = len(next(iter(books.values()))[0][1])
 
+    id_type = dict(codes.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[query_id_col]
     qrows = queries.select(
         F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qv")
     ).collect()  # bounded query set by contract
     if not qrows:
+        # same schema as the non-empty path — a hardcoded long would
+        # diverge for non-long ids and break unions/appends
         return codes.sparkSession.createDataFrame(
-            [], f"query_id long, neighbor_id long, rank int, adist double"
+            [],
+            f"query_id {qid_type}, neighbor_id {id_type}, "
+            "rank int, adist double",
         )
     qids = [r["__qid"] for r in qrows]
     # LUT[qi]: (m, kcent) squared distances, +inf for absent cids
@@ -268,8 +289,6 @@ def pq_topk(
     LUT = np.stack(luts)  # (Q, m, kcent)
     subs_idx = np.arange(m)
 
-    id_type = dict(codes.dtypes)[id_col]
-    qid_type = dict(queries.dtypes)[query_id_col]
     schema = (
         f"query_id {qid_type}, neighbor_id {id_type}, adist double"
     )
@@ -356,12 +375,17 @@ def ivfpq_topk(
     kcent = max(c for ent in books.values() for c, _ in ent) + 1
     sub_d = len(next(iter(books.values()))[0][1])
 
+    id_type = dict(codes_with_cell.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[query_id_col]
     qrows = queries.select(
         F.col(query_id_col).alias("__qid"), as_double_vec(vec_col).alias("__qv")
     ).collect()  # bounded query set by contract
     if not qrows:
+        # same schema as the non-empty path (see pq_topk)
         return codes_with_cell.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, adist double"
+            [],
+            f"query_id {qid_type}, neighbor_id {id_type}, "
+            "rank int, adist double",
         )
     qids, luts, probed = [], [], []
     p = min(nprobe, len(cells))
@@ -383,8 +407,6 @@ def ivfpq_topk(
     LUT = np.stack(luts)
     subs_idx = np.arange(m)
 
-    id_type = dict(codes_with_cell.dtypes)[id_col]
-    qid_type = dict(queries.dtypes)[query_id_col]
     schema = f"query_id {qid_type}, neighbor_id {id_type}, adist double"
 
     def kern(batches):

@@ -72,6 +72,14 @@ def scd2_intervals(
         )
     value_type = dict(df.dtypes)[value_col]
     mark = F.coalesce(F.col(delete_col), F.lit(False))
+    # Deterministic total order including the delete flag: an upsert
+    # and a delete at the SAME (ts, tiebreak) would otherwise sort
+    # nondeterministically (the flag isn't in the base tiebreak) and
+    # replays could flip which one lands last. Upserts order BEFORE
+    # deletes (False < True), so at identical timestamps the
+    # tombstone wins — the same in-batch conflict rule the CDC path
+    # uses.
+    wd = Window.partitionBy(key_col).orderBy(F.col(ts_col), mark, tb)
     # run identity: (is_delete, value), with delete rows normalized
     # to a single sentinel so consecutive deletes form one run
     cur = F.when(
@@ -85,7 +93,7 @@ def scd2_intervals(
     )
     changed = (
         df.withColumn("__cur", cur)
-        .withColumn("__prev", F.lag("__cur").over(w))
+        .withColumn("__prev", F.lag("__cur").over(wd))
         .where(
             F.col("__prev").isNull()
             | ~F.col("__prev").eqNullSafe(F.col("__cur"))
@@ -97,7 +105,7 @@ def scd2_intervals(
             F.col("__cur.v").alias("state"),
             F.col("__cur.d").alias("__d"),
             F.col(ts_col).alias("valid_from"),
-            F.lead(ts_col).over(w).alias("valid_to"),
+            F.lead(ts_col).over(wd).alias("valid_to"),
         )
         .where(~F.col("__d"))
         .drop("__d")

@@ -1980,7 +1980,8 @@ def q94_wav_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ensure_parallelism
 
     # single-split fixture scan -> the whole synth/resize/decode
-    # chain would run serially (the shingle_set trap)
+    # chain would run serially (the shingle_set trap); conditional,
+    # so a multi-split warehouse scan is untouched
     docs = ensure_parallelism(
         table(spark, "documents", sf_dir).select("doc_id")
     )
@@ -2227,7 +2228,8 @@ def _synth_ppm_media(spark, sf_dir, dims):
     from ..operators.similarity import ensure_parallelism
 
     # single-split fixture scan -> the whole synth/resize/decode
-    # chain would run serially (the shingle_set trap)
+    # chain would run serially (the shingle_set trap); conditional,
+    # so a multi-split warehouse scan is untouched
     docs = ensure_parallelism(
         table(spark, "documents", sf_dir).select("doc_id")
     )
@@ -2248,10 +2250,7 @@ def _synth_ppm_media(spark, sf_dir, dims):
                 }
             )
 
-    nparts = spark.sparkContext.defaultParallelism
-    return docs.repartition(nparts).mapInPandas(
-        synth, multimodal.MEDIA_SCHEMA
-    )
+    return docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
 
 
 def _ppm_meta_projection(decoded):
@@ -2604,10 +2603,12 @@ def q108_verbatim_decontamination(
         lambda p: (p["probe_id"] != F.col("hit_id"))
         & (F.instr(F.col("text"), p["snippet"]) > 0),
     )
-    nparts = spark.sparkContext.defaultParallelism
+    from ..operators.similarity import ensure_parallelism
+
     return (
-        docs.select(F.col("doc_id").alias("hit_id"), "text")
-        .repartition(nparts, F.col("hit_id"))
+        ensure_parallelism(
+            docs.select(F.col("doc_id").alias("hit_id"), "text")
+        )
         .crossJoin(F.broadcast(probes))
         .select("hit_id", F.explode(hits).alias("__hit"))
         .select(F.col("__hit.probe_id").alias("probe_id"), "hit_id")

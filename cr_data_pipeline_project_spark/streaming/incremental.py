@@ -434,6 +434,7 @@ def _rewrite_affected_buckets(
     key_col: str,
     path: str,
     n_buckets: int,
+    may_delete: bool = False,
 ) -> None:
     """Hash-bucketed upsert shared by the SCD-2 history and the CDC
     state: dynamic-partition-overwrite exactly the buckets containing
@@ -449,13 +450,19 @@ def _rewrite_affected_buckets(
     the CDC tombstone path) have one physical subtlety: a bucket
     whose every row is deleted receives ZERO output rows, and dynamic
     overwrite never touches a partition it writes nothing to — the
-    stale dir would silently survive. Those emptied bucket dirs are
-    removed explicitly AFTER the commit (the non-destructive write
-    first; a crash in between replays to the same classification,
-    since the stale rows are still keyed to the same batch, and the
-    replayed rewrite deletes them again — idempotent). The dir
-    removal uses the local filesystem API; an object-store deployment
-    swaps in its FS client here."""
+    stale dir would silently survive. Callers whose delete set can
+    empty a bucket pass ``may_delete=True``: the output is then
+    checkpointed, emptied bucket dirs are detected (two bounded
+    collects) and removed explicitly AFTER the commit (the
+    non-destructive write first; a crash in between replays to the
+    same classification, since the stale rows are still keyed to the
+    same batch, and the replayed rewrite deletes them again —
+    idempotent). The dir removal uses the local filesystem API; an
+    object-store deployment swaps in its FS client here. Callers that
+    structurally write ≥1 payload row per affected key (the SCD-2
+    merge — even deletions leave a frontier marker) keep
+    ``may_delete=False`` and skip both extra driver-blocking jobs on
+    their hot per-batch path."""
     bucket = F.pmod(
         F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)
     )
@@ -471,19 +478,22 @@ def _rewrite_affected_buckets(
             .join(F.broadcast(bucket_ids), "__bucket", "left_semi")
             .join(affected_keys.select(key_col), key_col, "left_anti")
         )
-        # checkpoint: (1) the emptied-bucket scan below and the write
-        # must see the same rows; (2) the write no longer reads the
-        # very files it is overwriting. Small by contract — affected
-        # buckets only.
-        out = out.unionByName(residents).localCheckpoint(eager=True)
-        written = {
-            r["__bucket"] for r in out.select("__bucket").distinct().collect()
-        }
-        emptied = [
-            r["__bucket"]
-            for r in bucket_ids.collect()  # bounded: ≤ n_buckets rows
-            if r["__bucket"] not in written
-        ]
+        out = out.unionByName(residents)
+        if may_delete:
+            # checkpoint: (1) the emptied-bucket scan below and the
+            # write must see the same rows; (2) the write no longer
+            # reads the very files it is overwriting. Small by
+            # contract — affected buckets only.
+            out = out.localCheckpoint(eager=True)
+            written = {
+                r["__bucket"]
+                for r in out.select("__bucket").distinct().collect()
+            }
+            emptied = [
+                r["__bucket"]
+                for r in bucket_ids.collect()  # bounded: ≤ n_buckets
+                if r["__bucket"] not in written
+            ]
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -667,6 +677,22 @@ def scd2_apply_batch(
             )
         )
         new_affected = new_affected.unionByName(tombs)
+    elif hist is not None:
+        # An upsert-only apply over a DELETE-AWARE history must not
+        # drop another caller's tombstone markers: a marker whose key
+        # saw only stale (frontier-guarded) events would otherwise
+        # vanish from the rewrite — its key is affected (in `keys`),
+        # its row sits in frontier_rows (so not in `closed`), and
+        # nothing re-emits it — silently re-opening the key to old
+        # replays. Keep each surviving marker unless this batch
+        # re-added its key (a fresh open run replaces it).
+        markers = frontier_rows.where(F.col("valid_to").isNotNull())
+        keep = markers.join(
+            recomputed.where(F.col("valid_to").isNull()).select(key_col),
+            key_col,
+            "left_anti",
+        ).select(key_col, "state", "valid_from", "valid_to", "last_ts")
+        new_affected = new_affected.unionByName(keep)
     _rewrite_affected_buckets(
         hist,
         new_affected.select(
@@ -856,6 +882,7 @@ def change_capture_batch(
         id_col,
         state_path,
         n_buckets,
+        may_delete=tomb is not None,
     )
 
 

@@ -161,3 +161,22 @@ def test_ivfpq_topk_recall_and_cell_pruning(spark):
         probed = set(int(c) for c in cids[np.argsort(D, kind="stable")[:4]])
         for n in ns:
             assert cell_of[n] in probed, (q, n)
+
+
+def test_pq_skips_malformed_vectors(spark):
+    """A null or wrong-dimension embedding must be dropped before the
+    Arrow kernels, not crash the job (same contract as the similarity
+    kernels)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [float(rng.gauss(0, 1)) for _ in range(64)]) for i in range(60)]
+    bad = [(9001, None), (9002, [1.0, 2.0])]
+    emb = spark.createDataFrame(
+        rows + bad, "vec_id long, embedding array<double>"
+    )
+    books = pq.pq_fit(emb, m=8, k=8, n_iter=1)
+    codes = pq.pq_encode(emb, books)
+    ids = {r.vec_id for r in codes.collect()}
+    assert 9001 not in ids and 9002 not in ids
+    assert len(ids) == 60

@@ -169,3 +169,26 @@ def test_scd2_delete_none_equals_plain(spark):
         ).select("user_id", "state", "valid_from", "valid_to").collect())
     )
     assert plain == deled
+
+
+def test_scd2_same_ts_delete_vs_upsert_is_deterministic(spark):
+    """An upsert and a delete sharing (key, ts) must resolve the same
+    way on every run: the delete orders LAST (tombstone wins — the
+    CDC in-batch rule), regardless of input row order."""
+    for order in ([0, 1], [1, 0]):
+        rows = [
+            (1, "a", False, _ts("2024-01-01T00:00:00")),
+            (1, None, True, _ts("2024-01-01T00:00:00")),
+        ]
+        df = spark.createDataFrame(
+            [rows[i] for i in order],
+            "user_id bigint, event_type string, is_delete boolean, ts timestamp",
+        ).repartition(4)
+        got = scd2_intervals(
+            df, "user_id", "event_type", "ts", delete_col="is_delete"
+        ).collect()
+        # the upsert's run exists, closed at the same instant; no
+        # current row survives
+        assert [(r.user_id, r.state, r.valid_to is None) for r in got] == [
+            (1, "a", False)
+        ], order

@@ -1113,3 +1113,69 @@ def test_streaming_windowed_heavy_hitters(spark, tmp_path):
         ("2024-01-01 11:00:00", 1, "click", 5),
         ("2024-01-01 11:00:00", 2, "view", 2),
     ]
+
+
+def test_scd2_upsert_only_apply_preserves_tombstone_markers(spark, tmp_path):
+    """A later caller running scd2_apply_batch WITHOUT delete_col on a
+    delete-aware history must not drop another caller's tombstone
+    markers: a stale event for the deleted key leaves the marker (and
+    its straggler guard) intact; a genuinely newer upsert replaces it
+    with a fresh open run."""
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        scd2_apply_batch,
+    )
+
+    hist = os.path.join(str(tmp_path), "hist")
+
+    def dbatch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, state string, is_del boolean, ts string"
+        ).select(
+            "user_id", "state", "is_del",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    def ubatch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, state string, ts string"
+        ).select(
+            "user_id", "state", F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    scd2_apply_batch(
+        dbatch([
+            (1, "free", False, "2024-01-01T00:00:00"),
+            (1, None, True, "2024-01-03T00:00:00"),
+        ]),
+        hist, "user_id", "state", "ts", delete_col="is_del",
+    )
+
+    def marker_rows():
+        return (
+            spark.read.parquet(hist)
+            .where(
+                F.col("state").isNull()
+                & (F.col("valid_to") == F.col("valid_from"))
+            )
+            .collect()
+        )
+
+    assert len(marker_rows()) == 1
+    # upsert-only apply with a STALE event: marker must survive
+    scd2_apply_batch(
+        ubatch([(1, "zombie", "2024-01-02T00:00:00")]),
+        hist, "user_id", "state", "ts",
+    )
+    assert len(marker_rows()) == 1
+    assert (
+        spark.read.parquet(hist).where(F.col("valid_to").isNull()).count()
+        == 0
+    )
+    # upsert-only apply with a NEWER event: marker replaced by a run
+    scd2_apply_batch(
+        ubatch([(1, "back", "2024-01-04T00:00:00")]),
+        hist, "user_id", "state", "ts",
+    )
+    assert len(marker_rows()) == 0
+    cur = spark.read.parquet(hist).where(F.col("valid_to").isNull()).collect()
+    assert [(r.user_id, r.state) for r in cur] == [(1, "back")]

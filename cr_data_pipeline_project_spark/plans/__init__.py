@@ -118,6 +118,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q116_windowed_heavy_hitters",
     "q117_embedding_standardize",
     "q118_grouped_correlation",
+    "q119_stickiness_dau_wau",
 )
 
 

@@ -1282,3 +1282,63 @@ def q116_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(rw))
         .where(F.col("rnk") <= 3)
     )
+
+
+@q(
+    "q119_stickiness_dau_wau",
+    """
+    WITH activity AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        FROM events WHERE user_id IS NOT NULL),
+    days AS (SELECT DISTINCT d FROM activity),
+    dau AS (SELECT d, COUNT(*) AS dau FROM activity GROUP BY d),
+    wau AS (
+        SELECT days.d, COUNT(DISTINCT a.user_id) AS wau
+        FROM days JOIN activity a
+          ON a.d > days.d - 7 AND a.d <= days.d
+        GROUP BY days.d)
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau, wau,
+           ROUND(dau * 1.0 / wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q119_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product stickiness: daily actives over trailing-7-day actives
+    per day — the engagement ratio every events warehouse reports.
+    Distinct-over-a-sliding-window cannot be a window function
+    (COUNT(DISTINCT) OVER is unsupported in both engines), so the
+    WAU side joins the (tiny, ≤#days) day spine against the distinct
+    (day, user) activity with a range predicate — the q15 interval
+    pattern: broadcast the spine, never the activity. Scale: activity
+    is |users|·|active days| rows, deduped map-side; the range join
+    fans each activity row to ≤7 spine days; both aggregates
+    partial-combine. Day rendered ISO-string for dtype-stable
+    parity (the q107 convention); the ratio is one IEEE division of
+    two exact ints."""
+    ev = table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    activity = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = activity.select("d").distinct()
+    dau = activity.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    a = activity.select(
+        F.col("d").alias("ad"), F.col("user_id").alias("au")
+    )
+    wau = (
+        a.join(
+            F.broadcast(days),
+            (F.col("ad") > F.date_sub(F.col("d"), 7))
+            & (F.col("ad") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("au").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -119,6 +119,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q117_embedding_standardize",
     "q118_grouped_correlation",
     "q119_stickiness_dau_wau",
+    "q120_quality_tier_budgets",
 )
 
 

@@ -2980,3 +2980,58 @@ def q118_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", F.round(corr, 6).alias("corr_qty_price"), "n"
     )
+
+
+@q(
+    "q120_quality_tier_budgets",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
+                     / len(string_split(text, ' ')), 4))
+                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
+                     / 200.0, 4) AS quality_score,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    tiered AS (
+        SELECT n_tokens, quality_score,
+               (NTILE(4) OVER (ORDER BY quality_score, doc_id))::INT AS tier
+        FROM scored)
+    SELECT tier, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(MIN(quality_score), 4) AS min_quality,
+           ROUND(MAX(quality_score), 4) AS max_quality
+    FROM tiered GROUP BY tier
+    """,
+)
+def q120_quality_tier_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum tiering: the corpus split into 4 quality quartiles
+    (q38's score, NTILE fully tie-broken on doc_id) with each tier's
+    document count and token budget — the table a curriculum-ordered
+    training run (low→high quality, or quality-weighted mixing à la
+    q101's apportionment) is scheduled from. Scale: scoring is a
+    narrow codegen projection; the NTILE is ONE global window — fine
+    here because its input is the (doc_id, score, tokens) projection,
+    never bodies; at 100 TB swap in the q69→q72 sketch-cutpoint
+    pattern (approx quantile boundaries + map-side bucketing) exactly
+    as the deciles family documents."""
+    docs = table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    quality = textstats.quality_score(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", F.col("quality_score").alias("__q"))
+    scored = docs.select("doc_id", F.size(toks).alias("n_tokens")).join(
+        quality, "doc_id"
+    )
+    w = Window.orderBy(F.col("__q"), F.col("doc_id"))
+    return (
+        scored.withColumn("tier", F.ntile(4).over(w))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.min("__q"), 4).alias("min_quality"),
+            F.round(F.max("__q"), 4).alias("max_quality"),
+        )
+    )

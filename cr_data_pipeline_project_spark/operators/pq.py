@@ -445,6 +445,63 @@ def ivfpq_topk(
     )
 
 
+def pq_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact re-ranking of an ADC shortlist — the third stage of the
+    production ANN stack (route → compressed shortlist → exact
+    rerank, Jégou et al. TPAMI 2011 §V.C): the TRUE vectors load for
+    only the shortlisted (query, neighbor) pairs, exact cosine
+    re-scores them JVM-side (the same deterministic fold as the
+    brute-force baseline), and a per-query window keeps the top-k.
+    ``candidates``: (query_id, neighbor_id, ...) from
+    :func:`pq_topk` / :func:`ivfpq_topk` with k' > k.
+
+    Returns (query_id, neighbor_id, rank, score) — directly
+    comparable to brute_force_topk's output on the same pairs.
+
+    Scale: the join fetches |Q|·k' corpus vectors — shortlist-sized,
+    never the corpus; the query side is broadcast-bounded by the same
+    contract as every query surface here."""
+    from .similarity import cosine
+
+    cand = candidates.select(query_id_col, F.col("neighbor_id"))
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    qvecs = queries.select(
+        F.col(query_id_col), as_double_vec(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__cos"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            "neighbor_id",
+            "rank",
+            F.round("__cos", 6).alias("score"),
+        )
+    )
+
+
 def pq_reconstruction_report(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -180,3 +180,88 @@ def test_pq_skips_malformed_vectors(spark):
     ids = {r.vec_id for r in codes.collect()}
     assert 9001 not in ids and 9002 not in ids
     assert len(ids) == 60
+
+
+def test_ivfpq_cell_partitioned_layout_prunes_files(spark, tmp_path):
+    """The 100 TB claim made checkable: codes written PARTITIONED BY
+    cell let a probed-cells filter prune parquet partitions at plan
+    time — the scan's PartitionFilters must carry the cell predicate
+    and the input files must shrink to the probed subset."""
+    import os
+
+    from cr_data_pipeline_project_spark.operators import clustering
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = clustering.kmeans_fit(emb, 8, "vec_id", "embedding", n_iter=1)
+    assigned = clustering.kmeans_assign(emb, cells, "vec_id", "embedding")
+    books = pq.pq_fit(emb, m=8, k=8, n_iter=1)
+    codes = pq.pq_encode(emb, books).join(
+        assigned.withColumnRenamed("cluster_id", "cell"), "vec_id"
+    )
+    path = os.path.join(str(tmp_path), "codes_by_cell")
+    codes.write.partitionBy("cell").parquet(path)
+
+    back = spark.read.parquet(path)
+    probed = back.where(F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # physical proof: only the probed cells' files are read
+    n_all = back.select(F.input_file_name()).distinct().count()
+    n_probed = probed.select(F.input_file_name()).distinct().count()
+    assert 0 < n_probed < n_all
+    # and the rows really are the probed subset
+    assert probed.count() == back.where("cell in (0, 1)").count() > 0
+
+
+def test_pq_rerank_improves_on_adc_and_matches_exact_scores(spark):
+    """Exact rerank over an ADC shortlist: twin recall must be at
+    least ADC's, and every reranked score must equal the exact cosine
+    the brute-force baseline computes for the same pair."""
+    import random
+
+    from cr_data_pipeline_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = random.Random(31)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(25)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x + rng.gauss(0, 0.05)) for x in v]))
+    for j in range(2000, 2300):
+        rows.append((j, [float(rng.gauss(0, 1)) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq.pq_fit(emb, m=8, k=16, n_iter=2)
+    codes = pq.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = pq.pq_topk(codes, books, queries, query_id_col="query_id", k=40)
+    adc5 = {
+        (r.query_id, r.neighbor_id)
+        for r in shortlist.where(F.col("rank") <= 5).collect()
+    }
+    reranked = pq.pq_rerank(
+        shortlist, emb, queries, query_id_col="query_id", k=5
+    ).collect()
+    rr5 = {(r.query_id, r.neighbor_id) for r in reranked}
+
+    def twin_recall(pairs):
+        return sum(1 for q in range(25) if (q, q + 1000) in pairs) / 25
+
+    assert twin_recall(rr5) >= twin_recall(adc5)
+    assert twin_recall(rr5) >= 0.9  # exact scoring fixes ADC misses
+
+    # reranked scores are the EXACT cosine the baseline computes
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(
+            emb, emb.where(F.col("vec_id") < 25), k=50
+        ).collect()
+    }
+    for r in reranked:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(r.score - exact[key]) < 1e-9, key

@@ -123,10 +123,25 @@ def pq_fit(
     """Fit per-subspace codebooks. Returns (sub int, cid int,
     cv array<double>[d/m]) — m·k rows, broadcast-sized by
     construction. ``dim`` must divide evenly by ``m`` (asserted
-    against the first row). All m subspaces fit in ONE fused Lloyd
+    against the corpus's dominant vector size). All m subspaces fit
+    in ONE fused Lloyd
     loop (see module scale notes); like kmeans_fit, the result is
     ulp-tolerant by contract."""
-    dim = len(df.select(vec_col).first()[0])
+    # dimension = the corpus's MOST COMMON vector size (one cheap
+    # partial-combining aggregate over sizes) — sniffing the first
+    # row would crash on a null first row or, worse, lock onto a
+    # malformed short vector and drop every valid one in the guard
+    # below
+    drow = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("__d"))
+        .count()
+        .orderBy(F.desc("count"), F.col("__d"))
+        .first()
+    )
+    if drow is None:
+        raise ValueError("empty corpus: no non-null vectors to fit")
+    dim = int(drow["__d"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_d = dim // m
@@ -471,30 +486,34 @@ def pq_rerank(
     contract as every query surface here."""
     from .similarity import cosine
 
-    cand = candidates.select(query_id_col, F.col("neighbor_id"))
+    # candidates from pq_topk/ivfpq_topk carry the LITERAL column
+    # name "query_id" regardless of the caller's query_id_col — that
+    # parameter names the column in `queries` only
+    cand = candidates.select("query_id", "neighbor_id")
     cvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cv")
     )
     qvecs = queries.select(
-        F.col(query_id_col), as_double_vec(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("__qv"),
     )
     scored = (
         cand.join(cvecs, "neighbor_id")
-        .join(F.broadcast(qvecs), query_id_col)
+        .join(F.broadcast(qvecs), "query_id")
         .select(
-            query_id_col,
+            "query_id",
             "neighbor_id",
             cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
+    w = Window.partitionBy("query_id").orderBy(
         F.desc("__cos"), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
-            F.col(query_id_col).alias("query_id"),
+            "query_id",
             "neighbor_id",
             "rank",
             F.round("__cos", 6).alias("score"),

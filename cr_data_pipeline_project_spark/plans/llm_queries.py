@@ -3017,13 +3017,10 @@ def q120_quality_tier_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (approx quantile boundaries + map-side bucketing) exactly
     as the deciles family documents."""
     docs = table(spark, "documents", sf_dir)
-    toks = F.split(F.col("text"), " ")
-    quality = textstats.quality_score(
+    # quality_score already emits n_tokens — one scan, no join
+    scored = textstats.quality_score(
         docs.select("doc_id", "text"), "text"
-    ).select("doc_id", F.col("quality_score").alias("__q"))
-    scored = docs.select("doc_id", F.size(toks).alias("n_tokens")).join(
-        quality, "doc_id"
-    )
+    ).select("doc_id", "n_tokens", F.col("quality_score").alias("__q"))
     w = Window.orderBy(F.col("__q"), F.col("doc_id"))
     return (
         scored.withColumn("tier", F.ntile(4).over(w))

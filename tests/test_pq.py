@@ -265,3 +265,43 @@ def test_pq_rerank_improves_on_adc_and_matches_exact_scores(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert abs(r.score - exact[key]) < 1e-9, key
+
+
+def test_pq_malformed_first_row_does_not_poison_dim(spark):
+    """A null or short vector in the FIRST row must neither crash the
+    dimension sniff nor lock it onto the malformed size — the fit
+    keys off the corpus's dominant vector size."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(0, None), (1, [1.0, 2.0])] + [
+        (i, [float(rng.gauss(0, 1)) for _ in range(64)]) for i in range(2, 50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq.pq_fit(emb, m=8, k=8, n_iter=1)
+    assert all(len(r["cv"]) == 8 for r in books.collect())
+    codes = pq.pq_encode(emb, books)
+    ids = {r.vec_id for r in codes.collect()}
+    assert 0 not in ids and 1 not in ids and len(ids) == 48
+
+
+def test_pq_rerank_custom_query_id_col(spark):
+    """pq_rerank must accept a non-default query_id_col: the
+    candidates frame always carries the literal 'query_id' column,
+    the parameter names the column in `queries` only."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [float(rng.gauss(0, 1)) for _ in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq.pq_fit(emb, m=8, k=8, n_iter=1)
+    codes = pq.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    shortlist = pq.pq_topk(codes, books, queries, query_id_col="probe_id", k=10)
+    out = pq.pq_rerank(
+        shortlist, emb, queries, query_id_col="probe_id", k=3
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in out)

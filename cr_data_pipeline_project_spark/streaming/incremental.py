@@ -934,3 +934,51 @@ def streaming_change_capture(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_pq_index_append(
+    stream_vecs: DataFrame,
+    codebooks_path: str,
+    codes_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Index maintenance for the PQ/IVF-PQ serving stack
+    (operators/pq.py): continuously encode arriving vectors against
+    the PERSISTED codebooks and append their codes to the codes lake.
+    Codebooks retrain offline and rarely (a quantizer is stable under
+    corpus growth); codes stay fresh per micro-batch — the same
+    build-rarely/serve-continuously split as the near-dup index
+    ingest (:func:`streaming_neardup_ingest`).
+
+    Idempotent under foreachBatch replay via the insert-if-absent
+    anti-join on the id — a replayed batch can't double-append codes.
+    The codebooks re-read per batch, so an offline retrain is picked
+    up at the next micro-batch without restarting the stream.
+
+    Failure posture: a missing codes lake means first batch (append
+    all); a missing CODEBOOKS path aborts the batch — encoding
+    against nothing is not a recoverable state."""
+    from ..operators.pq import pq_encode
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        books = spark.read.parquet(codebooks_path)  # absent → abort
+        codes = pq_encode(batch_df, books, id_col, vec_col)
+        existing = _read_parquet_if_present(spark, codes_path)
+        if existing is not None:
+            fresh = insert_if_absent(
+                codes, existing.select(id_col), [id_col]
+            )
+        else:
+            fresh = codes
+        fresh.write.mode("append").parquet(codes_path)
+
+    return (
+        stream_vecs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )

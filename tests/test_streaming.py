@@ -1179,3 +1179,64 @@ def test_scd2_upsert_only_apply_preserves_tombstone_markers(spark, tmp_path):
     assert len(marker_rows()) == 0
     cur = spark.read.parquet(hist).where(F.col("valid_to").isNull()).collect()
     assert [(r.user_id, r.state) for r in cur] == [(1, "back")]
+
+
+def test_streaming_pq_index_append(spark, tmp_path):
+    """PQ index maintenance: arriving vectors encode against the
+    persisted codebooks per micro-batch; codes accumulate, replays
+    don't double-append, and the streamed codes equal the batch
+    pq_encode of the same vectors."""
+    import json
+    import random
+
+    from cr_data_pipeline_project_spark.operators import pq
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_pq_index_append,
+    )
+
+    src = os.path.join(str(tmp_path), "in")
+    books_path = os.path.join(str(tmp_path), "books")
+    codes_path = os.path.join(str(tmp_path), "codes")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    rng = random.Random(17)
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(64)]
+
+    base = [(i, vec()) for i in range(40)]
+    fit_df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    pq.pq_fit(fit_df, m=8, k=8, n_iter=1).write.parquet(books_path)
+
+    def land(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for i, v in rows:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    def run():
+        with few_partitions(spark):
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).json(src)
+            q = streaming_pq_index_append(
+                stream, books_path, codes_path, ckpt
+            )
+            q.awaitTermination(120)
+
+    land("b0.json", base[:25])
+    run()
+    land("b1.json", base[25:])
+    run()
+    run()  # no new files: replay-shaped no-op
+
+    got = {
+        r.vec_id: list(r.codes) for r in spark.read.parquet(codes_path).collect()
+    }
+    assert sorted(got) == list(range(40))  # all present, none doubled
+    books = spark.read.parquet(books_path)
+    want = {
+        r.vec_id: list(r.codes)
+        for r in pq.pq_encode(fit_df, books).collect()
+    }
+    assert got == want

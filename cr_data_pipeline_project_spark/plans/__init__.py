@@ -34,70 +34,72 @@ GATE_SLOTS = 50
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation at least
-# every other round: round 5 brings back the 41 queries parked
-# during round 4 (all driver-green in CORRECTNESS_r02/r03) and
-# parks ALL 50 r04-attested ones below — the freed 9 slots hold the
-# nine new round-5 oracled queries (q103/q104, q106-q108,
-# q111-q114), so every round-5 addition gets driver attestation this
-# round. All parked queries stay covered every round by
+# every other round: round 6 parks the 50 r05-attested window
+# queries and brings back 45 of the 50 r04-attested ones parked
+# during round 5 (the 41 longest-parked plus q93-q96) — the freed 5
+# slots hold the five GATE_PENDING first-timers (q116-q120, which
+# have never had a driver row). The 5 shortest-parked r04-attested
+# queries (q97-q102, parked mid-round-5) wait one more round. All
+# parked queries stay covered every round by
 # tests/test_oracle_parity.py and tools/check_oracle.py, which run
 # the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
-    # parked round 5 (driver-green in r04): the reference-query and
-    # dedup/text/sampling entries attested in CORRECTNESS_r04; they
-    # return in round 6
-    "q01_pricing_summary",
-    "q02_brand_usage_wins",
-    "q09_anti_join_new_keys",
-    "q10_semi_join_kept_keys",
-    "q15_range_join_season",
-    "q22_priority_share",
-    "q24_merge_upsert",
-    "q25_insert_if_absent",
-    "q26_cascade_delete",
-    "q28_tumbling_window",
-    "q29_sessionization",
-    "q45_nested_flatten",
-    "q31_dedup_exact_groups",
-    "q32_dedup_fingerprint_keep",
-    "q33_ngram_jaccard_pairs",
-    "q34_minhash_lsh_pairs",
-    "q35_simhash_pairs",
-    "q37_embedding_neardup",
-    "q53_group_zscore",
-    "q52_hash_split",
-    "q38_text_quality",
-    "q39_lang_id",
-    "q40_token_count",
-    "q41_fingerprint",
-    "q57_dataset_mixing",
-    "q55_curation_pipeline",
-    "q43_multimodal_meta",
-    "q61_repetition_ratio",
-    "q62_pii_redaction",
-    "q63_stratified_sample",
-    "q64_sequence_packing",
-    "q66_dedup_clusters",
-    "q67_event_pivot",
-    "q68_audience_setops",
-    "q70_term_doc_freq",
-    "q86_bloom_prefilter_gate",
-    "q87_chunk_dedup",
-    "q88_ngram_decontamination",
-    "q89_scd2_intervals",
-    "q90_stratified_sample_scale",
-    "q92_cluster_representatives",
-    # parked mid-round-5 (driver-green in r04) to open slots for the
-    # round-5 additions q103/q104 (the q84 build/probe bench split)
-    # and q106-q108 (as-of snapshot, retention cohorts, verbatim
-    # decontamination)
-    "q93_decontaminated_export",
-    "q94_wav_decode_meta",
-    "q95_state_at_event",
-    "q96_snapshot_diff",
+    # parked round 6 (driver-green in r05): the 50 queries the r05
+    # window attested; they return in round 7
+    "q03_player_win_rate",
+    "q04_recent_rankings_top100",
+    "q05_player_clan_view",
+    "q06_distinct_single",
+    "q07_dedup_by_key",
+    "q08_dedup_composite_count",
+    "q11_union_dedup",
+    "q12_key_synthesis",
+    "q13_ts_parse_strict",
+    "q14_url_encode",
+    "q16_element_at_default",
+    "q17_json_extract",
+    "q18_null_mask_fill",
+    "q19_case_round",
+    "q20_window_rank",
+    "q21_multikey_sort",
+    "q23_surrogate_keys",
+    "q27_season_calendar",
+    "q30_sliding_window",
+    "q36_ann_bruteforce_topk",
+    "q42_ann_ivf_topk",
+    "q46_rollup",
+    "q49_sql_view_api",
+    "q50_column_profile",
+    "q51_salted_join",
+    "q56_asof_join",
+    "q58_dense_ids_scale",
+    "q59_last_completed_seasons",
+    "q60_current_plus_seasons",
+    "q65_int8_quantize",
+    "q69_doc_length_deciles",
+    "q71_event_percentiles",
+    "q75_tfidf_top_terms",
+    "q76_winnow_fingerprints",
+    "q77_cluster_centroid_sums",
+    "q79_frame_sample_plan",
+    "q80_per_source_dup_stats",
+    "q81_event_funnel",
+    "q82_rolling_daily_events",
+    "q83_cross_source_leakage",
+    "q84_incremental_neardup",
+    "q103_neardup_index_build",
+    "q104_neardup_probe",
+    "q106_scd2_asof_snapshot",
+    "q107_retention_cohorts",
+    "q108_verbatim_decontamination",
+    "q111_contamination_report",
+    "q112_neardup_dedup_export",
+    "q113_shipping_priority",
+    "q114_local_supplier_volume",
+    # still parked from mid-round-5 (driver-green in r04): the 5
+    # shortest-parked returners, deferred one round so the q116-q120
+    # first-timers could take their slots; they return in round 7
     "q97_adaptive_length_gate",
-    # ...and q111/q112 (contamination report, near-dup dedup export)
-    # and q113/q114 (TPC-H Q3/Q5 multi-way-join shapes)
     "q98_shard_manifest",
     "q99_ppm_decode_meta",
     "q101_token_budget_apportion",
@@ -114,13 +116,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-GATE_PENDING: tuple[str, ...] = (
-    "q116_windowed_heavy_hitters",
-    "q117_embedding_standardize",
-    "q118_grouped_correlation",
-    "q119_stickiness_dau_wau",
-    "q120_quality_tier_budgets",
-)
+GATE_PENDING: tuple[str, ...] = ()
 
 
 def _merged() -> dict[str, Builder]:

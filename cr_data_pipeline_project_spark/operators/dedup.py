@@ -878,7 +878,13 @@ def incremental_neardup_pairs(
     Pass ``index_bands`` (a materialized :func:`explode_index_bands`
     table) to skip the per-probe corpus-band explode + hot-bucket
     prepass — the deployed shape, where both are paid once at build
-    time.
+    time. ``max_bucket`` is a BUILD-time threshold: when
+    ``index_bands`` is supplied it was already applied by
+    :func:`explode_index_bands` and this function does not re-filter,
+    so a stricter value passed here would silently not apply — a
+    non-default ``max_bucket`` combined with ``index_bands`` raises
+    to make the conflict visible (rebuild the bands table with the
+    new threshold instead).
 
     ``materialize=True`` (default) eagerly localCheckpoints the
     verified pairs — right for callers that consume the result more
@@ -892,6 +898,14 @@ def incremental_neardup_pairs(
         # the unbounded party): drop buckets beyond max_bucket members
         idx_bands = explode_index_bands(index, id_col, max_bucket)
     else:
+        if max_bucket != 1000:
+            raise ValueError(
+                "max_bucket is applied at index-bands build time; "
+                "passing a non-default value together with a prebuilt "
+                "index_bands table would silently use the build-time "
+                "threshold — rebuild via explode_index_bands(index, "
+                f"id_col, max_bucket={max_bucket}) instead"
+            )
         idx_bands = index_bands
 
     rows_per_band = num_hashes // bands

@@ -21,10 +21,13 @@ Scale notes (100 TB / billions of vectors)
   by construction) and one (sub, cid, pos) partial-sum aggregation
   whose shuffle volume is ~m·k·(d/m) = k·d partials per partition,
   independent of corpus size.
-- Seeding takes each subspace's k smallest-hash rows via a
-  per-subspace window — each window partition holds the full
-  subspace (N rows) in ONE task, fine for a fit sample; at true
-  corpus scale seed from a hash-thresholded sample first.
+- Seeding takes each subspace's k smallest-hash rows, but the
+  per-subspace window runs over a hash-THRESHOLDED sample (a few
+  thousand rows per subspace regardless of corpus size), never the
+  full subspace: the filter keeps every row whose seed hash falls
+  below a cut sized to oversample k by a large constant factor, so
+  the k smallest hashes of the sample are exactly the k smallest of
+  the corpus — identical seeds, no single-task full-N window.
 - Encoding is the same fused kernel against the final codebooks,
   then ONE groupBy-id shuffle regrouping m small ints per vector —
   never the vectors themselves.
@@ -121,12 +124,16 @@ def pq_fit(
     seed: int = 42,
 ) -> DataFrame:
     """Fit per-subspace codebooks. Returns (sub int, cid int,
-    cv array<double>[d/m]) — m·k rows, broadcast-sized by
-    construction. ``dim`` must divide evenly by ``m`` (asserted
-    against the corpus's dominant vector size). All m subspaces fit
-    in ONE fused Lloyd
-    loop (see module scale notes); like kmeans_fit, the result is
-    ulp-tolerant by contract."""
+    cv array<double>[d/m]) — AT MOST m·k rows, broadcast-sized by
+    construction: a centroid whose cluster empties during a Lloyd
+    iteration is dropped, so a persisted codebook may hold fewer
+    than k entries per subspace, with cid gaps (every consumer here
+    keys on (sub, cid) and never assumes density — callers persisting
+    codebooks as a serving artifact should not either). ``dim`` must
+    divide evenly by ``m`` (asserted against the corpus's dominant
+    vector size). All m subspaces fit in ONE fused Lloyd loop (see
+    module scale notes); like kmeans_fit, the result is ulp-tolerant
+    by contract."""
     # dimension = the corpus's MOST COMMON vector size (one cheap
     # partial-combining aggregate over sizes) — sniffing the first
     # row would crash on a null first row or, worse, lock onto a
@@ -150,12 +157,32 @@ def pq_fit(
     )
     rows = _sub_rows(v, m, sub_d).localCheckpoint(eager=True)
 
-    # deterministic seeds: each subspace's k smallest-hash rows
-    w = Window.partitionBy("sub").orderBy(
-        F.xxhash64("_id", F.lit(seed) + F.col("sub")), F.col("_id")
-    )
+    # deterministic seeds: each subspace's k smallest-hash rows. The
+    # window below partitions by sub, so WITHOUT the pre-filter one
+    # task would hold a full subspace (N rows) — the single-task spot
+    # the round-5 review flagged. Instead, rows first pass a hash
+    # threshold sized to keep ~max(128, 8k) rows per subspace: since
+    # the filter keeps every hash below the cut and the window orders
+    # by that same hash, the k smallest-hash rows of the SAMPLE are
+    # exactly the k smallest-hash rows of the corpus — bit-identical
+    # seeds (asserted by test_pq.py::test_pq_sampled_seeding_exact),
+    # but the window's per-task input is bounded by the oversample
+    # target, independent of corpus size. (The ≥8× oversample makes a
+    # subspace sampling under k rows a ~e^-49 binomial tail; if it
+    # ever happened the codebook would simply seed with fewer
+    # centroids, which every consumer tolerates — see the return
+    # contract.)
+    seed_hash = F.xxhash64("_id", F.lit(seed) + F.col("sub"))
+    n_per_sub = rows.count() // m  # one cheap scan of the checkpoint
+    target = max(128, 8 * k)
+    pool = rows
+    if n_per_sub > target:
+        frac = target / n_per_sub
+        cut = int(-(2**63) + frac * 2**64)
+        pool = rows.where(seed_hash < F.lit(cut))
+    w = Window.partitionBy("sub").orderBy(seed_hash, F.col("_id"))
     books = (
-        rows.withColumn("__rn", F.row_number().over(w))
+        pool.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select(
             "sub",

@@ -504,9 +504,24 @@ def _rewrite_affected_buckets(
         import shutil
 
         for b in emptied:
-            shutil.rmtree(
-                os.path.join(path, f"__bucket={b}"), ignore_errors=True
-            )
+            # A bucket directory that fails to delete would leave its
+            # stale rows resurrectable (the dynamic overwrite above
+            # only rewrites buckets present in `out`), and the replay
+            # guard can't heal it until a later batch touches the same
+            # keys — so a failure here must be VISIBLE, not swallowed.
+            # Missing-dir is the one benign case (already gone).
+            bpath = os.path.join(path, f"__bucket={b}")
+            try:
+                shutil.rmtree(bpath)
+            except FileNotFoundError:
+                pass
+            except OSError as exc:
+                raise OSError(
+                    f"failed to remove emptied SCD-2 bucket {bpath}; "
+                    "stale state rows would be resurrectable on the "
+                    "next read — clean up the directory and re-run "
+                    "the batch (writes are replay-idempotent)"
+                ) from exc
 
 
 def scd2_apply_batch(

@@ -222,6 +222,22 @@ def test_incremental_neardup_lifecycle(spark, tmp_path):
     assert {(r["new_id"], r["index_id"]) for r in got} == {(100, 1)}
     assert all(r["jaccard"] >= 0.7 for r in got)
 
+    # max_bucket is a build-time threshold: combining a non-default
+    # value with a prebuilt index_bands table must raise, not
+    # silently keep the build-time threshold
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        explode_index_bands,
+    )
+
+    bands_tbl = explode_index_bands(idx, "doc_id")
+    with pytest.raises(ValueError, match="max_bucket"):
+        incremental_neardup_pairs(
+            batch, idx, "text", "doc_id",
+            max_bucket=5, index_bands=bands_tbl,
+        )
+
 
 def test_drop_hot_buckets_prepass(spark):
     """The count-prepass removes over-cap bucket keys BEFORE any

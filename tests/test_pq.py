@@ -61,6 +61,51 @@ def test_pq_beats_one_centroid_baseline(spark):
     assert mse(16) < mse(1)
 
 
+def test_pq_sampled_seeding_exact(spark):
+    """The hash-thresholded seeding sample must yield EXACTLY the k
+    smallest-hash rows per subspace — identical to a full-subspace
+    window — because the filter keeps every hash below the cut. Run
+    at n_iter=0 (pure seeds) on a corpus large enough to trigger the
+    sampling path (n_per_sub > max(128, 8k))."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(77)
+    n, m, k, seed = 600, 4, 8, 42
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(16)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq.pq_fit(emb, m=m, k=k, n_iter=0, seed=seed)
+
+    # independent full-window reference (what the unsampled path did)
+    sub_d = 4
+    slices = F.array(*[F.slice("embedding", s * sub_d + 1, sub_d) for s in range(m)])
+    ref_rows = emb.select(
+        F.col("vec_id").alias("_id"), F.posexplode(slices).alias("sub", "sv")
+    )
+    w = Window.partitionBy("sub").orderBy(
+        F.xxhash64("_id", F.lit(seed) + F.col("sub")), F.col("_id")
+    )
+    ref = (
+        ref_rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            "sub",
+            (F.col("__rn") - F.lit(1)).cast("int").alias("cid"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    # the sampling path triggers by construction: n_per_sub (600) is
+    # far above the oversample target max(128, 8*8)=128
+    assert n > max(128, 8 * k)
+    got = {(r["sub"], r["cid"]): tuple(r["cv"]) for r in books.collect()}
+    want = {(r["sub"], r["cid"]): tuple(r["cv"]) for r in ref.collect()}
+    assert len(got) == m * k
+    assert got == want
+
+
 def test_pq_rejects_indivisible_dim(spark):
     import pytest
 

@@ -39,6 +39,11 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    # q84 times index build + probe CONFLATED; its bench slot was
+    # superseded by the honest q103 (build) / q104 (probe) split in
+    # round 5 — keep the query + oracle row (it still attests the
+    # one-shot API), but drop the redundant, misleading timing.
+    qs.pop("q84_incremental_neardup", None)
 
     # warm-up: JVM + codegen + parquet footer caches
     warm = qs["q01_pricing_summary"](spark, SF_DIR)

@@ -1108,3 +1108,74 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# ------------------------------------------------------------------ #
+# fuzzy (edit-distance) near-match via prefix blocking               #
+# ------------------------------------------------------------------ #
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_len: int = 16,
+    probe_len: int = 60,
+    max_dist: int = 10,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Record-linkage-style fuzzy pairs: documents whose leading
+    ``probe_len`` characters are within ``max_dist`` Levenshtein
+    edits, candidates bounded by equality on the first ``block_len``
+    characters (standard blocking). Complements the token-SET family
+    (Jaccard/MinHash/SimHash): edit distance catches character-level
+    noise — OCR errors, truncation, small in-place edits — that
+    leaves token multisets nearly intact but shifts every shingle.
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b and
+    dist ≤ ``max_dist``.
+
+    Scale: the self-join shuffles only (id, block, probe-prefix)
+    projections on the block key — bodies never move; pair count is
+    Σ|block|², bounded by the ``max_block`` degenerate-block guard
+    (same posture as the LSH ``max_bucket`` and the q33 df-cap: a
+    boilerplate prefix shared by millions of docs must not go
+    quadratic — those blocks are dropped, not scanned). Scoring is
+    JVM codegen ``levenshtein`` — no Python in the pair loop. At
+    longer probes, swap the prefix block for an LSH band join and
+    keep only the scoring stage."""
+    b = df.select(
+        F.col(id_col),
+        F.substring(text_col, 1, block_len).alias("__blk"),
+        F.substring(text_col, 1, probe_len).alias("__probe"),
+    )
+    hot = (
+        b.groupBy("__blk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_block)
+        .select("__blk")
+    )
+    b = b.join(F.broadcast(hot), "__blk", "left_anti")
+    left = b.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__blk"),
+        F.col("__probe").alias("__pa"),
+    )
+    right = b.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__blk"),
+        F.col("__probe").alias("__pb"),
+    )
+    return (
+        left.join(
+            right,
+            (left["__blk"] == right["__blk"])
+            & (left["doc_a"] < right["doc_b"]),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__pa", "__pb").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

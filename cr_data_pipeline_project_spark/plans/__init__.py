@@ -116,7 +116,13 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-GATE_PENDING: tuple[str, ...] = ()
+GATE_PENDING: tuple[str, ...] = (
+    "q123_returned_item_reporting",
+    "q124_large_volume_customers",
+    "q125_embedding_drift",
+    "q126_source_token_mix",
+    "q127_fuzzy_blocked_pairs",
+)
 
 
 def _merged() -> dict[str, Builder]:

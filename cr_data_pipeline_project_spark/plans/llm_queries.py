@@ -3061,3 +3061,236 @@ def q121_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pqmod.pq_rerank(
         shortlist, emb, queries, "vec_id", "embedding", "query_id", k=10
     )
+
+
+@q("q122_quality_tiers_scale")  # rows-only: sketch cut points are engine-specific
+def q122_quality_tiers_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q120: quality-quartile token budgets via
+    approx-quantile cut points broadcast back as a map-side bucketing
+    expression (operators/groupstats.py:quantile_buckets) — no global
+    single-task NTILE window, the same q69→q72 swap the deciles
+    family documents. Same output shape as q120 (tier, n_docs,
+    total_tokens, min/max quality) so a curriculum scheduler can
+    consume either; tier populations are approximately — not
+    exactly — equal (ties stay together), and
+    tests/test_scale_twins.py pins ≥85% row-level tier agreement,
+    off-by-≤1 worst case, and exact token-mass conservation against
+    the exact q120 baseline."""
+    from ..operators.groupstats import quantile_buckets
+
+    docs = table(spark, "documents", sf_dir)
+    scored = textstats.quality_score(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "n_tokens", F.col("quality_score").alias("__q"))
+    tiers = quantile_buckets(scored, "__q", n_buckets=4)
+    return (
+        tiers.groupBy(F.col("bucket").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.min("__q"), 4).alias("min_quality"),
+            F.round(F.max("__q"), 4).alias("max_quality"),
+        )
+    )
+
+
+@q(
+    "q127_fuzzy_blocked_pairs",
+    """
+    WITH b AS (
+        SELECT doc_id, substr(text, 1, 16) AS blk,
+               substr(text, 1, 60) AS probe
+        FROM documents)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           levenshtein(a.probe, c.probe)::INT AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.probe, c.probe) <= 10
+    """,
+)
+def q127_fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy matching (operators/dedup.py:
+    fuzzy_blocked_pairs): pairs whose 60-char leading probe is within
+    10 Levenshtein edits, candidates blocked on the 16-char prefix —
+    the edit-distance complement to the token-set dedup family,
+    catching character-level noise (OCR, truncation, in-place edits)
+    that shifts every shingle but leaves the prefix aligned. Exact
+    integer distances, JVM codegen levenshtein, so the oracle
+    hash-matches. The degenerate-block guard (max_block, LSH
+    max_bucket posture) is inactive at fixture block sizes (≤4),
+    keeping the oracle exact."""
+    docs = table(spark, "documents", sf_dir)
+    return dedup.fuzzy_blocked_pairs(
+        docs, "text", "doc_id", block_len=16, probe_len=60, max_dist=10
+    )
+
+
+@q(
+    "q125_embedding_drift",
+    """
+    WITH x AS (
+        SELECT vec_id, (i - 1)::INT AS pos,
+               floor(embedding[i] * 1e6 + 0.5) / 1e6 AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+    s AS (
+        SELECT pos,
+               (SUM(v::DECIMAL(28,12)) FILTER (WHERE vec_id % 2 = 0))::DOUBLE AS s_old,
+               COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS n_old,
+               (SUM(v::DECIMAL(28,12)) FILTER (WHERE vec_id % 2 = 1))::DOUBLE AS s_new,
+               COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS n_new
+        FROM x GROUP BY pos)
+    SELECT pos, ROUND(s_old / n_old, 6) AS mean_old,
+           ROUND(s_new / n_new, 6) AS mean_new,
+           ROUND(abs(s_new / n_new - s_old / n_old), 6) AS drift
+    FROM s
+    ORDER BY drift DESC, pos
+    LIMIT 10
+    """,
+)
+def q125_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding snapshot drift monitor — the telemetry an embedding
+    refresh (new encoder version, re-crawled corpus) is gated on:
+    per-dimension mean shift between an old and a new snapshot
+    (modeled here by vec_id parity; in production the two sides are
+    two lake snapshots), top-10 most-drifted dimensions. A drifted
+    dimension invalidates PQ codebooks and k-means cells, so this
+    report fronts every index rebuild decision. Exactness: the q117
+    pattern — pre-quantize to 6 fractional digits, accumulate
+    decimal moments (order-independent), finish with a fixed chain
+    of IEEE ops. Plan: one posexplode, ONE (pos)-grouped
+    partial-combining aggregate computing both snapshots' moments
+    via conditional sums (no self-join of the two sides), |dims|
+    rows out — identical shape at 100 TB."""
+    emb = table(spark, "embeddings", sf_dir)
+    x = emb.select(
+        "vec_id",
+        F.posexplode(similarity.as_double_vec("embedding")).alias(
+            "pos", "__r"
+        ),
+    ).select(
+        "vec_id",
+        "pos",
+        (F.floor(F.col("__r") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "v"
+        ),
+    )
+    dec = "decimal(28,12)"
+    old = F.col("vec_id") % 2 == 0
+    s = x.groupBy("pos").agg(
+        F.sum(F.when(old, F.col("v").cast(dec)))
+        .cast("double")
+        .alias("s_old"),
+        F.count(F.when(old, 1)).alias("n_old"),
+        F.sum(F.when(~old, F.col("v").cast(dec)))
+        .cast("double")
+        .alias("s_new"),
+        F.count(F.when(~old, 1)).alias("n_new"),
+    )
+    mean_old = F.col("s_old") / F.col("n_old")
+    mean_new = F.col("s_new") / F.col("n_new")
+    return (
+        s.select(
+            "pos",
+            F.round(mean_old, 6).alias("mean_old"),
+            F.round(mean_new, 6).alias("mean_new"),
+            F.round(F.abs(mean_new - mean_old), 6).alias("drift"),
+        )
+        .orderBy(F.desc("drift"), F.col("pos"))
+        .limit(10)
+    )
+
+
+@q(
+    "q126_source_token_mix",
+    """
+    WITH t AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               (SUM(len(string_split(text, ' '))))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / total, 6) AS token_share,
+           ROUND((SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                  ROWS UNBOUNDED PRECEDING)) * 1.0 / total, 6) AS cum_share,
+           (ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source))::INT AS rnk
+    FROM t, tot
+    ORDER BY rnk
+    """,
+)
+def q126_source_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level token mix & concentration report — the coverage
+    curve a pre-training mixture is planned from (which sources
+    dominate token mass, how many sources cover 90% of the corpus):
+    per-source document and token counts, token share, and the
+    cumulative share in descending-mass order. Exactness: token
+    counts are integer sums; shares divide integers as a single
+    IEEE op per row (the cumulative numerator stays an exact BIGINT
+    window sum — never a float accumulation). Plan: one
+    partial-combining groupBy(source) over a (source, n_tokens)
+    projection, a 1-row total broadcast back, and windows over the
+    |sources|-row aggregate — bounded by construction, like the q50
+    profiler's #columns rows."""
+    docs = table(spark, "documents", sf_dir)
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = t.agg(F.sum("n_tokens").alias("total"))
+    w = Window.orderBy(F.desc("n_tokens"), F.col("source"))
+    cum = (
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") * F.lit(1.0) / F.col("total"), 6).alias(
+                "token_share"
+            ),
+            F.round(cum * F.lit(1.0) / F.col("total"), 6).alias("cum_share"),
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@q("q128_rolling_distinct_sketch")  # rows-only: HLL sketch internals
+def q128_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGEABLE per-day HLL
+    sketches (Apache DataSketches via Spark's hll_sketch_agg /
+    hll_union_agg) — the incremental-distinct pattern a warehouse
+    needs at 100 TB: raw events fold ONCE into one small sketch row
+    per day (partial-combining aggregate, never re-scanned), and any
+    rolling/backfill window is answered by unioning the persisted
+    sketches — q119 answers the same question by rescanning and
+    re-distincting raw events per window, which at warehouse scale
+    re-pays the fact scan for every report. Rows-only (sketch
+    estimates are engine/seed-specific);
+    tests/test_scale_twins.py pins the estimate within 5% of the
+    exact rolling distinct at fixture scale (lgK=12 ⇒ rsd≈1.6%).
+    The |days|×|days| sketch join is bounded-dim by construction
+    (sketches are KB-sized, days number in the thousands at most)."""
+    ev = table(spark, "events", sf_dir)
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    )
+    s = daily.select(F.col("day").alias("__d"))
+    joined = s.join(
+        F.broadcast(daily),
+        (F.col("day") <= F.col("__d"))
+        & (F.col("day") >= F.date_sub(F.col("__d"), 6)),
+    )
+    return (
+        joined.groupBy(F.col("__d").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+            .cast("bigint")
+            .alias("approx_users_7d")
+        )
+        .orderBy("day")
+    )

@@ -1245,6 +1245,132 @@ def q114_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q123_returned_item_reporting",
+    """
+    SELECT c_custkey, c_name,
+           (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+               AS revenue,
+           ROUND(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q123_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned
+    the most revenue in a quarter — 4-way customer→orders→lineitem
+    join plus the nation dim, grouped per customer with identifying
+    attributes, revenue top-20 (tie-broken on c_custkey for a
+    deterministic row set; the fixture's customer table carries no
+    address/phone/comment, so the identifying columns are
+    name/acctbal/nation). Scale: the quarter filter pushes to the
+    orders scan and the returnflag filter to the lineitem scan BEFORE
+    either fact shuffles; nation broadcasts; the per-customer
+    aggregate partial-combines on the grouping key; decimal-cast sum
+    for cross-engine exactness (file header)."""
+    cu = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, "lineitem", sf_dir).where(
+        F.col("l_returnflag") == "R"
+    )
+    na = table(spark, "nation", sf_dir)
+    return (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q124_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           (SUM(l_quantity))::BIGINT AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q124_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds a threshold, with customer identification — the
+    aggregate-then-semi-join shape (a HAVING subquery feeding an IN
+    filter) the other TPC-H entries don't exercise. l_quantity is
+    integral-valued double in the fixture, so SUM is IEEE-exact at
+    any aggregation order (every partial is an integer < 2^53) — no
+    decimal cast needed, and the BIGINT cast is lossless. Scale: the
+    HAVING pre-aggregate partial-combines on l_orderkey; its
+    survivor set (top ~0.3% of orders) broadcasts into a semi join
+    against orders BEFORE the customer join, so the expensive 3-way
+    join only ever sees qualifying orders; top-100 fully tie-broken
+    on (o_totalprice, o_orderkey)."""
+    li = table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    o = table(spark, "orders", sf_dir).join(
+        F.broadcast(big),
+        F.col("o_orderkey") == big["l_orderkey"],
+        "left_semi",
+    )
+    cu = table(spark, "customer", sf_dir)
+    return (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
     "q116_windowed_heavy_hitters",
     """
     WITH w AS (

@@ -333,3 +333,44 @@ def test_ngram_contamination_counts(spark):
     }
     n_grams_in_base = len(BASE.split()) - 4
     assert got == {1: n_grams_in_base}  # doc2 absent: zero overlap
+
+
+def test_fuzzy_blocked_pairs_typos_and_hot_block_guard(spark):
+    """Edit-distance blocking: a small in-place typo pairs (shared
+    prefix block, dist = actual edit count), a different-prefix near
+    match is invisible (blocking contract), and a degenerate block
+    beyond max_block contributes no pairs (the LSH max_bucket
+    posture)."""
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        fuzzy_blocked_pairs,
+    )
+
+    prefix = "alpha beta gamma delta"
+    rows = [
+        (1, prefix + " one two three four five six seven"),
+        # one substitution inside the probe window, same block
+        (2, prefix + " one two three foor five six seven"),
+        # same content but different leading block: blocked out
+        (3, "zzz " + prefix + " one two three four five six seven"),
+        (4, "totally unrelated text with different words entirely"),
+    ]
+    # degenerate block: many docs sharing a boilerplate prefix
+    hot = [(100 + i, "boiler plate prefix shared " + f"tail{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows + hot, "doc_id int, text string")
+
+    got = fuzzy_blocked_pairs(
+        docs, "text", "doc_id", block_len=16, probe_len=60, max_dist=10,
+        max_block=5,
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["dist"] for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert not any(3 in p for p in pairs)  # different block
+    assert not any(a >= 100 for a, _ in pairs)  # hot block dropped
+    assert all(a < b for a, b in pairs)
+
+    # without the guard the boilerplate block pairs up
+    ungated = fuzzy_blocked_pairs(
+        docs, "text", "doc_id", block_len=16, probe_len=60, max_dist=10,
+        max_block=1000,
+    ).collect()
+    assert any(r["doc_a"] >= 100 for r in ungated)

@@ -148,3 +148,29 @@ def test_q112_export_no_cartesian(spark):
     keep-list semi join — no cartesian product may appear anywhere
     in the composition."""
     assert "CartesianProduct" not in _plan(spark, "q112_neardup_dedup_export")
+
+
+def test_q123_filters_push_to_fact_scans(spark):
+    """TPC-H Q10: the quarter predicate must reach the orders scan
+    and the returnflag predicate the lineitem scan — both BEFORE
+    either fact shuffles — and the nation dim must broadcast."""
+    f = _formatted(spark, "q123_returned_item_reporting")
+    lines = f.splitlines()
+    assert any(
+        "PushedFilters" in ln and "orderdate" in ln.lower() for ln in lines
+    ), "q123 orderdate predicate not pushed to the orders scan"
+    assert any(
+        "PushedFilters" in ln and "returnflag" in ln.lower() for ln in lines
+    ), "q123 returnflag predicate not pushed to the lineitem scan"
+    plan = _plan(spark, "q123_returned_item_reporting")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q124_having_survivors_broadcast_semi(spark):
+    """TPC-H Q18: the HAVING survivor set must enter as a broadcast
+    semi join against orders (the 3-way join only sees qualifying
+    orders), with no cartesian product anywhere."""
+    plan = _plan(spark, "q124_large_volume_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -35,6 +35,86 @@ def test_deciles_scale_agrees_with_exact_ntile(spark, sf_dir):
     assert max(diffs) <= 1, max(diffs)
 
 
+def test_quality_tiers_scale_agrees_with_exact_ntile(spark, sf_dir):
+    """q122 (sketch-cutpoint quartiles) vs q120 (exact global NTILE):
+    row-level tier assignment must agree ≥85% and never differ by
+    more than one tier, and the aggregate must conserve the corpus
+    exactly (same doc count and token mass across tiers)."""
+    from pyspark.sql.window import Window
+
+    from cr_data_pipeline_project_spark.operators import textstats
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        quantile_buckets,
+    )
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.plans.llm_queries import (
+        q120_quality_tier_budgets,
+        q122_quality_tiers_scale,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    scored = textstats.quality_score(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "n_tokens", F.col("quality_score").alias("__q"))
+    w = Window.orderBy(F.col("__q"), F.col("doc_id"))
+    exact = {
+        r["doc_id"]: r["tier"]
+        for r in scored.withColumn("tier", F.ntile(4).over(w)).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_buckets(scored, "__q", n_buckets=4).collect()
+    }
+    assert set(exact) == set(approx)
+    diffs = [abs(exact[k] - approx[k]) for k in exact]
+    agree = sum(1 for d in diffs if d == 0) / len(diffs)
+    assert agree >= 0.85, agree
+    assert max(diffs) <= 1, max(diffs)
+
+    # the tier-level outputs conserve the corpus exactly
+    e = q120_quality_tier_budgets(spark, sf_dir).collect()
+    a = q122_quality_tiers_scale(spark, sf_dir).collect()
+    assert {r["tier"] for r in a} <= {1, 2, 3, 4}
+    assert sum(r["n_docs"] for r in a) == sum(r["n_docs"] for r in e)
+    assert sum(r["total_tokens"] for r in a) == sum(
+        r["total_tokens"] for r in e
+    )
+
+
+def test_rolling_distinct_sketch_tracks_exact(spark, sf_dir):
+    """q128 (per-day HLL sketches unioned over a 7-day window) must
+    track the exact rolling distinct within 5% per day (lgK=12 ⇒
+    rsd≈1.6%, 3σ≈5%) and cover every day the exact path covers."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.plans.llm_queries import (
+        q128_rolling_distinct_sketch,
+    )
+
+    approx = {
+        r["day"]: r["approx_users_7d"]
+        for r in q128_rolling_distinct_sketch(spark, sf_dir).collect()
+    }
+    ev = table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    exact = {
+        r["day"]: r["n"]
+        for r in days.alias("s")
+        .join(
+            ev.alias("e"),
+            (F.col("e.day") <= F.col("s.day"))
+            & (F.col("e.day") >= F.date_sub(F.col("s.day"), 6)),
+        )
+        .groupBy(F.col("s.day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(2, 0.05 * n), (d, approx[d], n)
+
+
 def test_approx_profile_tracks_exact(spark, sf_dir):
     exact = {
         r["column_name"]: r for r in q50_column_profile(spark, sf_dir).collect()

@@ -1240,3 +1240,79 @@ def test_streaming_pq_index_append(spark, tmp_path):
         for r in pq.pq_encode(fit_df, books).collect()
     }
     assert got == want
+
+
+def test_streaming_pq_index_serves_ivfpq_equal_to_batch(spark, tmp_path):
+    """The consume side of PQ index maintenance: after EACH
+    micro-batch, an ivfpq_topk search over the streamed codes lake
+    must equal the answer from a batch-built index over the same
+    vectors — the streamed index is not just complete, it SERVES
+    identically at every point in time."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators import clustering, pq
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_pq_index_append,
+    )
+
+    src = os.path.join(str(tmp_path), "in")
+    books_path = os.path.join(str(tmp_path), "books")
+    codes_path = os.path.join(str(tmp_path), "codes")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    rng = random.Random(29)
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(64)]
+
+    base = [(i, vec()) for i in range(60)]
+    fit_df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    # offline artifacts: PQ codebooks + coarse cells, both persisted
+    pq.pq_fit(fit_df, m=8, k=8, n_iter=1).write.parquet(books_path)
+    cells = clustering.kmeans_fit(fit_df, 4, "vec_id", "embedding", n_iter=2)
+    cells = cells.localCheckpoint(eager=True)
+    assigned = clustering.kmeans_assign(
+        fit_df, cells, "vec_id", "embedding"
+    ).withColumnRenamed("cluster_id", "cell").localCheckpoint(eager=True)
+    queries = fit_df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = spark.read.parquet(books_path)
+
+    def land(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for i, v in rows:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    def run():
+        with few_partitions(spark):
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).json(src)
+            q = streaming_pq_index_append(stream, books_path, codes_path, ckpt)
+            q.awaitTermination(120)
+
+    def serve_answers(codes_df):
+        out = pq.ivfpq_topk(
+            codes_df.join(assigned.select("vec_id", "cell"), "vec_id"),
+            books, cells, queries,
+            query_id_col="query_id", k=5, nprobe=2,
+        )
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.adist)
+            for r in out.collect()
+        )
+
+    for batch_rows in (base[:35], base[35:]):
+        land(f"b{len(batch_rows)}.json", batch_rows)
+        run()
+        streamed = spark.read.parquet(codes_path)
+        seen_ids = [r.vec_id for r in streamed.select("vec_id").collect()]
+        batch_index = pq.pq_encode(
+            fit_df.where(F.col("vec_id").isin(seen_ids)), books
+        )
+        assert serve_answers(streamed) == serve_answers(batch_index)

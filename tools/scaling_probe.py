@@ -92,7 +92,47 @@ def synth_big(spark, src_sf: str, replicas: int = 10) -> None:
         os.path.join(SYN_DIR, "embeddings.parquet")
     )
 
+    # TPC-H fact tables for the analytics probes (q01/q02/q118):
+    # replicate with key offsets so join fan-outs stay 1:1 across
+    # replicas (an un-offset l_orderkey would join every replica's
+    # lineitem rows to every replica's order — quadratic by
+    # construction, not a property of the queries). Group-by keys
+    # (returnflag, brand, dates) repeat across replicas on purpose:
+    # group COUNT stays constant while group SIZE grows, the shape a
+    # growing warehouse actually has.
+    li = table(spark, "lineitem", src_sf)
+    o = table(spark, "orders", src_sf)
+    pa = table(spark, "part", src_sf)
+    n_ord = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    n_part = pa.agg(F.max("p_partkey")).collect()[0][0] + 1
 
+    def _offset(df, cols_bases, r):
+        out = df
+        for c, base in cols_bases:
+            out = out.withColumn(c, F.col(c) + F.lit(r * base))
+        return out
+
+    for tname, df, cols_bases in (
+        (
+            "lineitem",
+            li,
+            [("l_orderkey", n_ord), ("l_partkey", n_part)],
+        ),
+        ("orders", o, [("o_orderkey", n_ord)]),
+        ("part", pa, [("p_partkey", n_part)]),
+    ):
+        parts = [_offset(df, cols_bases, r) for r in range(replicas)]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(SYN_DIR, f"{tname}.parquet")
+        )
+
+
+# Every bench query ≥1 s at sf0.1 is probed (round-5 verdict #8),
+# plus the historical sublinearity witnesses. q84 was retired with
+# its bench entry (the q103/q104 split carries the honest numbers).
 PROBES = [
     "q31_dedup_exact_groups",
     "q33_ngram_jaccard_pairs",
@@ -105,7 +145,6 @@ PROBES = [
     "q91_semantic_neardup",
     "q105_semantic_neardup_two_level",
     "q74_kmeans_ivf_topk",
-    "q84_incremental_neardup",
     "q103_neardup_index_build",
     "q104_neardup_probe",
     "q108_verbatim_decontamination",
@@ -113,6 +152,20 @@ PROBES = [
     "q96_snapshot_diff",
     "q97_adaptive_length_gate",
     "q98_shard_manifest",
+    # round-6 additions: the remaining ≥1 s bench entries
+    "q01_pricing_summary",
+    "q02_brand_usage_wins",
+    "q37_embedding_neardup",
+    "q42_ann_ivf_topk",
+    "q48_ann_hyperplane_lsh",
+    "q83_cross_source_leakage",
+    "q92_cluster_representatives",
+    "q100_cluster_balanced_sample",
+    "q102_ppm_resize_meta",
+    "q109_pq_reconstruction",
+    "q111_contamination_report",
+    "q112_neardup_dedup_export",
+    "q118_grouped_correlation",
 ]
 
 
@@ -120,6 +173,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/metrics/scaling.json")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe subset (reuses the cached corpus; "
+        "results for other probes must be merged from a prior full run)",
+    )
     args = ap.parse_args()
 
     from cr_data_pipeline_project_spark.plans import all_queries
@@ -128,9 +187,11 @@ def main() -> None:
     spark = get_session("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # the cached corpus records its replica count — a run with a
-    # different --replicas regenerates instead of silently reusing it
-    marker = os.path.join(SYN_DIR, f".replicas_{args.replicas}")
+    # the cached corpus records its replica count AND table-set
+    # generation — a run with different --replicas or an older corpus
+    # lacking the TPC-H tables regenerates instead of silently
+    # reusing it
+    marker = os.path.join(SYN_DIR, f".replicas_{args.replicas}_tpch")
     if not os.path.exists(marker):
         print(f"synthesizing {args.replicas}x corpus ...", file=sys.stderr)
         import shutil
@@ -150,7 +211,14 @@ def main() -> None:
         big_label: SYN_DIR,
     }
     out: dict = {"sizes": {k: v for k, v in sizes.items()}, "queries": {}}
-    for name in PROBES:
+    probes = PROBES
+    if args.only:
+        only = set(args.only.split(","))
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"--only names unknown queries: {sorted(unknown)}")
+        probes = [n for n in PROBES if n in only] + sorted(only - set(PROBES))
+    for name in probes:
         fn = qs[name]
         rec: dict = {}
         try:
@@ -174,7 +242,7 @@ def main() -> None:
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"wrote": args.out, "n_probes": len(PROBES)}))
+    print(json.dumps({"wrote": args.out, "n_probes": len(probes)}))
     spark.stop()
 
 

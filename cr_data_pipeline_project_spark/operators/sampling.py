@@ -164,3 +164,23 @@ def stratified_sample_scale(
         .where(F.col("__rn2") <= k)
         .drop("__salt", "__rn", "__rn2")
     )
+
+
+def resample_by_rate(
+    df: DataFrame, id_col: str, rate_col: str | Column, buckets: int = 100
+) -> DataFrame:
+    """Deterministic importance resampling: keep a row iff its stable
+    hash bucket falls below a PER-ROW acceptance rate (an integer
+    percentage column, typically derived from a quality score or
+    density ratio) — the quality-weighted downsampling step of a
+    training-data mixture (DoReMi/DSIR-style reweighting, applied as
+    acceptance sampling). Unlike ``mix_sources`` the rate is a
+    computed column, not a static per-source weight, so any scoring
+    model output can drive it.
+
+    Per-row decision, no shuffle, reproducible across runs,
+    partitionings, and engines (md5 lottery, the ``hash_bucket``
+    contract); expected kept fraction per stratum equals rate/buckets
+    exactly in distribution and is exactly reproducible row-wise."""
+    r = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    return df.where(hash_bucket(id_col, buckets) < r)

@@ -183,3 +183,80 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         redacted.alias("redacted"),
         n_red.cast("int").alias("n_redactions"),
     )
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 5,
+    max_df_frac: float = 0.6,
+    min_support: int = 10,
+) -> DataFrame:
+    """Corpus-level token co-occurrence with lift (market-basket over
+    documents): for every pair of vocabulary tokens appearing
+    together in ≥ ``min_support`` documents, the document pair count
+    and lift = P(a,b) / (P(a)·P(b)) — the association signal topic
+    discovery, query expansion, and boilerplate-phrase mining read.
+    The vocabulary is df-banded first (``min_df`` ≤ df ≤
+    ``max_df_frac``·N): rare tokens can't reach support, and
+    ultra-common tokens both blow up the pair count and carry lift≈1
+    by construction — the same df-cap posture as the q33 inverted
+    index.
+
+    Exactness: n_ab·N and df_a·df_b are exact BIGINT products; lift
+    is one double division + round, so the DuckDB oracle
+    hash-matches. Scale: the per-doc token lists explode to
+    (doc, token) pairs (distinct within doc), the df filter prunes
+    the vocabulary BEFORE the self-join, and the pair generation
+    shuffles on doc_id with per-doc fan-out ≤ (distinct kept
+    tokens/doc)² — bounded by the df band, never by corpus size; the
+    pair aggregate partial-combines on (token_a, token_b)."""
+    tok = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__t"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__N"))
+    dfreq = (
+        tok.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(total))
+        .where(
+            (F.col("__df") >= min_df)
+            & (F.col("__df") <= F.lit(max_df_frac) * F.col("__N"))
+        )
+    )
+    kept = tok.join(dfreq.select("__t"), "__t")
+    a = kept.select(F.col("__doc"), F.col("__t").alias("token_a"))
+    b = kept.select(F.col("__doc").alias("__doc_b"), F.col("__t").alias("token_b"))
+    pairs = (
+        a.join(
+            b,
+            (a["__doc"] == b["__doc_b"]) & (a["token_a"] < b["token_b"]),
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    da = dfreq.select(F.col("__t").alias("token_a"), F.col("__df").alias("df_a"))
+    db = dfreq.select(
+        F.col("__t").alias("token_b"),
+        F.col("__df").alias("df_b"),
+        F.col("__N"),
+    )
+    return (
+        pairs.join(da, "token_a")
+        .join(db, "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            F.round(
+                (F.col("n_ab") * F.col("__N")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )

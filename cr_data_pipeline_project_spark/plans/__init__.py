@@ -122,6 +122,10 @@ GATE_PENDING: tuple[str, ...] = (
     "q125_embedding_drift",
     "q126_source_token_mix",
     "q127_fuzzy_blocked_pairs",
+    "q129_late_shipment_priority",
+    "q130_promo_revenue_share",
+    "q131_quality_resample",
+    "q132_token_cooccurrence",
 )
 
 

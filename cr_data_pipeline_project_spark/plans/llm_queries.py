@@ -3294,3 +3294,131 @@ def q128_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "q131_quality_resample",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
+                     / len(string_split(text, ' ')), 4))
+                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
+                     / 200.0, 4) AS s
+        FROM documents),
+    banded AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN s >= 0.32 THEN 'high'
+                    WHEN s >= 0.18 THEN 'mid'
+                    ELSE 'low' END AS band,
+               CASE WHEN s >= 0.32 THEN 100
+                    WHEN s >= 0.18 THEN 60
+                    ELSE 25 END AS rate,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        FROM scored)
+    SELECT band,
+           COUNT(*)::BIGINT AS n_docs,
+           (COUNT(*) FILTER (WHERE b < rate))::BIGINT AS n_kept,
+           (SUM(n_tok))::BIGINT AS tokens_total,
+           (COALESCE(SUM(n_tok) FILTER (WHERE b < rate), 0))::BIGINT
+               AS tokens_kept
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def q131_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling audit
+    (operators/sampling.py:resample_by_rate): documents are banded by
+    the C4-style quality score (high keeps 100%, mid 60%, low 25%)
+    and each row's keep/drop is the deterministic md5 lottery — the
+    DoReMi/DSIR-style reweighting step of a training mixture, applied
+    as acceptance sampling so the SAME doc keeps or drops on every
+    engine, run, and partitioning. The report shows per-band doc and
+    token counts before/after — what a mixture planner checks before
+    committing a resample. Scale: scoring + banding + lottery are all
+    scan-side expressions (no shuffle); the only exchange is the
+    3-group aggregate."""
+    from ..operators.sampling import hash_bucket
+
+    docs = table(spark, "documents", sf_dir)
+    scored = textstats.quality_score(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "n_tokens", F.col("quality_score").alias("__s"))
+    band = (
+        F.when(F.col("__s") >= 0.32, F.lit("high"))
+        .when(F.col("__s") >= 0.18, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    rate = (
+        F.when(F.col("__s") >= 0.32, F.lit(100))
+        .when(F.col("__s") >= 0.18, F.lit(60))
+        .otherwise(F.lit(25))
+    )
+    keep = hash_bucket("doc_id", 100) < rate
+    return (
+        scored.select(
+            band.alias("band"),
+            F.col("n_tokens"),
+            keep.alias("__keep"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("__keep"), F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "q132_token_cooccurrence",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents),
+    dfreq AS (
+        SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+        HAVING COUNT(*) >= 5
+           AND COUNT(*) <= (SELECT 0.95 * COUNT(*) FROM documents)),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t IN (SELECT t FROM dfreq)),
+    pairs AS (
+        SELECT a.t AS token_a, b.t AS token_b, COUNT(*) AS n_ab
+        FROM tok2 a JOIN tok2 b ON a.doc_id = b.doc_id AND a.t < b.t
+        GROUP BY a.t, b.t HAVING COUNT(*) >= 10),
+    n AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT token_a, token_b, n_ab::BIGINT AS n_ab,
+           da.n::BIGINT AS df_a, db.n::BIGINT AS df_b,
+           ROUND((n_ab * total)::DOUBLE / (da.n * db.n)::DOUBLE, 4) AS lift
+    FROM pairs
+    JOIN dfreq da ON token_a = da.t
+    JOIN dfreq db ON token_b = db.t, n
+    ORDER BY lift DESC, token_a, token_b
+    LIMIT 50
+    """,
+)
+def q132_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence mining with lift
+    (operators/textstats.py:token_cooccurrence): top-50 most
+    associated vocabulary pairs — market-basket analysis over
+    documents, the association signal topic discovery and
+    boilerplate-phrase mining read. The df band (min_df=5,
+    max_df≤95% of docs — the fixture's synthetic vocabulary is
+    deliberately ubiquitous, so the band is set wide here; real
+    corpora use the operator's tighter 60% default) prunes the
+    vocabulary BEFORE the per-doc pair fan-out; exact BIGINT counts
+    and a single double division keep the oracle hash-exact."""
+    docs = table(spark, "documents", sf_dir)
+    return (
+        textstats.token_cooccurrence(
+            docs, "text", "doc_id", min_df=5, max_df_frac=0.95, min_support=10
+        )
+        .orderBy(F.desc("lift"), "token_a", "token_b")
+        .limit(50)
+    )

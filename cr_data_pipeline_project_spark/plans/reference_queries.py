@@ -1371,6 +1371,102 @@ def q124_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q129_late_shipment_priority",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q129_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with at least one
+    line item shipped more than 60 days after the order date, counted
+    per priority class — the correlated-EXISTS shape (equi key plus
+    an inequality RESIDUAL referencing both sides) the other TPC-H
+    entries don't exercise; the fixture carries no
+    commitdate/receiptdate, so lateness is shipdate vs orderdate.
+    Scale: Spark plans the EXISTS as a left-semi hash join on
+    l_orderkey with the date comparison as a post-probe residual —
+    lineitem is never aggregated, each order short-circuits on its
+    first late line, and the projection is (l_orderkey, l_shipdate)
+    only; the final groupBy is over |priorities| ≈ 5 groups."""
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q130_promo_revenue_share",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           (SUM(CASE WHEN p_type = 'PROMO'
+                THEN (l_extendedprice*(1-l_discount))::DECIMAL(28,6)
+                ELSE 0 END))::DOUBLE AS promo_revenue,
+           (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+               AS total_revenue,
+           ROUND(100.0 *
+                 (SUM(CASE WHEN p_type = 'PROMO'
+                      THEN (l_extendedprice*(1-l_discount))::DECIMAL(28,6)
+                      ELSE 0 END))::DOUBLE /
+                 (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE,
+                 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def q130_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect, extended to a monthly
+    series: per ship month, the share of discounted revenue from
+    promo-type parts — the conditional-aggregation-over-a-join shape
+    (CASE inside SUM) none of the other TPC-H entries cover.
+    Exactness: both revenue sums are decimal (order-independent);
+    the share is a fixed chain of IEEE ops (×100, ÷, round) on the
+    exact sums, identical textual order in both engines. Scale: part
+    is the small side and broadcasts (only p_partkey/p_type project),
+    so lineitem never shuffles for the join; the aggregate
+    partial-combines on ~84 month groups."""
+    li = table(spark, "lineitem", sf_dir)
+    pa = table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    g = (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return g.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_share_pct"),
+    ).orderBy("ship_month")
+
+
+@q(
     "q116_windowed_heavy_hitters",
     """
     WITH w AS (

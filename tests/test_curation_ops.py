@@ -63,3 +63,43 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     row = quantize_int8(df).collect()[0]
     assert row["qvec"] == [64, -32, 0, 127]  # floor(x*127+0.5), -31.75→-32
     assert row["dequant_err"] <= 0.01
+
+
+def test_token_cooccurrence_lift_and_df_band(spark):
+    """Market-basket lift on a planted corpus: an always-together
+    pair gets lift N/(df_a*df_b)·n_ab exactly; a token above the df
+    cap or below min_df never appears in any pair; support below
+    min_support is dropped."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        token_cooccurrence,
+    )
+
+    # 10 docs: 'alpha beta' co-occur in 4 docs; 'omni' in all 10
+    # (df cap kills it); 'rare' in 1 doc (min_df kills it);
+    # 'gamma' co-occurs with alpha only twice (min_support kills it)
+    rows = []
+    for i in range(4):
+        rows.append((i, "alpha beta filler" + str(i)))
+    rows.append((4, "alpha gamma x"))
+    rows.append((5, "alpha gamma y"))
+    rows.extend((i, "beta solo z") for i in (6, 7))
+    rows.append((8, "rare thing"))
+    rows.append((9, "other stuff"))
+    docs = spark.createDataFrame(
+        [(i, t + " omni") for i, t in rows], "doc_id int, text string"
+    )
+    got = token_cooccurrence(
+        docs, "text", "doc_id", min_df=2, max_df_frac=0.8, min_support=3
+    ).collect()
+    pairs = {(r["token_a"], r["token_b"]): r for r in got}
+    assert ("alpha", "beta") in pairs
+    r = pairs[("alpha", "beta")]
+    # alpha df=6, beta df=6, together 4, N=10 → lift = 4*10/36
+    assert (r["n_ab"], r["df_a"], r["df_b"]) == (4, 6, 6)
+    assert r["lift"] == round(40 / 36, 4)
+    flat = {t for p in pairs for t in p}
+    assert "omni" not in flat  # df 10 > 0.8*10
+    assert "rare" not in flat  # df 1 < min_df
+    assert ("alpha", "gamma") not in pairs  # support 2 < 3

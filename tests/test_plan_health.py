@@ -174,3 +174,28 @@ def test_q124_having_survivors_broadcast_semi(spark):
     plan = _plan(spark, "q124_large_volume_customers")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q129_exists_plans_as_semi_join_with_residual(spark):
+    """TPC-H Q4 shape: the correlated EXISTS must plan as a left-semi
+    hash join on l_orderkey (lineitem never aggregates), not a
+    cartesian or an inner-join + distinct."""
+    plan = _plan(spark, "q129_late_shipment_priority")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_q130_part_dim_broadcasts(spark):
+    """TPC-H Q14 shape: the part dim must broadcast (lineitem never
+    shuffles for the join) and only p_partkey/p_type may be read
+    from the part scan."""
+    plan = _plan(spark, "q130_promo_revenue_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    f = _formatted(spark, "q130_promo_revenue_share")
+    part_reads = [
+        ln for ln in f.splitlines() if "ReadSchema" in ln and "p_partkey" in ln
+    ]
+    assert part_reads and all(
+        "p_retailprice" not in ln and "p_name" not in ln for ln in part_reads
+    ), "part scan reads more than p_partkey/p_type"

@@ -88,3 +88,39 @@ def test_stratified_scale_twin_identical(spark, sf_dir):
     )
     assert a == b
     assert len(a) > 0
+
+
+def test_resample_by_rate_deterministic_and_rate_obeyed(spark):
+    """Per-row acceptance sampling: kept set is exactly the rows
+    whose hash bucket falls under their OWN rate column, stable
+    under repartitioning; rate 0 keeps nothing, rate 100 keeps
+    everything."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        hash_bucket,
+        resample_by_rate,
+    )
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id").withColumn(
+        "rate",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0))
+        .when(F.col("doc_id") % 3 == 1, F.lit(40))
+        .otherwise(F.lit(100)),
+    )
+    kept = {r["doc_id"] for r in resample_by_rate(df, "doc_id", "rate").collect()}
+    again = {
+        r["doc_id"]
+        for r in resample_by_rate(df.repartition(13), "doc_id", "rate").collect()
+    }
+    assert kept == again  # partitioning-invariant
+
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.withColumn("b", hash_bucket("doc_id")).collect()
+    }
+    for i in range(3000):
+        want = (i % 3 == 2) or (i % 3 == 1 and buckets[i] < 40)
+        assert (i in kept) == want, i
+    n_mid = sum(1 for i in kept if i % 3 == 1)
+    assert 0.25 * 1000 < n_mid < 0.55 * 1000  # ~40% of the 1000 mid rows

@@ -152,10 +152,14 @@ PROBES = [
     "q96_snapshot_diff",
     "q97_adaptive_length_gate",
     "q98_shard_manifest",
-    # round-6 additions: the remaining ≥1 s bench entries
+    # round-6 additions: the remaining ≥1 s bench entries.
+    # q37 is deliberately ABSENT: it is the labeled O(N²) exact
+    # cosine baseline (similarity.py:cosine_neardup_pairs) — at the
+    # 50x corpus that is ~31G pair-dots, hours of compute proving
+    # only that a quadratic contract is quadratic. Its scale paths
+    # (q42 IVF, q48 LSH, q91/q105 semantic) ARE probed.
     "q01_pricing_summary",
     "q02_brand_usage_wins",
-    "q37_embedding_neardup",
     "q42_ann_ivf_topk",
     "q48_ann_hyperplane_lsh",
     "q83_cross_source_leakage",

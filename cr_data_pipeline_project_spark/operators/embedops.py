@@ -1,0 +1,191 @@
+"""Embedding linear algebra — distributed PCA fit + projection /
+whitening.
+
+PCA over an embedding column is the standard preprocessing step of
+the semantic-dedup / retrieval stack (SemDeDup preprocesses with
+normalization + dimensionality reduction; OPQ rotates subspaces
+before PQ): fit once, project everywhere.
+
+The fit is the classic two-moment reduction, kept fully distributed:
+
+1. **Partials** (``mapInPandas``): each Arrow batch reduces to ONE
+   row — (n, Σx [d doubles], ΣxᵀX [d² doubles]) — a numpy GEMM per
+   batch, so worker memory is O(d²) regardless of corpus size.
+2. **Combine** (explode + groupBy): partial rows explode to
+   (idx, value) and sum per index — a partial-combining aggregate on
+   d+d²+1 keys (4 161 for d=64). No driver-side loop; the tree is
+   Spark's.
+3. **Eigendecomposition** (driver): the COVARIANCE matrix — d×d,
+   i.e. 32 KB at d=64, bounded by the embedding width by contract,
+   never by corpus size — is collected and ``numpy.linalg.eigh``'d.
+   This is the textbook boundary: distributed moments, local
+   O(d³) solve (d ≤ a few thousand for any real embedding).
+
+Projection is expression-only: k dot products via ``zip_with`` +
+``aggregate`` HOFs — whole-stage codegen, no Python in the serve
+path, broadcast-free (the k×d components inline as literals).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass
+class PCAModel:
+    mean: np.ndarray          # (d,)
+    components: np.ndarray    # (k, d) rows = principal axes, unit norm
+    explained_var: np.ndarray  # (k,) eigenvalues, descending
+    n: int
+
+    @property
+    def dim(self) -> int:
+        return int(self.mean.shape[0])
+
+    @property
+    def k(self) -> int:
+        return int(self.components.shape[0])
+
+
+def _moment_sums(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
+    """Distributed (n, Σx, vec(ΣxᵀX)) as a flat (1+d+d²) vector."""
+    import pandas as pd
+
+    width = 1 + dim + dim * dim
+
+    def partials(batches):
+        acc = np.zeros(width, dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            vs = [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+                if v is not None and len(v) == dim
+            ]
+            if not vs:
+                continue
+            X = np.stack(vs)
+            acc[0] += len(X)
+            acc[1 : 1 + dim] += X.sum(axis=0)
+            acc[1 + dim :] += (X.T @ X).ravel()
+            seen = True
+        if seen:
+            yield pd.DataFrame({"p": [acc.tolist()]})
+
+    part = df.select(vec_col).mapInPandas(partials, "p array<double>")
+    summed = (
+        part.select(F.posexplode("p").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+        .collect()  # bounded: exactly 1+d+d² rows by construction
+    )
+    out = np.zeros(width, dtype=np.float64)
+    for r in summed:
+        out[r["idx"]] = r["s"]
+    return out
+
+
+def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
+    """Fit a k-component PCA of ``vec_col``. Deterministic: moments
+    are float sums (combine order varies in the last ulps; the
+    eigensolve is stable far beyond that), eigenvector SIGN is pinned
+    by making each component's largest-|coordinate| entry positive."""
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError("empty corpus: no non-null vectors to fit")
+    dim = len(first[0])
+    m = _moment_sums(df, vec_col, dim)
+    n = int(m[0])
+    if n < 2:
+        raise ValueError(f"need >=2 vectors to fit PCA, got {n}")
+    s = m[1 : 1 + dim]
+    xtx = m[1 + dim :].reshape(dim, dim)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # symmetrize float noise for eigh
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, d)
+    # sign convention: largest-|coordinate| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PCAModel(
+        mean=mean,
+        components=np.ascontiguousarray(comps),
+        explained_var=np.maximum(w[order], 0.0),
+        n=n,
+    )
+
+
+def _dot_lit(vec: Column, row: np.ndarray) -> Column:
+    lit_arr = F.array(*[F.lit(float(x)) for x in row])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def project_pca(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Append ``out_col`` = the k PCA scores of each vector
+    (optionally whitened: score / sqrt(eigenvalue), giving unit
+    variance per axis). Pure expressions — the centered dot products
+    compile to codegen; the k×d components travel inside the plan as
+    literals (k·d doubles, trivially broadcast with the task
+    binary)."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in model.mean]),
+        lambda a, b: a - b,
+    )
+    scores = []
+    for i in range(model.k):
+        sc = _dot_lit(centered, model.components[i])
+        if whiten:
+            sc = sc / float(np.sqrt(model.explained_var[i] + eps))
+        scores.append(sc)
+    return df.withColumn(out_col, F.array(*scores))
+
+
+def reconstruction_sse(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of the k-dim projection —
+    the quality telemetry of a fitted PCA (analogous to q109's PQ
+    reconstruction report). Computed distributed: project, rebuild
+    from mean + components, one aggregate."""
+    proj = project_pca(df, model, vec_col=vec_col, out_col="__pc")
+    # rebuilt_j = mean_j + Σ_i pc_i * comp[i][j]; error via expressions
+    comp_cols = [
+        F.array(*[F.lit(float(x)) for x in model.components[:, j]])
+        for j in range(model.dim)
+    ]
+    mean_arr = model.mean
+    err_terms = []
+    for j in range(model.dim):
+        rebuilt_j = F.lit(float(mean_arr[j])) + F.aggregate(
+            F.zip_with(F.col("__pc"), comp_cols[j], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        orig_j = F.element_at(F.col(vec_col).cast("array<double>"), j + 1)
+        err_terms.append(F.pow(orig_j - rebuilt_j, F.lit(2.0)))
+    total = err_terms[0]
+    for t in err_terms[1:]:
+        total = total + t
+    row = proj.agg(F.avg(total).alias("mse")).first()
+    return float(row["mse"])

@@ -260,3 +260,119 @@ def token_cooccurrence(
             ).alias("lift"),
         )
     )
+
+
+def adjacent_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Adjacent-token-pair frequencies over the corpus — the
+    merge-candidate statistic of BPE tokenizer training (Sennrich et
+    al. 2016, public): for every consecutive token bigram, how many
+    times it occurs corpus-wide. Returns (first, second, n_pairs).
+
+    Scale: the bigram fan-out is a per-row HOF (zip_with of two
+    slices — whole-stage codegen, no UDF, no join); the only shuffle
+    is the partial-combining count on the pair key. Pair cardinality
+    is vocab-bounded, not corpus-bounded, so the aggregate output
+    stays small even at 100 TB."""
+    tok = tokens(text_col)
+    n = F.size(tok)
+    pairs = F.zip_with(
+        F.slice(tok, 1, n - 1),
+        F.slice(tok, 2, n - 1),
+        lambda a, b: F.struct(a.alias("first"), b.alias("second")),
+    )
+    return (
+        df.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.first").alias("first"), F.col("p.second").alias("second"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Iterative BPE merge learning (Sennrich et al. 2016): repeat
+    ``n_merges`` times — count adjacent pairs corpus-wide, take the
+    most frequent (count-desc, then lexicographic, fully
+    deterministic), rewrite every document by greedily fusing that
+    pair left-to-right into ``first\\u2581second``. Returns the
+    learned merge table [(first, second, count)], rank-ordered.
+
+    This is the canonical driver-coordinated iterative algorithm: the
+    per-iteration pair count and the rewrite are whole-stage-codegen
+    expressions (explode+count; an ``aggregate`` HOF fold), the only
+    driver traffic is ONE argmax row per iteration, and the working
+    token arrays persist between iterations so each merge is one scan
+    of the (vocab-compressed) corpus — never a re-tokenize from raw
+    text. ONE job per round: round k's pair-count collect is also
+    what materializes round k-1's rewritten cache (a dedicated
+    count() doubled the round cost), so the parent generation
+    unpersists only after the child is hot — lineage never replays. The fold's greedy left-to-right non-overlap matches the
+    reference BPE semantics (``aaa`` + merge(a,a) → ``[aa, a]``)."""
+    work = df.select(tokens(text_col).alias("t")).where(F.size("t") >= 1)
+    work = work.persist()
+    prev = None  # parent generation, unpersisted once `work` is hot
+    try:
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            n = F.size("t")
+            pairs = F.zip_with(
+                F.slice("t", 1, n - 1),
+                F.slice("t", 2, n - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+            top = (
+                work.where(n >= 2)
+                .select(F.explode(pairs).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            # that collect just materialized `work`'s cache (its one
+            # extra job doubled the per-round cost when it was a
+            # dedicated count()): the parent generation is now safe
+            # to drop without triggering lineage replay
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top or top[0]["c"] < 2:
+                break
+            a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+            merges.append((a, b, c))
+            fused = a + "▁" + b
+            la, lb, lf = F.lit(a), F.lit(b), F.lit(fused)
+            # greedy left-to-right fuse: fold each token into the
+            # accumulator; when the accumulator's tail is `a` and the
+            # incoming token is `b`, replace the tail with the fused
+            # symbol (the tail is never itself re-merged this pass —
+            # the fused symbol differs from `a`)
+            merged = F.aggregate(
+                F.col("t"),
+                F.expr("cast(array() as array<string>)"),
+                # try_element_at: NULL (not an ANSI error) on the
+                # empty accumulator, and NULL == a is NULL -> falls
+                # through to the append branch
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lf)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            prev = work
+            work = work.select(merged.alias("t")).persist()
+        return merges
+    finally:
+        work.unpersist()
+        if prev is not None:
+            prev.unpersist()

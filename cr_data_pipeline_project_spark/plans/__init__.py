@@ -126,6 +126,12 @@ GATE_PENDING: tuple[str, ...] = (
     "q130_promo_revenue_share",
     "q131_quality_resample",
     "q132_token_cooccurrence",
+    "q133_sessionization",
+    "q134_bpe_pair_merges",
+    "q135_volume_shipping",
+    "q136_market_share",
+    "q137_daily_event_anomaly",
+    "q139_wav_frame_inventory",
 )
 
 

@@ -3422,3 +3422,155 @@ def q132_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "token_a", "token_b")
         .limit(50)
     )
+
+
+@q(
+    "q134_bpe_pair_merges",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+        SELECT t[i] AS tok_a, t[i+1] AS tok_b
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1))
+                            AS i) x
+        WHERE len(t) >= 2)
+    SELECT tok_a, tok_b, COUNT(*)::BIGINT AS n_pairs
+    FROM pairs GROUP BY tok_a, tok_b
+    ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def q134_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates (operators/textstats.py:
+    adjacent_pair_counts): the 50 most frequent adjacent token
+    bigrams corpus-wide — iteration zero of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016) and the phrase-mining
+    statistic boilerplate detectors read. Scale: the bigram fan-out
+    is a zip_with of two array slices — whole-stage codegen, no UDF,
+    no join; the count partial-combines on a vocab²-bounded (not
+    corpus-bounded) key space; top-50 with a full lexicographic
+    tie-break."""
+    docs = table(spark, "documents", sf_dir)
+    return (
+        textstats.adjacent_pair_counts(docs, "text")
+        .select(
+            F.col("first").alias("tok_a"),
+            F.col("second").alias("tok_b"),
+            "n_pairs",
+        )
+        .orderBy(F.desc("n_pairs"), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+@q(
+    "q139_wav_frame_inventory",
+    """
+    SELECT doc_id AS media_id, i::INT AS frame_idx, (i*10)::INT AS t_ms
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, (doc_id % 10) // 2))
+                  AS i) x
+    """,
+)
+def q139_wav_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio framing, end to end: per-document WAV payloads are
+    synthesized as genuine RIFF/PCM16 containers, decoded back by the
+    stdlib parser, and windowed into 25 ms frames at a 10 ms hop (the
+    public ASR front-end convention) by
+    multimodal.wav_frame_features. The oracle predicts the exact
+    frame inventory from the synthesis formula — n_samples =
+    200 + (doc_id%10)·40 at 8 kHz gives ⌊(doc_id%10)·40/80⌋ + 1
+    frames — so any error in container round-trip, stride math, or
+    boundary handling (clip shorter than one frame, final partial
+    frame) hash-mismatches; the float features (per-frame RMS/ZCR)
+    are asserted against closed forms in tests/test_multimodal.py.
+    Scale: synth → decode → frame fuse into one narrow Arrow stage;
+    payload bytes never shuffle; fan-out is metadata rows only."""
+    import pandas as pd
+
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_wav(
+                            100.0 + (i % 400),
+                            sample_rate=8000,
+                            n_samples=200 + (i % 10) * 40,
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["audio/wav"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.wav_frame_features(media, frame_ms=25, hop_ms=10)
+    return frames.where(F.col("frame_error").isNull()).select(
+        "media_id", "frame_idx", "t_ms"
+    )
+
+
+# ---------------------------------------------------------------------
+# rows-only (no ANSI-SQL oracle by design): iterative fits and float
+# linear algebra — validated by structural/parity tests instead
+# ---------------------------------------------------------------------
+
+
+@q("q138_pca_project")
+def q138_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA fit + projection (operators/embedops.py): the
+    embedding corpus reduced to its top-4 principal components — the
+    dimensionality-reduction step of the semantic-dedup / retrieval
+    preprocessing stack (SemDeDup et al., public). Rows-only by
+    design: the fit is float linear algebra (moment sums + an
+    eigensolve) whose last-ulp combine order no SQL oracle
+    reproduces; tests/test_embedops.py asserts the real contracts —
+    orthonormal components, descending explained variance, numpy
+    parity of the projection, and reconstruction error beating the
+    mean-only baseline. Scale: the fit is one mapInPandas moment
+    pass (O(d²) per task) + a (1+d+d²)-key aggregate; the projection
+    is pure codegen expressions (zip_with/aggregate dot products),
+    no Python in the serve path."""
+    from ..operators.embedops import fit_pca, project_pca
+
+    emb = table(spark, "embeddings", sf_dir)
+    model = fit_pca(emb, "embedding", k=4)
+    proj = project_pca(emb, model, "embedding", out_col="__pc")
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("__pc", i + 1), 4).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+    )
+
+
+@q("q140_bpe_vocab_learn")
+def q140_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer induction (operators/textstats.py:
+    bpe_learn): 8 merge rounds over the corpus, each round = one
+    distributed pair count + a one-row argmax + a codegen HOF rewrite
+    of the persisted token arrays — the canonical driver-coordinated
+    iterative algorithm (k-means' text sibling). Rows-only by
+    design: an 8-round iterative rewrite has no ANSI-SQL
+    re-expression; tests/test_textstats.py asserts parity against a
+    pure-Python reference BPE on the same corpus (greedy
+    left-to-right merge semantics included). Returns the learned
+    merge table, rank-ordered."""
+    docs = table(spark, "documents", sf_dir)
+    merges = textstats.bpe_learn(docs, "text", n_merges=8)
+    schema = "rank int, tok_a string, tok_b string, pair_count bigint"
+    rows = [
+        (i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -1564,3 +1564,271 @@ def q119_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@q(
+    "q133_sessionization",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE user_id IS NOT NULL),
+    tagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000 THEN 1
+                    ELSE 0 END AS new_s,
+               event_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               (SUM(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        FROM tagged)
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*)::BIGINT AS n_events,
+           ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000)::BIGINT
+               AS duration_sec
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q133_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessionize.py): each
+    user's event stream split into sessions at >30-minute silences —
+    the batch twin of Structured Streaming's ``session_window`` and
+    the canonical event-analytics primitive (funnels, stickiness and
+    retention all consume sessions). Output: one row per session with
+    start/end, event count, and exact integer duration. Scale: ONE
+    shuffle on user_id serves the lag window, the running-sum window
+    AND the session aggregate (same key, Catalyst reuses the sort);
+    event payloads never move twice; partitions are per-user —
+    millions of small independent groups, no global window."""
+    from ..operators.sessionize import session_stats
+
+    ev = table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    return session_stats(
+        ev.select("event_id", "user_id", "ts"),
+        user_col="user_id",
+        ts_col="ts",
+        gap_minutes=30,
+        order_tiebreak="event_id",
+    )
+
+
+@q(
+    "q135_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           (year(l_shipdate))::INT AS l_year,
+           (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+               AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q135_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: bilateral trade revenue
+    between two nations per ship year — the 6-way join with a
+    DISJUNCTIVE cross-table predicate (either trade direction) that
+    none of the other TPC-H entries exercise. Scale: the two nation
+    roles are genuinely tiny and broadcast explicitly — their name
+    filter then prunes customers/suppliers at the map side of THEIR
+    joins (to 2/25 of rows) before either fact probe; customer /
+    supplier / orders are SF-proportional (billions of rows at
+    100 TB), so those joins stay key-shuffles that AQE converts to
+    broadcasts only when a side measures small at runtime. One
+    shuffle for the final 4-group-per-year aggregate. Revenue is a
+    decimal sum (order-independent), count exact."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    su = table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cu = table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    na = table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    n1 = na.where(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.where(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    o_cust = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .select("o_orderkey", "cust_nation")
+    )
+    supp = su.join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    joined = (
+        li.join(o_cust, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "q136_market_share",
+    """
+    WITH vol AS (
+        SELECT (year(o_orderdate))::INT AS o_year,
+               (l_extendedprice*(1-l_discount))::DECIMAL(28,6) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+    SELECT o_year,
+           (SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                ELSE 0 END))::DOUBLE AS nation_volume,
+           (SUM(volume))::DOUBLE AS total_volume,
+           ROUND((SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                      ELSE 0 END))::DOUBLE
+                 / (SUM(volume))::DOUBLE, 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q136_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: of all PROMO-part
+    revenue sold to ASIA-region customers, the fraction supplied by
+    NATION_5, per order year — the 8-way snowflake join (two nation
+    roles + region) with a conditional share aggregate. Scale:
+    nation/region are genuinely tiny and broadcast explicitly — the
+    region filter prunes customers to 1/5 map-side; part / customer /
+    supplier / orders are SF-proportional, so their joins stay
+    key-shuffles (AQE broadcasts whichever side measures small at
+    runtime — at fixture scale, all of them); part's PROMO filter
+    (1/6 of parts) is pushed to its scan. Lineitem shuffles once for
+    the ~|years|-group aggregate. Both volume sums are decimal-exact;
+    the share is one IEEE division + round."""
+    li = table(spark, "lineitem", sf_dir)
+    pa = table(spark, "part", sf_dir).where(F.col("p_type") == "PROMO").select("p_partkey")
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    su = table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cu = table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    na = table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    re = table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA").select("r_regionkey")
+    cust_asia = (
+        cu.join(
+            F.broadcast(
+                na.join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+                .select(F.col("n_nationkey").alias("__cn"))
+            ),
+            cu["c_nationkey"] == F.col("__cn"),
+        ).select("c_custkey")
+    )
+    vol = (
+        li.join(pa, li["l_partkey"] == pa["p_partkey"])
+        .join(
+            o.join(cust_asia, o["o_custkey"] == F.col("c_custkey")).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey").alias("__sn"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("__sn"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(28,6)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    is_n5 = F.col("supp_nation") == "NATION_5"
+    g = vol.groupBy("o_year").agg(
+        F.sum(F.when(is_n5, F.col("volume")).otherwise(F.lit(0).cast("decimal(28,6)")))
+        .cast("double")
+        .alias("nation_volume"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+    return g.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@q(
+    "q137_daily_event_anomaly",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               (SUM(c))::BIGINT AS s, (SUM(c*c))::BIGINT AS q
+        FROM daily GROUP BY 1)
+    SELECT event_type, CAST(d AS VARCHAR) AS day, c AS n_events,
+           ROUND((n*c - s)::DOUBLE / SQRT((n*q - s*s)::DOUBLE), 4) AS z
+    FROM daily JOIN m USING (event_type)
+    WHERE n >= 2 AND (n*c - s)*(n*c - s) > 4*(n*q - s*s)
+    ORDER BY event_type, day
+    """,
+)
+def q137_daily_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: days whose event count sits
+    more than 2 standard deviations from that event type's daily
+    mean — the data-quality tripwire every ingest pipeline runs
+    (volume collapse = upstream outage; spike = bot or replay). The
+    |z|>2 GATE is evaluated in exact BIGINT arithmetic —
+    (n·c − s)² > 4(n·q − s²) clears both denominators — so the
+    selected row set is bit-deterministic cross-engine (a float
+    z-threshold would flap on ties); the reported z itself is one
+    IEEE sqrt + division on exact integer moments. Scale: daily
+    counts partial-combine map-side; the moment table is |types|
+    rows and broadcasts back; no window functions at all."""
+    ev = table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    nc_s = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .where((F.col("n") >= 2) & (nc_s * nc_s > F.lit(4) * var_n2))
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.col("c").alias("n_events"),
+            F.round(
+                nc_s.cast("double") / F.sqrt(var_n2.cast("double")), 4
+            ).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )

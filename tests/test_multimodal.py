@@ -184,3 +184,76 @@ def test_ppm_hostile_headers_are_per_row_errors(spark):
         for r in multimodal.decode_media_features(df).collect()
     }
     assert dec[1].decode_error is not None and dec[2].decode_error is not None
+
+
+# ------------------------------------------------------------------ #
+# frame-level WAV features (wav_frame_features)                       #
+# ------------------------------------------------------------------ #
+
+
+def _frame_ref(payload, frame_ms=25, hop_ms=10):
+    """numpy reference framing over the decoded samples."""
+    import numpy as np
+
+    sr, x = multimodal.decode_wav_samples(payload)
+    flen, hop = sr * frame_ms // 1000, sr * hop_ms // 1000
+    if len(x) < flen:
+        return []
+    nf = (len(x) - flen) // hop + 1
+    out = []
+    for i in range(nf):
+        fr = x[i * hop : i * hop + flen]
+        rms = float(np.sqrt(np.mean(fr * fr)))
+        sb = np.signbit(fr).astype(np.int8)
+        zcr = float(np.abs(np.diff(sb)).mean())
+        out.append((i, i * hop_ms, rms, zcr))
+    return out
+
+
+def test_wav_frames_match_numpy_reference(spark):
+    payloads = {
+        1: multimodal.synth_wav(120.0, n_samples=400),
+        2: multimodal.synth_wav(350.0, n_samples=777),  # ragged tail drops
+        3: multimodal.synth_wav(90.0, n_samples=200),   # exactly one frame
+    }
+    rows = [(k, v, "audio/wav", None, None, None) for k, v in payloads.items()]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.wav_frame_features(df).collect()
+    assert all(r.frame_error is None for r in got)
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, payload in payloads.items():
+        ref = _frame_ref(payload)
+        frames = sorted(by_id.get(mid, []), key=lambda r: r.frame_idx)
+        assert [(r.frame_idx, r.t_ms) for r in frames] == [
+            (i, t) for i, t, _, _ in ref
+        ]
+        for r, (_, _, rms, zcr) in zip(frames, ref):
+            assert abs(r.rms - rms) < 1e-12
+            assert abs(r.zcr - zcr) < 1e-12
+
+
+def test_wav_frames_short_clip_yields_no_rows(spark):
+    # 100 samples < one 200-sample frame -> zero rows, no error row
+    rows = [(1, multimodal.synth_wav(100.0, n_samples=100), "audio/wav",
+             None, None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    assert multimodal.wav_frame_features(df).count() == 0
+
+
+def test_wav_frames_error_capture(spark):
+    rows = [
+        (1, multimodal.synth_wav(100.0, n_samples=400), "audio/wav",
+         None, None, None),
+        (2, b"garbage", "audio/wav", None, None, None),
+        (3, None, "audio/wav", None, None, None),
+        (4, b"x", "image/ppm", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.wav_frame_features(df).collect()
+    errs = {r.media_id: r.frame_error for r in out if r.frame_error is not None}
+    assert set(errs) == {2, 3, 4}
+    assert all(r.frame_idx is None for r in out if r.frame_error is not None)
+    ok = [r for r in out if r.media_id == 1]
+    assert len(ok) == (400 - 200) // 80 + 1

@@ -57,6 +57,11 @@ NESTED_LOOP_OK = {
         "q66_dedup_clusters",
         "q75_tfidf_top_terms",
         "q76_winnow_fingerprints",
+        "q133_sessionization",
+        "q134_bpe_pair_merges",
+        "q135_volume_shipping",
+        "q136_market_share",
+        "q137_daily_event_anomaly",
     ],
 )
 def test_no_cartesian_product(spark, name):

@@ -31,6 +31,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -52,8 +53,6 @@ class PCAModel:
 
 def _moment_sums(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
     """Distributed (n, Σx, vec(ΣxᵀX)) as a flat (1+d+d²) vector."""
-    import pandas as pd
-
     width = 1 + dim + dim * dim
 
     def partials(batches):
@@ -88,15 +87,20 @@ def _moment_sums(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
     return out
 
 
-def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 8) -> PCAModel:
-    """Fit a k-component PCA of ``vec_col``. Deterministic: moments
-    are float sums (combine order varies in the last ulps; the
-    eigensolve is stable far beyond that), eigenvector SIGN is pinned
-    by making each component's largest-|coordinate| entry positive."""
+def fit_pca(
+    df: DataFrame, vec_col: str = "embedding", k: int | None = 8
+) -> PCAModel:
+    """Fit a k-component PCA of ``vec_col`` (``k=None`` → full rank,
+    the orthogonal-rotation case). Deterministic: moments are float
+    sums (combine order varies in the last ulps; the eigensolve is
+    stable far beyond that), eigenvector SIGN is pinned by making
+    each component's largest-|coordinate| entry positive."""
     first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if first is None:
         raise ValueError("empty corpus: no non-null vectors to fit")
     dim = len(first[0])
+    if k is None:
+        k = dim
     m = _moment_sums(df, vec_col, dim)
     n = int(m[0])
     if n < 2:
@@ -189,3 +193,95 @@ def reconstruction_sse(
         total = total + t
     row = proj.agg(F.avg(total).alias("mse")).first()
     return float(row["mse"])
+
+
+@dataclass
+class OPQModel:
+    """Parametric OPQ transform (Ge et al., CVPR 2013 — public):
+    full-rank PCA rotation with the principal dimensions re-ordered
+    by BALANCED greedy allocation across the m product-quantizer
+    subspaces (each new dim, in descending-eigenvalue order, goes to
+    the unfilled subspace with the smallest variance log-product).
+    Decorrelates coordinates AND equalizes subspace information — the
+    two properties that make per-subspace codebooks spend their bits
+    evenly."""
+
+    mean: np.ndarray       # (d,)
+    rotation: np.ndarray   # (d, d) orthonormal; row blocks of d/m = subspaces
+    m: int
+    eigvals: np.ndarray    # (d,) variance of each ROTATED coordinate
+
+    @property
+    def dim(self) -> int:
+        return int(self.mean.shape[0])
+
+    def subspace_logvar(self) -> np.ndarray:
+        """Σ log-eigenvalue per subspace — the balance telemetry."""
+        sub_d = self.dim // self.m
+        lv = np.log(np.maximum(self.eigvals, 1e-12))
+        return lv.reshape(self.m, sub_d).sum(axis=1)
+
+
+def fit_opq_rotation(
+    df: DataFrame, vec_col: str = "embedding", m: int = 8
+) -> OPQModel:
+    """Fit the parametric-OPQ rotation: one distributed PCA fit
+    (full rank) + a driver-side greedy allocation over the d
+    eigenvalues — O(d log d), trivially bounded."""
+    model = fit_pca(df, vec_col, k=None)
+    d = model.dim
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    cap = d // m
+    logv = np.log(np.maximum(model.explained_var, 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = np.zeros(m)
+    for i in range(d):  # descending eigenvalue order already
+        open_b = [b for b in range(m) if len(buckets[b]) < cap]
+        b = min(open_b, key=lambda j: (load[j], j))
+        buckets[b].append(i)
+        load[b] += logv[i]
+    perm = [i for b in buckets for i in b]
+    return OPQModel(
+        mean=model.mean,
+        rotation=np.ascontiguousarray(model.components[perm]),
+        m=m,
+        eigvals=model.explained_var[perm],
+    )
+
+
+def rotate_vectors(
+    df: DataFrame,
+    model: OPQModel,
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> DataFrame:
+    """Append ``out_col`` = R·(x − mean): an Arrow-batched GEMM per
+    batch (a full-rank rotation as d expression dot products would
+    defeat codegen — d² multiplies per row belong in BLAS). Energy
+    is preserved exactly up to float rounding (R orthonormal), so
+    downstream PQ reconstruction errors are comparable in either
+    frame. Malformed rows (null / wrong width) yield NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    R = model.rotation
+    mu = model.mean
+    d = model.dim
+
+    @pandas_udf("array<double>")
+    def rot(col: pd.Series) -> pd.Series:
+        vals = col.tolist()
+        ok = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == d
+        ]
+        out = [None] * len(vals)
+        if ok:
+            X = np.asarray([vals[i] for i in ok], dtype=np.float64) - mu
+            Y = X @ R.T
+            for j, i in enumerate(ok):
+                out[i] = Y[j].tolist()
+        return pd.Series(out)
+
+    return df.withColumn(out_col, rot(F.col(vec_col)))

@@ -132,6 +132,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q136_market_share",
     "q137_daily_event_anomaly",
     "q139_wav_frame_inventory",
+    "q142_customer_order_distribution",
 )
 
 

@@ -3574,3 +3574,43 @@ def q140_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+@q("q141_opq_pq_reconstruction")
+def q141_opq_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric OPQ ahead of product quantization
+    (operators/embedops.py:fit_opq_rotation + operators/pq.py): the
+    corpus is rotated into its balanced-allocation PCA frame (Ge et
+    al. 2013) and PQ-compressed in BOTH frames; the report is the
+    per-variant mean reconstruction error — the A/B a compression
+    rollout runs before committing a codebook frame. Rows-only by
+    design (two iterative float fits); tests/test_embedops.py pins
+    the real contracts — rotation orthonormality, per-vector energy
+    preservation, balanced subspace log-variance vs the contiguous
+    split, and the end-to-end error comparison. Scale: the rotation
+    is one Arrow GEMM map stage; everything downstream is the
+    audited q109 path; errors are comparable across frames because
+    the rotation preserves L2 exactly (up to float rounding)."""
+    from ..operators import pq as pqmod
+    from ..operators.embedops import fit_opq_rotation, rotate_vectors
+
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    model = fit_opq_rotation(emb, "embedding", m=8)
+    rotated = rotate_vectors(emb, model, "embedding", out_col="rotated")
+
+    def mse(df, vec_col):
+        rep = pqmod.pq_reconstruction_report(
+            df, "vec_id", vec_col, m=8, k=16, n_iter=2
+        )
+        return rep.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("recon_err"), 6).alias("mean_recon_err"),
+        )
+
+    raw = mse(emb, "embedding").select(
+        F.lit("raw").alias("variant"), "n_vecs", "mean_recon_err"
+    )
+    opq = mse(rotated.select("vec_id", "rotated"), "rotated").select(
+        F.lit("opq").alias("variant"), "n_vecs", "mean_recon_err"
+    )
+    return raw.unionByName(opq).orderBy("variant")

@@ -1832,3 +1832,48 @@ def q137_daily_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@q(
+    "q142_customer_order_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+    SELECT c_count, COUNT(*)::BIGINT AS n_custs
+    FROM per_cust GROUP BY c_count
+    ORDER BY n_custs DESC, c_count DESC
+    """,
+)
+def q142_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed 0, 1, 2, … non-urgent orders — the LEFT OUTER
+    join with an ON-clause filter + double aggregation shape
+    (customers with no qualifying orders MUST surface as c_count=0,
+    which an inner join silently drops) that no other entry covers.
+    The right-side-only ON predicate is applied as an orders
+    pre-filter — semantically identical for LEFT OUTER, and it lets
+    the filter push to the orders scan instead of evaluating
+    post-probe. Scale: both aggregations partial-combine (the first
+    on c_custkey — co-partitioned with the join's own shuffle key,
+    so Catalyst reuses the exchange; the second on the ~|max orders
+    per customer| distinct counts); no window functions."""
+    cu = table(spark, "customer", sf_dir).select("c_custkey")
+    o = (
+        table(spark, "orders", sf_dir)
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("c_count"))
+    )

@@ -997,3 +997,76 @@ def streaming_pq_index_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_daily_count_partials(
+    event_stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> StreamingQuery:
+    """Continuous maintenance of the q137 anomaly tripwire's input:
+    per-micro-batch (event_type, day) count PARTIALS, written to
+    ``partials_path/batch=<id>/``. Counts are additive, so replay
+    idempotency cannot come from an insert-if-absent id check (the
+    same (type, day) legitimately recurs across batches) — instead
+    each batch OVERWRITES its own batch directory, so a replayed
+    batch replaces its partials instead of double-counting them; the
+    serving aggregate (:func:`daily_anomaly_snapshot`) sums partials
+    across batch dirs. This is the map-side-combine shape pushed
+    into the stream: the state per batch is |types|·|days touched|
+    rows, never raw events."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        daily = batch_df.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.to_date(ts_col).alias("d"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        daily.write.mode("overwrite").parquet(
+            os.path.join(partials_path, f"batch={batch_id}")
+        )
+
+    return (
+        event_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def daily_anomaly_snapshot(
+    spark: SparkSession, partials_path: str, z_threshold: int = 2
+) -> DataFrame:
+    """The q137 anomaly report served from streamed count partials:
+    sum the per-batch (event_type, day) partials, then apply the
+    same exact-BIGINT |z| gate — (n·c − s)² > z²·(n·q − s²) — and
+    report z from one IEEE sqrt + division. Column-for-column the
+    batch query's twin (asserted in tests), so a migration from
+    batch recompute to streaming maintenance changes no consumer."""
+    part = spark.read.parquet(partials_path)
+    daily = part.groupBy("event_type", "d").agg(F.sum("c").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    nc_s = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .where(
+            (F.col("n") >= 2)
+            & (nc_s * nc_s > F.lit(z_threshold * z_threshold) * var_n2)
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.col("c").alias("n_events"),
+            F.round(
+                nc_s.cast("double") / F.sqrt(var_n2.cast("double")), 4
+            ).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )

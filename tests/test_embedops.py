@@ -111,3 +111,87 @@ def test_projection_plan_is_codegen(emb, model):
     projection plan (the fit's mapInPandas is not part of it)."""
     plan = project_pca(emb, model, out_col="__pc")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------------ #
+# parametric OPQ rotation                                             #
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture(scope="module")
+def opq(emb):
+    from cr_data_pipeline_project_spark.operators.embedops import (
+        fit_opq_rotation,
+    )
+
+    return fit_opq_rotation(emb, "embedding", m=8)
+
+
+def test_opq_rotation_orthonormal(opq):
+    g = opq.rotation @ opq.rotation.T
+    assert np.allclose(g, np.eye(opq.dim), atol=1e-8)
+
+
+def test_opq_preserves_energy(spark, emb, opq):
+    """‖R(x − μ)‖² == ‖x − μ‖² per vector (orthogonal transform)."""
+    from cr_data_pipeline_project_spark.operators.embedops import (
+        rotate_vectors,
+    )
+
+    rows = rotate_vectors(emb, opq, "embedding", "rot").limit(50).collect()
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64) - opq.mean
+        y = np.asarray(r["rot"])
+        assert abs(float(x @ x) - float(y @ y)) < 1e-9
+        assert np.allclose(y, opq.rotation @ x, atol=1e-9)
+
+
+def test_opq_allocation_balances_subspaces(emb, opq):
+    """Greedy allocation's subspace log-variance spread must not
+    exceed the naive contiguous PCA split's (it equalizes the
+    per-subspace information PQ bits pay for)."""
+    from cr_data_pipeline_project_spark.operators.embedops import fit_pca
+
+    full = fit_pca(emb, "embedding", k=None)
+    sub_d = full.dim // opq.m
+    lv = np.log(np.maximum(full.explained_var, 1e-12))
+    contiguous = lv.reshape(opq.m, sub_d).sum(axis=1)
+    balanced = opq.subspace_logvar()
+    assert balanced.max() - balanced.min() <= (
+        contiguous.max() - contiguous.min()
+    ) + 1e-9
+    # same multiset of eigenvalues, just re-ordered
+    assert np.allclose(
+        np.sort(opq.eigvals), np.sort(full.explained_var), atol=1e-12
+    )
+
+
+def test_opq_rotation_null_and_malformed_rows(spark, opq):
+    from cr_data_pipeline_project_spark.operators.embedops import (
+        rotate_vectors,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["rot"] for r in
+           rotate_vectors(bad, opq, "embedding", "rot").collect()}
+    assert out[1] is None and out[2] is None
+
+
+def test_opq_pq_error_comparable(spark, sf_dir):
+    """End to end: PQ in the OPQ frame must not be worse than PQ in
+    the raw frame beyond fit jitter (on anisotropic real corpora it
+    is strictly better; the synthetic fixture is near-isotropic, so
+    the contract here is 'no regression')."""
+    from cr_data_pipeline_project_spark.plans import all_queries
+
+    rows = {
+        r["variant"]: r
+        for r in all_queries()["q141_opq_pq_reconstruction"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows["raw"]["n_vecs"] == rows["opq"]["n_vecs"] > 0
+    assert rows["opq"]["mean_recon_err"] <= rows["raw"]["mean_recon_err"] * 1.10

@@ -1316,3 +1316,51 @@ def test_streaming_pq_index_serves_ivfpq_equal_to_batch(spark, tmp_path):
             fit_df.where(F.col("vec_id").isin(seen_ids)), books
         )
         assert serve_answers(streamed) == serve_answers(batch_index)
+
+
+def test_streaming_daily_anomaly_matches_batch(spark, tmp_path, sf_dir):
+    """Streamed count partials -> anomaly snapshot equals the batch
+    q137 report on the same events, and a replayed batch (overwrite
+    of its own partial dir) changes nothing."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.plans import all_queries
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        daily_anomaly_snapshot,
+        streaming_daily_count_partials,
+    )
+
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type")
+    src = os.path.join(str(tmp_path), "anom_src")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    ev.repartition(4).write.parquet(src)
+    partials = os.path.join(str(tmp_path), "anom_partials")
+
+    with few_partitions(spark):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_daily_count_partials(
+            stream, partials, os.path.join(str(tmp_path), "anom_ckpt")
+        )
+        q.awaitTermination(120)
+
+    batch_dirs = [d for d in os.listdir(partials) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+
+    got = [tuple(r) for r in daily_anomaly_snapshot(spark, partials).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["q137_daily_event_anomaly"](spark, sf_dir).collect()
+    ]
+    assert got == want and len(want) >= 1
+
+    # replay: re-writing one batch's partials (same content, same
+    # dir) must not change the snapshot — overwrite, not append
+    replay_dir = os.path.join(partials, batch_dirs[0])
+    stash = os.path.join(str(tmp_path), "replay_stash")  # OUTSIDE partials
+    spark.read.parquet(replay_dir).write.mode("overwrite").parquet(stash)
+    spark.read.parquet(stash).write.mode("overwrite").parquet(replay_dir)
+    got2 = [tuple(r) for r in daily_anomaly_snapshot(spark, partials).collect()]
+    assert got2 == want

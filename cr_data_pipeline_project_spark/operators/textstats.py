@@ -376,3 +376,95 @@ def bpe_learn(
         work.unpersist()
         if prev is not None:
             prev.unpersist()
+
+
+def bigram_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — the
+    perplexity quality filter of the public CCNet/RedPajama recipe
+    (there a KenLM 5-gram; the statistical shape is identical): train
+    token/bigram counts on ``train``, then score every ``score`` doc
+    with
+
+        avg_lp  = (1/P) · Σ_pairs ln (c(a,b)+1) / (c(a)+V)
+        ppl     = exp(−avg_lp)
+
+    where V is the train vocabulary size and unseen tokens/bigrams
+    fall back to the smoothed floor. Returns (id_col, n_pairs,
+    avg_logprob, ppl). Docs with <2 tokens carry NULL scores (no
+    pairs to score — a 0 would fake a probability).
+
+    Scale: the count model is vocab-/vocab²-bounded, never
+    corpus-bounded — both count tables come from partial-combining
+    aggregates; scoring is two equi-joins on token keys (left, so
+    unseen pairs survive with the floor) + one per-doc aggregate; ln
+    and the divisions run in codegen. Float caveat: the per-doc sum
+    of lns is combine-order dependent in the last ulps, so this is a
+    rows-only operator by contract (tests pin parity against a
+    pure-Python reference at 1e-9)."""
+    tr_tok = train.select(F.explode(tokens(text_col)).alias("__t"))
+    uni = tr_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__cu"))
+    n = F.size(tokens(text_col))
+    tr_pairs = (
+        train.where(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(tokens(text_col), 1, n - 1),
+                    F.slice(tokens(text_col), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("__a"), F.col("p.b").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    v = uni.count()  # vocab size: one bounded scalar, fit-time only
+
+    sc_pairs = score.where(n >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(tokens(text_col), 1, n - 1),
+                F.slice(tokens(text_col), 2, n - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    )
+    joined = (
+        sc_pairs.join(
+            tr_pairs,
+            (F.col("p.a") == F.col("__a")) & (F.col("p.b") == F.col("__b")),
+            "left",
+        )
+        .join(uni, F.col("p.a") == F.col("__t"), "left")
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(v)).cast(
+                        "double"
+                    )
+                )
+            ).alias("__lp"),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("__lp") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+    base = score.select(F.col(id_col)).distinct()
+    return (
+        base.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )

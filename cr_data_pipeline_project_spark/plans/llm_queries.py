@@ -3614,3 +3614,28 @@ def q141_opq_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("opq").alias("variant"), "n_vecs", "mean_recon_err"
     )
     return raw.unionByName(opq).orderBy("variant")
+
+
+@q("q143_bigram_perplexity")
+def q143_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality scoring (operators/textstats.py:
+    bigram_logprob): a bigram LM with add-one smoothing is trained on
+    the training sources and every held-out src6 document is scored
+    with its average log-probability and perplexity — the public
+    CCNet/RedPajama filter recipe (KenLM there, same statistical
+    shape here), and the quality signal a mixture planner reads
+    next to q38's rule-based score. Rows-only by design: the per-doc
+    Σln is float-combine-order dependent; tests pin parity against a
+    pure-Python reference at 1e-9. Scale: the count model is
+    vocab-bounded; scoring is two left equi-joins + one per-doc
+    aggregate, all codegen."""
+    docs = table(spark, "documents", sf_dir)
+    train = docs.where(F.col("source") != "src6")
+    test = docs.where(F.col("source") == "src6")
+    out = textstats.bigram_logprob(train, test, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_pairs",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 4).alias("ppl"),
+    )

@@ -101,3 +101,95 @@ def test_bpe_fixture_matches_python(spark, sf_dir):
     docs = table(spark, "documents", sf_dir).select("text")
     texts = [r["text"] for r in docs.collect()]
     assert bpe_learn(docs, n_merges=3) == _py_bpe(texts, 3)
+
+
+# ------------------------------------------------------------------ #
+# bigram-LM perplexity scoring                                        #
+# ------------------------------------------------------------------ #
+
+
+def _py_bigram_scores(train_texts, score_texts):
+    """Pure-Python add-one-smoothed bigram LM reference."""
+    import math
+
+    cu: Counter = Counter()
+    cb: Counter = Counter()
+    for t in train_texts:
+        toks = t.split(" ")
+        cu.update(toks)
+        cb.update(zip(toks, toks[1:]))
+    v = len(cu)
+    out = {}
+    for i, t in enumerate(score_texts):
+        toks = t.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            out[i] = (0, None, None)
+            continue
+        lp = sum(
+            math.log((cb.get(p, 0) + 1) / (cu.get(p[0], 0) + v))
+            for p in pairs
+        ) / len(pairs)
+        out[i] = (len(pairs), lp, math.exp(-lp))
+    return out
+
+
+def test_bigram_logprob_matches_python(spark):
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    train = ["a b c a b", "b c d", "a a b"]
+    score = ["a b c", "d d a", "zz unseen tokens", "solo"]
+    tdf = _df(spark, train)
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_logprob"], r["ppl"])
+        for r in bigram_logprob(tdf, sdf).collect()
+    }
+    want = _py_bigram_scores(train, score)
+    assert set(got) == set(want)
+    for k, (np_, lp, ppl) in want.items():
+        gn, glp, gppl = got[k]
+        assert gn == np_, k
+        if lp is None:
+            assert glp is None and gppl is None
+        else:
+            assert abs(glp - lp) < 1e-9, k
+            assert abs(gppl - ppl) < 1e-9 * max(1.0, ppl), k
+
+
+def test_bigram_logprob_fixture_matches_python(spark, sf_dir):
+    from cr_data_pipeline_project_spark.catalog import table as _table
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    docs = _table(spark, "documents", sf_dir)
+    train = docs.where(docs["source"] != "src6")
+    test = docs.where(docs["source"] == "src6")
+    rows = docs.select("doc_id", "source", "text").collect()
+    train_texts = [r["text"] for r in rows if r["source"] != "src6"]
+    score_rows = [(r["doc_id"], r["text"]) for r in rows if r["source"] == "src6"]
+    ref = _py_bigram_scores(train_texts, [t for _, t in score_rows])
+    ref_by_id = {
+        did: ref[i] for i, (did, _) in enumerate(score_rows)
+    }
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_logprob"])
+        for r in bigram_logprob(train, test).collect()
+    }
+    assert set(got) == set(ref_by_id) and len(got) > 10
+    for did, (np_, lp, _) in ref_by_id.items():
+        assert got[did][0] == np_
+        assert abs(got[did][1] - lp) < 1e-9
+    # sanity: every score sits above the smoothed floor — the lowest
+    # possible per-pair logprob is an unseen bigram after the
+    # most frequent unigram: ln(1 / (max_unigram_count + V))
+    import math
+
+    cu = Counter(" ".join(train_texts).split(" "))
+    floor = math.log(1.0 / (max(cu.values()) + len(cu)))
+    assert all(lp > floor for _, lp in got.values())

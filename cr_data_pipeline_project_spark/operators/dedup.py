@@ -848,7 +848,7 @@ def incremental_neardup_pairs(
     bands: int = 32,
     threshold: float = 0.7,
     seed: int = 42,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
     index_bands: DataFrame | None = None,
     materialize: bool = True,
 ) -> DataFrame:
@@ -881,10 +881,12 @@ def incremental_neardup_pairs(
     time. ``max_bucket`` is a BUILD-time threshold: when
     ``index_bands`` is supplied it was already applied by
     :func:`explode_index_bands` and this function does not re-filter,
-    so a stricter value passed here would silently not apply — a
-    non-default ``max_bucket`` combined with ``index_bands`` raises
-    to make the conflict visible (rebuild the bands table with the
-    new threshold instead).
+    so a value passed here would silently not apply — ``max_bucket``
+    defaults to the ``None`` sentinel (resolved to the build default,
+    1000, when this function builds the bands itself) and ANY
+    explicit value combined with ``index_bands`` raises to make the
+    conflict visible — the threshold is stated in exactly one place,
+    the build call (rebuild the bands table to change it).
 
     ``materialize=True`` (default) eagerly localCheckpoints the
     verified pairs — right for callers that consume the result more
@@ -896,15 +898,17 @@ def incremental_neardup_pairs(
     if index_bands is None:
         # degenerate-bucket guard on the index side (the corpus is
         # the unbounded party): drop buckets beyond max_bucket members
-        idx_bands = explode_index_bands(index, id_col, max_bucket)
+        idx_bands = explode_index_bands(
+            index, id_col, 1000 if max_bucket is None else max_bucket
+        )
     else:
-        if max_bucket != 1000:
+        if max_bucket is not None:
             raise ValueError(
                 "max_bucket is applied at index-bands build time; "
-                "passing a non-default value together with a prebuilt "
-                "index_bands table would silently use the build-time "
-                "threshold — rebuild via explode_index_bands(index, "
-                f"id_col, max_bucket={max_bucket}) instead"
+                "passing it together with a prebuilt index_bands "
+                "table would silently use the build-time threshold — "
+                "rebuild via explode_index_bands(index, id_col, "
+                f"max_bucket={max_bucket}) instead"
             )
         idx_bands = index_bands
 
@@ -1156,21 +1160,26 @@ def fuzzy_blocked_pairs(
         .select("__blk")
     )
     b = b.join(F.broadcast(hot), "__blk", "left_anti")
+    # per-side block aliases: both sides descend from the same parent
+    # `b`, so joining on a shared `__blk` name resolves to ONE
+    # attribute (Spark logs 'trivially true equals predicate' and
+    # falls back to its self-join disambiguation special case) —
+    # distinct names make the equi-key unambiguous by construction
     left = b.select(
         F.col(id_col).alias("doc_a"),
-        F.col("__blk"),
+        F.col("__blk").alias("__blk_a"),
         F.col("__probe").alias("__pa"),
     )
     right = b.select(
         F.col(id_col).alias("doc_b"),
-        F.col("__blk"),
+        F.col("__blk").alias("__blk_b"),
         F.col("__probe").alias("__pb"),
     )
     return (
         left.join(
             right,
-            (left["__blk"] == right["__blk"])
-            & (left["doc_a"] < right["doc_b"]),
+            (F.col("__blk_a") == F.col("__blk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
         .select(
             "doc_a",

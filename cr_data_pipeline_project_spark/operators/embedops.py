@@ -95,10 +95,20 @@ def fit_pca(
     sums (combine order varies in the last ulps; the eigensolve is
     stable far beyond that), eigenvector SIGN is pinned by making
     each component's largest-|coordinate| entry positive."""
-    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if first is None:
+    # dimension = the corpus's MOST COMMON vector size (the pq_fit
+    # convention): sniffing the first row would lock onto a malformed
+    # minority-width vector and silently drop every valid one in the
+    # _moment_sums width guard
+    drow = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("__d"))
+        .count()
+        .orderBy(F.desc("count"), F.col("__d"))
+        .first()
+    )
+    if drow is None:
         raise ValueError("empty corpus: no non-null vectors to fit")
-    dim = len(first[0])
+    dim = int(drow["__d"])
     if k is None:
         k = dim
     m = _moment_sums(df, vec_col, dim)

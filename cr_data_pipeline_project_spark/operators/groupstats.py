@@ -108,3 +108,39 @@ def quantile_buckets(
         + F.when(F.col(value_col).cast("double") > c, 1).otherwise(0),
     )
     return df.withColumn("bucket", bucket.cast("int"))
+
+
+def daily_count_anomaly(daily: DataFrame, z_threshold: int = 2) -> DataFrame:
+    """The exact-integer |z| anomaly gate over per-(event_type, day)
+    counts — ONE implementation shared by the batch q137 report and
+    the streaming snapshot (``streaming/incremental.py:
+    daily_anomaly_snapshot``), so the two serving paths cannot
+    de-synchronize. Input: (event_type, d date, c bigint). The gate
+    (n·c − s)² > z²·(n·q − s²) clears both denominators, so row
+    selection is bit-deterministic cross-engine; the reported z is
+    one IEEE sqrt + division on exact BIGINT moments. Scale: the
+    moment table is |types| rows and broadcasts back; counts
+    partial-combine upstream; no window functions."""
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    nc_s = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .where(
+            (F.col("n") >= 2)
+            & (nc_s * nc_s > F.lit(z_threshold * z_threshold) * var_n2)
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.col("c").alias("n_events"),
+            F.round(
+                nc_s.cast("double") / F.sqrt(var_n2.cast("double")), 4
+            ).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )

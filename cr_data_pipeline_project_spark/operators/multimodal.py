@@ -139,22 +139,13 @@ def decode_wav_features(payload: bytes) -> dict:
     RIFF container, extracts the int16 sample stream, and reduces it
     to audio features — RMS energy, zero-crossing rate, peak
     amplitude (all normalized to [-1, 1] full scale). Mono or
-    interleaved multi-channel; 16-bit PCM."""
-    import io
-    import wave
-
+    interleaved multi-channel; 16-bit PCM. The container parse is
+    :func:`decode_wav_samples` — ONE decoder feeds both the
+    clip-level features here and the frame-level featurizer."""
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        if w.getsampwidth() != 2:
-            raise ValueError(f"expected 16-bit PCM, got {w.getsampwidth()*8}-bit")
-        raw = w.readframes(n)
-    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)
+    sr, x = decode_wav_samples(payload)
+    n = len(x)
     rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
     zcr = (
         float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
@@ -430,8 +421,9 @@ def wav_frame_features(
     one narrow Arrow stage, fan-out is rows-per-clip =
     ⌊(n_samples − frame)/hop⌋ + 1 (metadata-sized rows, not sample
     arrays); downstream aggregates shuffle features only. The numpy
-    framing is one as_strided view + two vector reductions per clip,
-    no Python per-frame loop."""
+    framing is one fancy-index gather + two vector reductions per
+    clip, and rows emit via bulk extends — no Python per-frame
+    loop."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -481,15 +473,15 @@ def wav_frame_features(
                     rms = np.sqrt(np.mean(frames * frames, axis=1))
                     sb = np.signbit(frames).astype(np.int8)
                     zcr = np.abs(np.diff(sb, axis=1)).mean(axis=1)
-                    for i in range(n_frames):
-                        emit(
-                            mid,
-                            i,
-                            i * hop_ms,
-                            float(rms[i]),
-                            float(zcr[i]),
-                            None,
-                        )
+                    # bulk-extend, no per-frame Python loop: a long
+                    # clip fans out to ~10⁵ frames and 6 appends per
+                    # frame would dominate the vectorized kernel
+                    out["media_id"].extend([mid] * n_frames)
+                    out["frame_idx"].extend(range(n_frames))
+                    out["t_ms"].extend(range(0, n_frames * hop_ms, hop_ms))
+                    out["rms"].extend(rms.tolist())
+                    out["zcr"].extend(zcr.tolist())
+                    out["frame_error"].extend([None] * n_frames)
                 except Exception as exc:  # per-row capture by contract
                     emit(mid, None, None, None, None, f"{type(exc).__name__}: {exc}")
             # nullable-int dtypes: error rows carry NULL frame_idx/t_ms,

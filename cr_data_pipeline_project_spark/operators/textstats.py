@@ -30,6 +30,21 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(c, " ")
 
 
+def adjacent_pairs(tok: Column) -> Column:
+    """``struct(a, b)`` per consecutive token bigram — THE pair
+    generator behind q134's counts, q140's BPE rounds and q143's LM
+    scoring (one definition, so the three statistics cannot
+    diverge). zip_with of two slices: whole-stage codegen, no UDF,
+    no join. Callers filter ``size(tok) >= 2`` first (a slice of
+    negative length is an error, not an empty list)."""
+    n = F.size(tok)
+    return F.zip_with(
+        F.slice(tok, 1, n - 1),
+        F.slice(tok, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
 def _count_in(tok: Column, vocab: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(v) for v in vocab])
     return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
@@ -272,22 +287,16 @@ def adjacent_pair_counts(
     al. 2016, public): for every consecutive token bigram, how many
     times it occurs corpus-wide. Returns (first, second, n_pairs).
 
-    Scale: the bigram fan-out is a per-row HOF (zip_with of two
-    slices — whole-stage codegen, no UDF, no join); the only shuffle
-    is the partial-combining count on the pair key. Pair cardinality
-    is vocab-bounded, not corpus-bounded, so the aggregate output
-    stays small even at 100 TB."""
+    Scale: the bigram fan-out is a per-row HOF
+    (:func:`adjacent_pairs`); the only shuffle is the
+    partial-combining count on the pair key. Pair cardinality is
+    vocab-bounded, not corpus-bounded, so the aggregate output stays
+    small even at 100 TB."""
     tok = tokens(text_col)
-    n = F.size(tok)
-    pairs = F.zip_with(
-        F.slice(tok, 1, n - 1),
-        F.slice(tok, 2, n - 1),
-        lambda a, b: F.struct(a.alias("first"), b.alias("second")),
-    )
     return (
-        df.where(n >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.first").alias("first"), F.col("p.second").alias("second"))
+        df.where(F.size(tok) >= 2)
+        .select(F.explode(adjacent_pairs(tok)).alias("p"))
+        .groupBy(F.col("p.a").alias("first"), F.col("p.b").alias("second"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .where(F.col("n_pairs") >= min_count)
     )
@@ -322,15 +331,9 @@ def bpe_learn(
     try:
         merges: list[tuple[str, str, int]] = []
         for _ in range(n_merges):
-            n = F.size("t")
-            pairs = F.zip_with(
-                F.slice("t", 1, n - 1),
-                F.slice("t", 2, n - 1),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
             top = (
-                work.where(n >= 2)
-                .select(F.explode(pairs).alias("p"))
+                work.where(F.size("t") >= 2)
+                .select(F.explode(adjacent_pairs(F.col("t"))).alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .orderBy(F.desc("c"), "a", "b")
@@ -411,15 +414,7 @@ def bigram_logprob(
     n = F.size(tokens(text_col))
     tr_pairs = (
         train.where(n >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice(tokens(text_col), 1, n - 1),
-                    F.slice(tokens(text_col), 2, n - 1),
-                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                )
-            ).alias("p")
-        )
+        .select(F.explode(adjacent_pairs(tokens(text_col))).alias("p"))
         .groupBy(F.col("p.a").alias("__a"), F.col("p.b").alias("__b"))
         .agg(F.count(F.lit(1)).alias("__cb"))
     )
@@ -427,13 +422,7 @@ def bigram_logprob(
 
     sc_pairs = score.where(n >= 2).select(
         F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(tokens(text_col), 1, n - 1),
-                F.slice(tokens(text_col), 2, n - 1),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
-        ).alias("p"),
+        F.explode(adjacent_pairs(tokens(text_col))).alias("p"),
     )
     joined = (
         sc_pairs.join(

@@ -107,12 +107,12 @@ GATE_OVERFLOW: tuple[str, ...] = (
 )
 
 # Newly-added oracled queries queued for their FIRST driver
-# attestation: the window already holds the 41 returners (whose
-# fresh attestation this round is the rotation invariant) plus nine
-# new queries, so additions past nine wait here — registered right
-# AFTER the window (full-surface oracle checks still verify them
-# every round; tools/check_oracle.py + tests/test_oracle_parity.py)
-# and rotated in next round. Distinct from GATE_OVERFLOW on purpose:
+# attestation: the round-6 window is already full (45 returners +
+# the five q116-q120 first-timers), so every oracled query added
+# during round 6 waits here — registered right AFTER the window
+# (full-surface oracle checks still verify them every round;
+# tools/check_oracle.py + tests/test_oracle_parity.py) and rotated
+# in next round. Distinct from GATE_OVERFLOW on purpose:
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).

@@ -1806,32 +1806,18 @@ def q137_daily_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-threshold would flap on ties); the reported z itself is one
     IEEE sqrt + division on exact integer moments. Scale: daily
     counts partial-combine map-side; the moment table is |types|
-    rows and broadcasts back; no window functions at all."""
+    rows and broadcasts back; no window functions at all. The gate
+    itself is operators/groupstats.py:daily_count_anomaly — the SAME
+    code the streaming snapshot serves, so batch and streaming
+    cannot de-synchronize."""
+    from ..operators.groupstats import daily_count_anomaly
+
     ev = table(spark, "events", sf_dir)
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("d"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    m = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("q"),
-    )
-    nc_s = F.col("n") * F.col("c") - F.col("s")
-    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    return (
-        daily.join(F.broadcast(m), "event_type")
-        .where((F.col("n") >= 2) & (nc_s * nc_s > F.lit(4) * var_n2))
-        .select(
-            "event_type",
-            F.col("d").cast("string").alias("day"),
-            F.col("c").alias("n_events"),
-            F.round(
-                nc_s.cast("double") / F.sqrt(var_n2.cast("double")), 4
-            ).alias("z"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return daily_count_anomaly(daily, z_threshold=2)
 
 
 @q(

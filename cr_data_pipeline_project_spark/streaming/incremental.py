@@ -1044,29 +1044,11 @@ def daily_anomaly_snapshot(
     same exact-BIGINT |z| gate — (n·c − s)² > z²·(n·q − s²) — and
     report z from one IEEE sqrt + division. Column-for-column the
     batch query's twin (asserted in tests), so a migration from
-    batch recompute to streaming maintenance changes no consumer."""
+    batch recompute to streaming maintenance changes no consumer —
+    the gate IS the batch query's implementation
+    (operators/groupstats.py:daily_count_anomaly), not a copy."""
+    from ..operators.groupstats import daily_count_anomaly
+
     part = spark.read.parquet(partials_path)
     daily = part.groupBy("event_type", "d").agg(F.sum("c").alias("c"))
-    m = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("q"),
-    )
-    nc_s = F.col("n") * F.col("c") - F.col("s")
-    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    return (
-        daily.join(F.broadcast(m), "event_type")
-        .where(
-            (F.col("n") >= 2)
-            & (nc_s * nc_s > F.lit(z_threshold * z_threshold) * var_n2)
-        )
-        .select(
-            "event_type",
-            F.col("d").cast("string").alias("day"),
-            F.col("c").alias("n_events"),
-            F.round(
-                nc_s.cast("double") / F.sqrt(var_n2.cast("double")), 4
-            ).alias("z"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return daily_count_anomaly(daily, z_threshold=z_threshold)

@@ -181,7 +181,8 @@ def main() -> None:
         "--only",
         default=None,
         help="comma-separated probe subset (reuses the cached corpus; "
-        "results for other probes must be merged from a prior full run)",
+        "unprobed queries keep their rows from an existing --out file "
+        "— the subset MERGES instead of clobbering the full sweep)",
     )
     args = ap.parse_args()
 
@@ -222,6 +223,14 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"--only names unknown queries: {sorted(unknown)}")
         probes = [n for n in PROBES if n in only] + sorted(only - set(PROBES))
+        # a subset run MERGES into an existing results file — a
+        # forgotten --out must not clobber a full sweep with a
+        # one-query file
+        try:
+            with open(args.out) as f:
+                out["queries"].update(json.load(f).get("queries", {}))
+        except (OSError, ValueError):
+            pass
     for name in probes:
         fn = qs[name]
         rec: dict = {}

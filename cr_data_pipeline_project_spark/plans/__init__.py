@@ -133,6 +133,10 @@ GATE_PENDING: tuple[str, ...] = (
     "q137_daily_event_anomaly",
     "q139_wav_frame_inventory",
     "q142_customer_order_distribution",
+    "q144_event_cube",
+    "q145_daily_matrix_unpivot",
+    "q146_audience_except_all",
+    "q147_forward_fill",
 )
 
 

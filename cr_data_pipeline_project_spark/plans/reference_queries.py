@@ -1863,3 +1863,167 @@ def q142_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n_custs"))
         .orderBy(F.desc("n_custs"), F.desc("c_count"))
     )
+
+
+@q(
+    "q144_event_cube",
+    """
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                ELSE event_type END AS event_type,
+           CASE WHEN GROUPING(d) = 1 THEN 'ALL'
+                ELSE CAST(d AS VARCHAR) END AS day,
+           COUNT(*)::BIGINT AS n_events,
+           (SUM(value::DECIMAL(28,6)))::DOUBLE AS value_total
+    FROM (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events) t
+    GROUP BY CUBE (event_type, d)
+    ORDER BY event_type, day
+    """,
+)
+def q144_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: event counts and value totals at every
+    marginalization level — (type, day), per type, per day, and the
+    grand total — in ONE pass (the OLAP dashboard's entire drill
+    hierarchy materialized at once). Exercises the Expand operator
+    (each input row fans to its 4 grouping sets BEFORE the aggregate,
+    which then partial-combines normally — no extra scan per level).
+    GROUPING() distinguishes a real NULL key from a marginal row, the
+    portable-cube idiom both engines share; decimal value sums keep
+    the hash exact."""
+    ev = table(spark, "events", sf_dir).select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    )
+    g = ev.cube("event_type", "d").agg(
+        # grouping() must live inside the cube's own aggregate
+        # (Spark resolves it against the grouping-set id there)
+        F.grouping("event_type").alias("__gt"),
+        F.grouping("d").alias("__gd"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("value_total"),
+    )
+    return g.select(
+        F.when(F.col("__gt") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("__gd") == 1, F.lit("ALL"))
+        .otherwise(F.col("d").cast("string"))
+        .alias("day"),
+        "n_events",
+        "value_total",
+    ).orderBy("event_type", "day")
+
+
+@q(
+    "q145_daily_matrix_unpivot",
+    """
+    WITH wide AS (
+        SELECT CAST(ts AS DATE) AS d,
+               (COUNT(*) FILTER (WHERE event_type = 'click'))::BIGINT
+                   AS click,
+               (COUNT(*) FILTER (WHERE event_type = 'view'))::BIGINT
+                   AS view,
+               (COUNT(*) FILTER (WHERE event_type = 'purchase'))::BIGINT
+                   AS purchase
+        FROM events GROUP BY d)
+    SELECT CAST(d AS VARCHAR) AS day, event_type, n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (click, view, purchase))
+    ORDER BY day, event_type
+    """,
+)
+def q145_daily_matrix_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long re-shaping (UNPIVOT/melt): the per-day engagement
+    matrix (one column per event type, q67's pivot shape) melted back
+    to tidy (day, event_type, n) rows — the transformation every
+    BI-export / feature-store boundary needs in BOTH directions, and
+    the relational operator (Spark's ``unpivot``/``melt``, the
+    Expand-based inverse of pivot) nothing else on the surface
+    exercises. Scale: the wide matrix is |days| rows (already
+    aggregated); unpivot is a narrow per-row fan-out of exactly
+    |value columns|, no shuffle."""
+    ev = table(spark, "events", sf_dir)
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+                for t in ("click", "view", "purchase")
+            ]
+        )
+    )
+    return (
+        wide.unpivot(
+            ["d"], ["click", "view", "purchase"], "event_type", "n"
+        )
+        .select(F.col("d").cast("string").alias("day"), "event_type", "n")
+        .orderBy("day", "event_type")
+    )
+
+
+@q(
+    "q146_audience_except_all",
+    """
+    WITH diff AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, COUNT(*)::BIGINT AS surplus_clicks
+    FROM diff GROUP BY user_id
+    ORDER BY surplus_clicks DESC, user_id
+    """,
+)
+def q146_audience_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set difference (EXCEPT ALL): per user, click
+    events surviving after cancelling one-for-one against purchase
+    events — the multiset arithmetic behind exposure-vs-conversion
+    surplus counts, where q68's DISTINCT set-ops would collapse
+    every user to 0/1. Exercises ``exceptAll`` (Spark plans it as a
+    count-difference generate, not an anti-join). The surviving bag
+    is re-aggregated so the output is deterministic (bag order is
+    not)."""
+    ev = table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.exceptAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("surplus_clicks"))
+        .orderBy(F.desc("surplus_clicks"), "user_id")
+    )
+
+
+@q(
+    "q147_forward_fill",
+    """
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM events
+    """,
+)
+def q147_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (LOCF — last observation carried
+    forward): 'error' events report no trustworthy reading, so each
+    takes the user's most recent valid value; leading errors stay
+    NULL — the gap-filling primitive of sensor/metrics pipelines and
+    the IGNORE NULLS window mode (Spark ``last(col,
+    ignorenulls=True)``) nothing else on the surface exercises.
+    Exactness: values are carried verbatim (no arithmetic), so the
+    hash matches bit-for-bit. Scale: one window partitioned by
+    user_id — millions of small independent partitions, same shuffle
+    class as q133 (sessionize shares the key)."""
+    ev = table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    valid = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(valid, ignorenulls=True).over(w).alias("filled_value"),
+    )

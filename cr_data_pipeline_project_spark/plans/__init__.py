@@ -137,6 +137,13 @@ GATE_PENDING: tuple[str, ...] = (
     "q145_daily_matrix_unpivot",
     "q146_audience_except_all",
     "q147_forward_fill",
+    "q148_top_supplier_revenue",
+    "q149_small_quantity_revenue",
+    "q150_disjunctive_parts_revenue",
+    "q151_waiting_suppliers",
+    "q152_idle_premium_customers",
+    "q153_inverted_postings",
+    "q155_ewma_lag_chain",
 )
 
 

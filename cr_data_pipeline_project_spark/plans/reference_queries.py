@@ -2027,3 +2027,368 @@ def q147_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(valid, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@q(
+    "q148_top_supplier_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q148_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose
+    discounted revenue over one quarter equals the maximum of the
+    per-supplier revenue aggregate — the aggregate-then-scalar-MAX-
+    over-the-same-aggregate shape (Q15's CREATE VIEW + WHERE
+    total_revenue = (SELECT MAX ...)) the surface lacks; ties all
+    surface, per spec. Exactness: revenue is a decimal sum cast to
+    double once, so the equality against its own MAX compares
+    identical bit patterns in both engines. Scale: the quarter
+    filter pushes to the lineitem scan; the per-supplier aggregate
+    partial-combines to |suppliers| rows; the 1-row MAX broadcasts
+    back over that tiny aggregate (no second lineitem pass — the
+    plan reuses the grouped result), and supplier broadcasts."""
+    li = table(spark, "lineitem", sf_dir)
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dec_sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("__top"))
+    su = table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev["total_revenue"] == top["__top"])
+        .join(F.broadcast(su), F.col("supplier_no") == su["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q149_small_quantity_revenue",
+    """
+    WITH target AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'),
+    thr AS (
+        SELECT l_partkey,
+               0.2 * ((SUM(l_quantity::DECIMAL(28,6)))::DOUBLE
+                      / COUNT(*)) AS qty_thr
+        FROM lineitem JOIN target ON l_partkey = p_partkey
+        GROUP BY l_partkey)
+    SELECT (SUM(l_extendedprice::DECIMAL(28,6)))::DOUBLE / 7.0
+               AS avg_yearly,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem JOIN thr USING (l_partkey)
+    WHERE l_quantity < qty_thr
+    """,
+)
+def q149_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: for one
+    brand+type slice of parts, the yearly-averaged revenue of line
+    items whose quantity is below 20% of that part's average ordered
+    quantity — the correlated scalar-AVG-subquery shape (decorrelated
+    to an aggregate + self-join on l_partkey, exactly how engines
+    plan Q17). Exactness: the threshold is decimal-sum/count then
+    one fixed float chain (x0.2), identical in both engines, and the
+    output sum is decimal. Scale: the part slice broadcasts as a
+    semi-join gate BEFORE the per-part aggregate, so only the target
+    parts' line items aggregate; the self-join is per-part
+    (co-partitioned on l_partkey) and the final result is one row."""
+    pa = (
+        table(spark, "part", sf_dir)
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sliced = li.join(
+        F.broadcast(pa), li["l_partkey"] == pa["p_partkey"], "left_semi"
+    )
+    thr = sliced.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                _dec_sum("l_quantity").cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thr")
+    )
+    small = sliced.join(thr, "l_partkey").where(
+        F.col("l_quantity") < F.col("qty_thr")
+    )
+    return small.agg(
+        (_dec_sum("l_extendedprice").cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "q150_disjunctive_parts_revenue",
+    """
+    SELECT (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+               AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q150_disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate revenue: an OR of three
+    conjunctive brand/size/quantity clauses spanning BOTH join sides
+    — the shape that defeats naive predicate pushdown (no single
+    conjunct can move below the join whole). Catalyst still extracts
+    the common per-side implications (p_size >= 1; quantity within
+    the union range) and pushes those, evaluating the full
+    disjunction post-probe — the documented Q19 plan in every
+    cost-based engine. Scale: part broadcasts (3-column projection),
+    lineitem never shuffles, and the answer is one row of decimal
+    sums."""
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pa = table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(clause).agg(
+        _dec_sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "q151_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1),
+    sole AS (
+        SELECT l_orderkey FROM late
+        GROUP BY l_orderkey HAVING COUNT(*) = 1)
+    SELECT s_name, COUNT(*)::BIGINT AS numwait
+    FROM late
+    JOIN sole  USING (l_orderkey)
+    JOIN multi USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q151_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: in
+    multi-supplier orders, the supplier who was the ONLY late one
+    (shipdate > orderdate + 60 days; the fixture carries no
+    commit/receipt dates) — Q21's double-correlated EXISTS('another
+    supplier') + NOT EXISTS('another LATE supplier') rewritten as
+    aggregates: |late suppliers per order| = 1 and |suppliers per
+    order| > 1 are the same predicates without the two correlated
+    probes (the q129 entry keeps the raw EXISTS plan shape; this
+    entry documents the rewrite an optimizer targets at scale, one
+    pass over lineitem per distinct-count instead of two correlated
+    re-scans). Scale: every join key is l_orderkey — the late/multi/
+    sole legs co-partition and AQE collapses them into one exchange
+    reuse; supplier broadcasts; output ≤ |suppliers| rows, top-20
+    with the name tie-break."""
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__ns"))
+        .where(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__nl"))
+        .where(F.col("__nl") == 1)
+        .select("l_orderkey")
+    )
+    su = table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        late.join(sole, "l_orderkey", "left_semi")
+        .join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(su), late["l_suppkey"] == su["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@q(
+    "q152_idle_premium_customers",
+    """
+    WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0),
+    thr AS (
+        SELECT (SUM(c_acctbal::DECIMAL(28,6)))::DOUBLE / COUNT(*) AS bal_thr
+        FROM pos)
+    SELECT n_name, COUNT(*)::BIGINT AS n_custs,
+           (SUM(c_acctbal::DECIMAL(28,6)))::DOUBLE AS total_bal
+    FROM customer c
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN thr
+    WHERE c_acctbal > bal_thr
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q152_idle_premium_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle premium customers: per nation, customers
+    whose balance exceeds the positive-balance average but who placed
+    no order in the final data year — Q22's global-scalar-AVG +
+    NOT-EXISTS(anti-join) combination (the fixture has no phone
+    country codes, so nations stand in, and every customer has SOME
+    order, so idleness is date-scoped). Exactness: the threshold is
+    one decimal-sum/count chain; balance totals are decimal sums.
+    Scale: the 1-row threshold cross-joins as a broadcast below the
+    filter; the anti-join's right side carries only recent orders'
+    o_custkey (filter pushed to the scan); nation broadcasts; output
+    is ≤ 25 rows."""
+    cu = table(spark, "customer", sf_dir)
+    thr = (
+        cu.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                _dec_sum("c_acctbal").cast("double") / F.count(F.lit(1))
+            ).alias("bal_thr")
+        )
+    )
+    recent = (
+        table(spark, "orders", sf_dir)
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    na = table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        cu.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("bal_thr"))
+        .join(recent, cu["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dec_sum("c_acctbal").cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "q155_ewma_lag_chain",
+    """
+    WITH lagged AS (
+        SELECT event_id, user_id, value,
+               LAG(value, 1) OVER w AS l1,
+               LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           (value + 0.5*COALESCE(l1, 0) + 0.25*COALESCE(l2, 0)
+                  + 0.125*COALESCE(l3, 0))
+           / (1.0 + CASE WHEN l1 IS NULL THEN 0 ELSE 0.5   END
+                  + CASE WHEN l2 IS NULL THEN 0 ELSE 0.25  END
+                  + CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END)
+               AS smoothed
+    FROM lagged
+    """,
+)
+def q155_ewma_lag_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing via an explicit lag chain:
+    per user, each reading smoothed against its three predecessors
+    with α=1/2 geometric weights, normalized by the weight mass of
+    the lags that exist (so the first readings of a user are
+    smoothed over what IS there, not biased toward zero) — the
+    metric-smoothing / trend-extraction primitive of monitoring and
+    feature pipelines, expressed as a FIXED chain the engines agree
+    on bit-for-bit. Exactness: the weights are exact binary
+    fractions (2⁻¹, 2⁻², 2⁻³ — multiplication is an exponent shift,
+    no rounding), the additions run in identical textual order, and
+    the normalization is one IEEE division; unlike a windowed SUM,
+    no combine-order freedom exists anywhere. Scale: one user_id
+    hash exchange serves all three lags (same window spec), the same
+    shuffle class as q133/q147; an unbounded-α EWMA (true recursive
+    filter) needs applyInPandasWithState — this truncated form is
+    the declarative 99%-of-the-mass answer (2⁻⁴ tail < 7%)."""
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2, l3 = (F.lag("value", i).over(w) for i in (1, 2, 3))
+    num = (
+        F.col("value")
+        + F.lit(0.5) * F.coalesce(l1, F.lit(0.0))
+        + F.lit(0.25) * F.coalesce(l2, F.lit(0.0))
+        + F.lit(0.125) * F.coalesce(l3, F.lit(0.0))
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(l1.isNull(), F.lit(0.0)).otherwise(F.lit(0.5))
+        + F.when(l2.isNull(), F.lit(0.0)).otherwise(F.lit(0.25))
+        + F.when(l3.isNull(), F.lit(0.0)).otherwise(F.lit(0.125))
+    )
+    return ev.select(
+        "event_id", "user_id", (num / den).alias("smoothed")
+    )

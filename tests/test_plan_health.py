@@ -5,6 +5,8 @@ data-size independent for these checks (pushdown, broadcast
 strategy, absence of cartesian products), which is exactly why they
 can gate at fixture scale."""
 
+from pathlib import Path
+
 import pytest
 
 from cr_data_pipeline_project_spark.plans import all_queries
@@ -26,14 +28,18 @@ def _formatted(spark, name):
     )
 
 
-# Queries allowed to contain a nested-loop join: scalar-subquery
-# denominators (1-row broadcast) and the point-in-interval range
-# join (broadcast O(100)-row interval dim).
+# Queries allowed to contain a BroadcastNestedLoopJoin: scalar-
+# subquery denominators / thresholds (1-row broadcast), literal
+# probe/centroid sets (O(k·dim) broadcast), and the point-in-
+# interval range join (broadcast O(100)-row interval dim). Enforced
+# below against the committed plan dumps (docs/plans/*.txt, which
+# tools/explain_plans.py regenerates) so a refactor that introduces
+# an unbounded nested loop anywhere on the surface fails CI.
 NESTED_LOOP_OK = {
-    "q02_brand_usage_wins",
+    "q02_brand_usage_wins",  # scalar total denominator
     "q04_recent_rankings_top100",
     "q15_range_join_season",
-    "q22_priority_share",
+    "q22_priority_share",  # scalar total denominator
     "q55_curation_pipeline",
     "q56_asof_join",
     "q74_kmeans_ivf_topk",  # k×dim centroid literal cross
@@ -41,7 +47,45 @@ NESTED_LOOP_OK = {
     "q42_ann_ivf_topk",  # nprobe probe set vs centroids
     "q36_ann_bruteforce_topk",  # broadcast query set by contract
     "q37_embedding_neardup",  # block-combo equi-join only
+    "q84_incremental_neardup",  # 1-row bucket-threshold broadcast
+    "q85_tfidf_float_scores",  # 1-row corpus-size N broadcast
+    "q100_cluster_balanced_sample",  # 1-row quota broadcast
+    "q101_token_budget_apportion",  # 1-row global-budget broadcast
+    "q104_neardup_probe",  # 1-row bucket-threshold broadcast
+    "q106_scd2_asof_snapshot",  # 1-row as-of timestamp broadcast
+    "q108_verbatim_decontamination",  # probe-array literal broadcast
+    "q111_contamination_report",  # probe-array literal broadcast
+    "q119_stickiness_dau_wau",  # day-spine literal broadcast
+    "q126_source_token_mix",  # 1-row corpus-total broadcast
+    "q128_rolling_distinct_sketch",  # day-spine literal broadcast
+    "q132_token_cooccurrence",  # 1-row doc-count broadcast
+    "q152_idle_premium_customers",  # 1-row balance-threshold broadcast
+    "q154_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
 }
+
+_PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"
+
+
+def test_no_cartesian_product_any_dump():
+    """NO query on the surface may plan a CartesianProduct — checked
+    across every committed plan dump."""
+    dumps = sorted(_PLAN_DUMP_DIR.glob("*.txt"))
+    assert len(dumps) >= 140, "plan dumps missing — run tools/explain_plans.py"
+    offenders = [p.stem for p in dumps if "CartesianProduct" in p.read_text()]
+    assert not offenders, offenders
+
+
+def test_nested_loop_only_where_allowlisted():
+    """BroadcastNestedLoopJoin may appear only in queries whose
+    build side is a 1-row scalar / bounded literal by construction
+    (NESTED_LOOP_OK) — checked across every committed plan dump."""
+    offenders = [
+        p.stem
+        for p in sorted(_PLAN_DUMP_DIR.glob("*.txt"))
+        if "BroadcastNestedLoopJoin" in p.read_text()
+        and p.stem not in NESTED_LOOP_OK
+    ]
+    assert not offenders, offenders
 
 
 @pytest.mark.parametrize(

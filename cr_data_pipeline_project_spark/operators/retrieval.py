@@ -1,0 +1,142 @@
+"""Sparse lexical retrieval: inverted-index postings and BM25
+ranking over the document corpus.
+
+The reference stores raw documents and serves exact-match scans
+(api_requests.py:21-60's fetch-then-filter loop); a training-data
+engine additionally needs *ranked* retrieval — "which documents
+match this query, best first" — both to serve data-exploration
+queries and to mine hard negatives / near-matches for curation.
+This module is the classic two-piece stack:
+
+- ``postings``: the inverted index, (term, doc_id, tf) — built with
+  explode + groupBy only, so the build is one shuffle on (term,
+  doc_id) and stays inside whole-stage codegen.
+- ``bm25_topk``: Okapi BM25 (Robertson/Sparck Jones; the Lucene
+  ``k1``/``b`` parameterization with the +1-smoothed idf) evaluated
+  as pure column expressions over the postings of the QUERY TERMS
+  ONLY — the term filter is applied before the tf aggregate, so a
+  4-term query aggregates 4 posting lists, never the whole index.
+
+Scale notes (100 TB corpus):
+- The query-term filter pushes below the tf groupBy: only rows whose
+  term is in the query ever shuffle. Posting lists for common terms
+  are the residual hot spot — exactly the real engine's problem —
+  and cap out at |docs containing t|, never |corpus tokens|.
+- N / avgdl / per-term df are 1-row / |query|-row aggregates that
+  broadcast back; the final per-doc score sum shuffles (doc_id,
+  partial score) pairs for candidate docs only.
+- For a standing index, materialize ``postings`` once (hive-
+  partitioned or bucketed by term) and pass it in — every query then
+  prunes to its terms' partitions; the build never reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index posting rows ``(term, doc_id, tf)``.
+
+    Tokenization matches the corpus-wide convention (q70/q75):
+    lowercase, single-space split, empty tokens dropped.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token count ``(doc_id, dl)`` — computed as a
+    size(filter(split(...))) expression, no explode/shuffle."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    dl = F.size(F.filter(toks, lambda t: t != ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), dl.cast("bigint").alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under Okapi BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    ``index`` (optional) is a prebuilt ``postings`` table — the
+    standing-index serve path; when omitted the index is derived
+    inline (correct, but rebuilds per query — bench/serve deployments
+    should materialize it). Returns (doc_id, score, n_terms_hit)
+    ranked by score desc with doc_id as the deterministic tie-break.
+
+    Rows-only by design: idf is ``ln`` and the per-doc sum is a
+    float aggregate — both engine-ULP-dependent (the q85 precedent);
+    ``tests/test_retrieval.py`` pins parity against an independent
+    DuckDB computation with a 1e-9 relative tolerance instead.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    p = index if index is not None else postings(
+        docs, id_col=id_col, text_col=text_col
+    )
+    qp = p.where(F.col("term").isin([t.lower() for t in query_terms]))
+    dls = doc_lengths(docs, id_col=id_col, text_col=text_col)
+    # 1-row corpus stats, broadcast by the scalar-subquery pattern.
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    dfreq = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    )
+    scored = (
+        qp.join(F.broadcast(dfreq), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("__c"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

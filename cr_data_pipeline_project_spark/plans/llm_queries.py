@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..operators import dedup, multimodal, mutations, similarity, textstats
+from ..operators import (
+    dedup,
+    multimodal,
+    mutations,
+    retrieval,
+    similarity,
+    textstats,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -3638,4 +3645,66 @@ def q143_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round("avg_logprob", 6).alias("avg_logprob"),
         F.round("ppl", 4).alias("ppl"),
+    )
+
+
+@q(
+    "q153_inverted_postings",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+    p AS (
+        SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+        FROM tok WHERE term <> '' GROUP BY term, doc_id),
+    d AS (SELECT term, COUNT(*)::BIGINT AS df FROM p GROUP BY term)
+    SELECT term, doc_id, tf, df
+    FROM p JOIN d USING (term)
+    ORDER BY df DESC, term, doc_id
+    LIMIT 200
+    """,
+)
+def q153_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/retrieval.py:postings): the
+    (term, doc_id, tf) posting rows with each term's document
+    frequency attached — the standing index behind q154's BM25 serve
+    path, surfaced here from its hottest (highest-df) end. The
+    reference serves lookups by re-scanning raw JSON
+    (api_requests.py:21-60); an index build is the scale answer.
+    Exactness: every column is an integer count. Scale: one explode
+    + (term, doc_id) aggregate — the tf groupBy partial-combines
+    map-side; the df join co-partitions on term with the aggregate
+    that produced it (one exchange, reused); a deployment
+    materializes this bucketed by term so query-time scans prune to
+    the query's terms."""
+    docs = table(spark, "documents", sf_dir)
+    p = retrieval.postings(docs)
+    d = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        p.join(d, "term")
+        .select("term", "doc_id", "tf", "df")
+        .orderBy(F.desc("df"), "term", "doc_id")
+        .limit(200)
+    )
+
+
+@q("q154_bm25_topk")  # rows-only: ln() idf + float score sum (q85 precedent)
+def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.py:bm25_topk):
+    top-25 documents for a 4-term bag-of-words query under Okapi
+    BM25 (k1=1.2, b=0.75, Lucene's +1-smoothed idf) — the lexical
+    ranking half of every retrieval/curation stack (the embedding
+    half is q36/q110). Rows-only by design: idf is ln() and the
+    per-doc sum float-combines (q85 precedent);
+    tests/test_retrieval.py pins scores against an independent
+    DuckDB BM25 at 1e-9 relative and asserts the exact top-k ids.
+    Scale: the query-term filter sits BELOW the tf aggregate, so
+    exactly four posting lists shuffle; corpus stats are a 1-row
+    broadcast; ranking output is k rows."""
+    docs = table(spark, "documents", sf_dir)
+    out = retrieval.bm25_topk(
+        docs, ["spark", "join", "window", "vector"], k=25
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_terms_hit"
     )

@@ -1,0 +1,93 @@
+"""BM25 retrieval (operators/retrieval.py): score parity against an
+independent pandas recomputation, index-reuse equivalence, and the
+posting-build contract q153's oracle can't see (full-table shape)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from cr_data_pipeline_project_spark.operators import retrieval
+from cr_data_pipeline_project_spark.plans import all_queries
+
+
+def _reference_bm25(sf_dir, terms, k1=1.2, b=0.75):
+    """Independent BM25: pandas + math.log, no Spark code shared."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    tok = docs.assign(toks=docs["text"].str.lower().str.split(" "))
+    tok["toks"] = tok["toks"].map(lambda ts: [t for t in ts if t])
+    dl = tok.set_index("doc_id")["toks"].map(len)
+    avgdl = dl.sum() / len(dl)
+    n_docs = len(docs)
+    scores: dict[int, float] = {}
+    hits: dict[int, int] = {}
+    for term in terms:
+        tf = tok.set_index("doc_id")["toks"].map(
+            lambda ts: sum(1 for t in ts if t == term)
+        )
+        tf = tf[tf > 0]
+        df = len(tf)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for doc_id, f in tf.items():
+            norm = k1 * (1.0 - b + b * dl.loc[doc_id] / avgdl)
+            contrib = idf * (f * (k1 + 1.0) / (f + norm))
+            scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+            hits[doc_id] = hits.get(doc_id, 0) + 1
+    return scores, hits
+
+
+TERMS = ["spark", "join", "window", "vector"]
+
+
+def test_bm25_scores_match_reference(spark, sf_dir):
+    rows = all_queries()["q154_bm25_topk"](spark, sf_dir).collect()
+    assert rows
+    want_scores, want_hits = _reference_bm25(sf_dir, TERMS)
+    for r in rows:
+        want = want_scores[r["doc_id"]]
+        assert abs(r["score"] - want) <= 1e-6 * max(1.0, abs(want)), (
+            r,
+            want,
+        )
+        assert r["n_terms_hit"] == want_hits[r["doc_id"]], r
+    # exact top-k id sequence under the (score desc, doc_id) order
+    ranked = sorted(
+        want_scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0])
+    )
+    assert [r["doc_id"] for r in rows] == [d for d, _ in ranked[: len(rows)]]
+
+
+def test_bm25_prebuilt_index_equals_inline(spark, sf_dir):
+    """The standing-index serve path (postings materialized once,
+    passed via ``index=``) returns the identical ranking."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inline = retrieval.bm25_topk(docs, TERMS, k=10).collect()
+    idx = retrieval.postings(docs)
+    served = retrieval.bm25_topk(docs, TERMS, k=10, index=idx).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in served]
+
+
+def test_bm25_query_terms_required(spark):
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(None, [])
+
+
+def test_postings_tf_totals_match_doc_lengths(spark, sf_dir):
+    """Σ tf over a doc's postings == its token count (nothing lost
+    or double-counted by the (term, doc) aggregate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = (
+        retrieval.postings(docs)
+        .groupBy("doc_id")
+        .sum("tf")
+        .withColumnRenamed("sum(tf)", "total")
+    )
+    dls = retrieval.doc_lengths(docs)
+    bad = (
+        p.join(dls, "doc_id")
+        .where(p["total"] != dls["dl"])
+        .count()
+    )
+    assert bad == 0

@@ -129,6 +129,17 @@ def synth_big(spark, src_sf: str, replicas: int = 10) -> None:
             os.path.join(SYN_DIR, f"{tname}.parquet")
         )
 
+    # Dimension tables stay fixture-sized on purpose (the shape a
+    # growing warehouse has: facts grow, dims don't) — orders keep
+    # their o_custkey and lineitem its l_suppkey un-offset, so every
+    # replica's facts join 1:1 into the SAME dim rows; per-dim-row
+    # fan-in grows with N, which is exactly the stress the q135/q151
+    # probes should see.
+    for tname in ("customer", "supplier", "nation", "region"):
+        table(spark, tname, src_sf).write.mode("overwrite").parquet(
+            os.path.join(SYN_DIR, f"{tname}.parquet")
+        )
+
 
 # Every bench query ≥1 s at sf0.1 is probed (round-5 verdict #8),
 # plus the historical sublinearity witnesses. q84 was retired with
@@ -170,6 +181,16 @@ PROBES = [
     "q111_contamination_report",
     "q112_neardup_dedup_export",
     "q118_grouped_correlation",
+    # round-6 late additions: every ≥1 s bench entry from the
+    # q127-q155 batches (q140/q141 are the two slowest on the whole
+    # surface), plus the dim-join analytics that crossed 1 s.
+    "q140_bpe_vocab_learn",
+    "q141_opq_pq_reconstruction",
+    "q151_waiting_suppliers",
+    "q130_promo_revenue_share",
+    "q135_volume_shipping",
+    "q77_cluster_centroid_sums",
+    "q46_rollup",
 ]
 
 
@@ -196,7 +217,7 @@ def main() -> None:
     # generation — a run with different --replicas or an older corpus
     # lacking the TPC-H tables regenerates instead of silently
     # reusing it
-    marker = os.path.join(SYN_DIR, f".replicas_{args.replicas}_tpch")
+    marker = os.path.join(SYN_DIR, f".replicas_{args.replicas}_tpch_dims")
     if not os.path.exists(marker):
         print(f"synthesizing {args.replicas}x corpus ...", file=sys.stderr)
         import shutil

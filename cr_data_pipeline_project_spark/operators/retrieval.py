@@ -32,6 +32,8 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+from collections import Counter
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -93,18 +95,24 @@ def bm25_topk(
     inline (correct, but rebuilds per query — bench/serve deployments
     should materialize it). Returns (doc_id, score, n_terms_hit)
     ranked by score desc with doc_id as the deterministic tie-break.
+    Repeated query terms weight that term's contribution by its
+    query-side frequency (classic bag-of-words BM25: each query-term
+    occurrence scores); ``n_terms_hit`` counts DISTINCT terms hit.
 
     Rows-only by design: idf is ``ln`` and the per-doc sum is a
     float aggregate — both engine-ULP-dependent (the q85 precedent);
     ``tests/test_retrieval.py`` pins parity against an independent
-    DuckDB computation with a 1e-9 relative tolerance instead.
+    pandas/math reference at 1e-6 absolute-relative tolerance on the
+    6-decimal-rounded scores q154 emits, plus the exact ranked id
+    sequence.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    qtf = Counter(t.lower() for t in query_terms)
     p = index if index is not None else postings(
         docs, id_col=id_col, text_col=text_col
     )
-    qp = p.where(F.col("term").isin([t.lower() for t in query_terms]))
+    qp = p.where(F.col("term").isin(list(qtf)))
     dls = doc_lengths(docs, id_col=id_col, text_col=text_col)
     # 1-row corpus stats, broadcast by the scalar-subquery pattern.
     stats = dls.agg(
@@ -122,7 +130,11 @@ def bm25_topk(
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
-    contrib = idf * (
+    # Literal term -> query-tf map: a constant-folded lookup, no join.
+    wmap = F.create_map(
+        *[F.lit(v) for t, n_q in qtf.items() for v in (t, float(n_q))]
+    )
+    contrib = F.element_at(wmap, F.col("term")) * idf * (
         F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
     )
     scored = (

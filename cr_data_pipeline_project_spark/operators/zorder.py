@@ -48,12 +48,27 @@ def quantize_cols(
     scalars). Monotone by construction, which is all the curve
     needs."""
     n = 2**bits
+    # NaN-safe bounds: Spark's max() orders NaN above every real
+    # value, so an unguarded max over a double column with NaNs
+    # would make span NaN and every rank NULL — quantize over the
+    # finite values only (NaN rows clamp to the top rank below).
+    floating = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
+    }
+    def _finite(c: str):
+        col = F.col(c)
+        return F.when(~F.isnan(col), col) if c in floating else col
     stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
+        *[F.min(_finite(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(_finite(c)).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     out = []
     for c in cols:
+        if stats[f"mn_{c}"] is None:
+            raise ValueError(
+                f"z-order column {c!r} has no non-null finite values; "
+                "drop it from cols or filter the frame first"
+            )
         mn = float(stats[f"mn_{c}"])
         mx = float(stats[f"mx_{c}"])
         span = (mx - mn) or 1.0
@@ -75,6 +90,12 @@ def morton_key(ranks: list[Column], bits: int = 8) -> Column:
     constant chain of shift/and/or expressions (d·bits terms) that
     Catalyst constant-folds into straight-line codegen."""
     d = len(ranks)
+    if d * bits > 63:
+        raise ValueError(
+            f"{d} cols x {bits} bits = {d * bits} key bits > 63: the "
+            "interleaved key would overflow into the bigint sign bit "
+            "and break curve ordering — lower bits or drop columns"
+        )
     terms = []
     for j, r in enumerate(ranks):
         for i in range(bits):

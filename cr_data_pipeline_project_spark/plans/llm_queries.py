@@ -3697,7 +3697,8 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     half is q36/q110). Rows-only by design: idf is ln() and the
     per-doc sum float-combines (q85 precedent);
     tests/test_retrieval.py pins scores against an independent
-    DuckDB BM25 at 1e-9 relative and asserts the exact top-k ids.
+    pandas/math BM25 at 1e-6 on the 6-dp-rounded scores emitted
+    here and asserts the exact top-k id sequence.
     Scale: the query-term filter sits BELOW the tf aggregate, so
     exactly four posting lists shuffle; corpus stats are a 1-row
     broadcast; ranking output is k rows."""

@@ -2056,9 +2056,11 @@ def q148_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     double once, so the equality against its own MAX compares
     identical bit patterns in both engines. Scale: the quarter
     filter pushes to the lineitem scan; the per-supplier aggregate
-    partial-combines to |suppliers| rows; the 1-row MAX broadcasts
-    back over that tiny aggregate (no second lineitem pass — the
-    plan reuses the grouped result), and supplier broadcasts."""
+    partial-combines to |suppliers| rows; the MAX is then a global
+    window over that BOUNDED dim-cardinality aggregate (one
+    |suppliers|-row exchange — genuinely one lineitem pass, unlike
+    the scalar-subquery formulation, which Spark plans as two
+    lineitem scans), and supplier broadcasts."""
     li = table(spark, "lineitem", sf_dir)
     rev = (
         li.where(
@@ -2072,10 +2074,11 @@ def q148_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue")
         )
     )
-    top = rev.agg(F.max("total_revenue").alias("__top"))
+    top = F.max("total_revenue").over(Window.partitionBy())
     su = table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(top), rev["total_revenue"] == top["__top"])
+        rev.withColumn("__top", top)
+        .where(F.col("total_revenue") == F.col("__top"))
         .join(F.broadcast(su), F.col("supplier_no") == su["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

@@ -66,6 +66,19 @@ NESTED_LOOP_OK = {
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"
 
 
+def test_plan_dumps_complete():
+    """EVERY registered query has a committed plan dump — without
+    this, the dump-based gates below silently skip any query whose
+    dump was never (re)generated, and the 'fails CI' guarantee is
+    hollow. A new query must come with `tools/explain_plans.py`
+    output, which is also what keeps the dumps fresh in review."""
+    have = {p.stem for p in _PLAN_DUMP_DIR.glob("*.txt")}
+    missing = sorted(set(all_queries()) - have)
+    assert not missing, (
+        f"queries with no plan dump (run tools/explain_plans.py): {missing}"
+    )
+
+
 def test_no_cartesian_product_any_dump():
     """NO query on the surface may plan a CartesianProduct — checked
     across every committed plan dump."""

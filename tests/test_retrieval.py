@@ -59,14 +59,34 @@ def test_bm25_scores_match_reference(spark, sf_dir):
     assert [r["doc_id"] for r in rows] == [d for d, _ in ranked[: len(rows)]]
 
 
-def test_bm25_prebuilt_index_equals_inline(spark, sf_dir):
-    """The standing-index serve path (postings materialized once,
-    passed via ``index=``) returns the identical ranking."""
+def test_bm25_prebuilt_index_equals_inline(spark, sf_dir, tmp_path):
+    """The standing-index serve path (postings MATERIALIZED to
+    parquet and read back, then passed via ``index=``) returns the
+    identical ranking — the round-trip makes this a real serve-path
+    test: schema/dtype drift through the write/read or a stale-index
+    doc_id mismatch would surface here, which an in-memory lineage
+    (identical to the inline plan) could never catch."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     inline = retrieval.bm25_topk(docs, TERMS, k=10).collect()
-    idx = retrieval.postings(docs)
+    ipath = str(tmp_path / "postings_idx")
+    retrieval.postings(docs).write.parquet(ipath)
+    idx = spark.read.parquet(ipath)
     served = retrieval.bm25_topk(docs, TERMS, k=10, index=idx).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in served]
+
+
+def test_bm25_repeated_query_terms_weight(spark, sf_dir):
+    """Bag-of-words semantics: a term repeated in the query weights
+    its contribution by query-side frequency — a single-term query
+    doubled scores exactly 2x (one float multiply, bit-exact), and
+    n_terms_hit still counts distinct terms."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    single = retrieval.bm25_topk(docs, ["spark"], k=5).collect()
+    doubled = retrieval.bm25_topk(docs, ["spark", "spark"], k=5).collect()
+    assert [r["doc_id"] for r in single] == [r["doc_id"] for r in doubled]
+    for s, d in zip(single, doubled):
+        assert d["score"] == 2.0 * s["score"]
+        assert d["n_terms_hit"] == s["n_terms_hit"] == 1
 
 
 def test_bm25_query_terms_required(spark):

@@ -83,13 +83,12 @@ def test_zorder_layout_is_lossless(spark, layouts):
     assert z.schema == c.schema
 
 
-def test_morton_key_locality():
+def test_morton_key_locality(spark):
     """Interleaving, not concatenation: both dimensions contribute
     the same number of low-order bits, so the key can't degrade to
     a single-column sort."""
-    from pyspark.sql import Row, SparkSession
+    from pyspark.sql import Row
 
-    spark = SparkSession.getActiveSession()
     df = spark.createDataFrame(
         [Row(x=x, y=y) for x in range(4) for y in range(4)]
     )

@@ -9,6 +9,8 @@ stays inside whole-stage codegen with full column pruning (only
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
@@ -302,6 +304,30 @@ def adjacent_pair_counts(
     )
 
 
+def bpe_merge_fold(tok: Column, a: str, b: str) -> Column:
+    """ONE BPE merge as a whole-stage-codegen fold: every adjacent
+    ``(a, b)`` in the token array fuses greedily left-to-right into
+    ``a\\u2581b``. Shared by :func:`bpe_learn`'s per-round rewrite and
+    the :func:`bpe_encode` parity tests, so the expression path and
+    the Arrow kernel cannot drift apart. The accumulator's tail is
+    never itself re-merged within one pass — the fused symbol differs
+    from ``a`` (matches reference BPE: ``aaa`` + merge(a,a) →
+    ``[aa, a]``)."""
+    la, lb = F.lit(a), F.lit(b)
+    lf = F.lit(a + "▁" + b)
+    return F.aggregate(
+        tok,
+        F.expr("cast(array() as array<string>)"),
+        # try_element_at: NULL (not an ANSI error) on the empty
+        # accumulator, and NULL == a is NULL -> falls through to the
+        # append branch
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == la) & (x == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lf)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
@@ -351,27 +377,7 @@ def bpe_learn(
                 break
             a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
             merges.append((a, b, c))
-            fused = a + "▁" + b
-            la, lb, lf = F.lit(a), F.lit(b), F.lit(fused)
-            # greedy left-to-right fuse: fold each token into the
-            # accumulator; when the accumulator's tail is `a` and the
-            # incoming token is `b`, replace the tail with the fused
-            # symbol (the tail is never itself re-merged this pass —
-            # the fused symbol differs from `a`)
-            merged = F.aggregate(
-                F.col("t"),
-                F.expr("cast(array() as array<string>)"),
-                # try_element_at: NULL (not an ANSI error) on the
-                # empty accumulator, and NULL == a is NULL -> falls
-                # through to the append branch
-                lambda acc, x: F.when(
-                    (F.try_element_at(acc, F.lit(-1)) == la)
-                    & (x == lb),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(lf)
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            )
+            merged = bpe_merge_fold(F.col("t"), a, b)
             prev = work
             work = work.select(merged.alias("t")).persist()
         return merges
@@ -379,6 +385,64 @@ def bpe_learn(
         work.unpersist()
         if prev is not None:
             prev.unpersist()
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table (rank-ordered, as returned by
+    :func:`bpe_learn`; trailing tuple fields such as the count are
+    ignored) to tokenize documents — the SERVE half of the tokenizer
+    stack: ``bpe_learn`` runs rarely (once per tokenizer release),
+    this runs over every corpus snapshot. Appends ``out_col`` = the
+    encoded token array; NULL text encodes to NULL (absent is not
+    empty).
+
+    Semantics are exactly ``bpe_learn``'s rewrite replayed in rank
+    order — each merge fuses greedily left-to-right, later merges see
+    earlier merges' fused symbols — and the tests assert
+    token-for-token equality against a chain of
+    :func:`bpe_merge_fold` expressions and a pure-Python reference.
+
+    Scale: the merge table is vocab-bounded and ships in the task
+    closure like a broadcast dim; the encode is ONE Arrow-batched
+    map stage over ``text`` — zero shuffles, zero joins, and unlike
+    replaying n_merges fold expressions (one plan node per merge;
+    untenable at the 32k-merge vocabularies production tokenizers
+    use) the kernel applies the whole table per batch in a single
+    pass, skipping merges whose symbols are absent from a document.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranked = [(m[0], m[1], m[0] + "▁" + m[1]) for m in merges]
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        out = []
+        for text in col:
+            if text is None:
+                out.append(None)
+                continue
+            toks = text.split(" ")
+            for a, b, fused in ranked:
+                # absence guard only — a merge with no (a, b)
+                # adjacency is a no-op either way
+                if a not in toks or b not in toks:
+                    continue
+                nxt: list[str] = []
+                for x in toks:
+                    if nxt and nxt[-1] == a and x == b:
+                        nxt[-1] = fused
+                    else:
+                        nxt.append(x)
+                toks = nxt
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
 
 
 def bigram_logprob(

@@ -144,6 +144,10 @@ GATE_PENDING: tuple[str, ...] = (
     "q152_idle_premium_customers",
     "q153_inverted_postings",
     "q155_ewma_lag_chain",
+    "q157_product_line_revenue",
+    "q158_priority_line_classes",
+    "q159_supplier_part_breadth",
+    "q160_excess_volume_suppliers",
 )
 
 

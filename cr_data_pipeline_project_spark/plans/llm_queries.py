@@ -3648,6 +3648,82 @@ def q143_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Learned BPE merge table per (process, sf_dir) — the deployed
+# amortization, same pattern as the PQ index (_pq_index) and the
+# near-dup index (q103/q104): the tokenizer is FIT rarely (q140
+# times that build), then applied to every corpus snapshot — q156
+# times the encode serve path against the cached table.
+_BPE_MERGES: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    got = _BPE_MERGES.get(sf_dir)
+    if got is None:
+        got = textstats.bpe_learn(
+            table(spark, "documents", sf_dir), "text", n_merges=8
+        )
+        _BPE_MERGES[sf_dir] = got
+    return got
+
+
+@q("q156_bpe_encode_stats")
+def q156_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (operators/textstats.py:bpe_encode)
+    — the serve half of q140's induction: the corpus is re-tokenized
+    under the learned 8-merge table (cached per process, the deployed
+    build-rarely/encode-often split) and summarized per source:
+    document count, whitespace vs BPE token totals, merge events
+    (their difference — each merge fuses exactly two tokens into
+    one), fused-token count, and the resulting compression ratio —
+    the statistic a token-budget planner (q101) reads after a
+    tokenizer release. Rows-only by design: the merge table comes
+    from the iterative learner; tests/test_textstats_bpe.py pins the
+    kernel token-for-token against a pure-Python reference AND a
+    chain of bpe_merge_fold codegen expressions, plus the exact
+    conservation invariant raw − encoded = Σ merge separators.
+    Scale: the merge table is vocab-bounded closure state; the
+    encode is one Arrow map stage (no shuffle, no join — unlike an
+    n_merges-deep expression chain, untenable at 32k-merge
+    production vocabularies); the per-source aggregate
+    partial-combines to |sources| rows."""
+    docs = table(spark, "documents", sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    enc = textstats.bpe_encode(docs, merges, "text")
+    sep_count = F.aggregate(
+        F.col("bpe_tokens"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.length(t)
+        - F.length(F.regexp_replace(t, "▁", "")),
+    )
+    per_doc = enc.select(
+        "source",
+        F.size(textstats.tokens("text")).cast("bigint").alias("__raw"),
+        F.size("bpe_tokens").cast("bigint").alias("__enc"),
+        sep_count.alias("__seps"),
+        F.size(
+            F.filter(F.col("bpe_tokens"), lambda t: t.contains("▁"))
+        )
+        .cast("bigint")
+        .alias("__fused"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__raw").alias("raw_tokens"),
+            F.sum("__enc").alias("bpe_tokens"),
+            F.sum("__seps").alias("merge_events"),
+            F.sum("__fused").alias("fused_tokens"),
+            F.round(
+                F.sum("__enc").cast("double") / F.sum("__raw").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
 @q(
     "q153_inverted_postings",
     """

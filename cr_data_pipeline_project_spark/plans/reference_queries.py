@@ -2395,3 +2395,229 @@ def q155_ewma_lag_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", (num / den).alias("smoothed")
     )
+
+
+@q(
+    "q157_product_line_revenue",
+    """
+    SELECT n_name AS nation, (year(o_orderdate))::INT AS o_year,
+           (SUM((l_extendedprice*(1-l_discount))::DECIMAL(28,6)))::DOUBLE
+               AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    JOIN part     ON l_partkey  = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q157_product_line_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line measure: revenue from one product
+    line (name-prefix LIKE over part) attributed to the supplying
+    nation per order year — Q9's 6-way profit join reshaped to the
+    fixture's columns (no partsupp table, so no supplycost term; the
+    join topology and the LIKE-filtered part dimension are the
+    shape). Scale: the LIKE prefix pushes to the part scan as a
+    StringStartsWith filter (~1/8 of parts survive); part is
+    SF-proportional so its join stays a key shuffle (AQE broadcasts
+    when the filtered side measures small — at fixture scale it
+    does); orders/supplier likewise; nation is genuinely tiny and
+    broadcast explicitly. One final shuffle for the
+    |nations|·|years|-group aggregate; revenue decimal-exact."""
+    li = table(spark, "lineitem", sf_dir)
+    pa = (
+        table(spark, "part", sf_dir)
+        .where(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    su = table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    na = table(spark, "nation", sf_dir).select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(pa, li["l_partkey"] == pa["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@q(
+    "q158_priority_line_classes",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q158_priority_line_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped priority split: lines shipped in one year,
+    counted per return flag into high- vs low-priority classes — the
+    split-one-scan-into-two-conditional-counts aggregate (Q12's
+    CASE-pair over shipmode, reshaped to the fixture's returnflag /
+    orderpriority columns, which lineitem lacks shipmode for).
+    Scale: the year filter pushes to the lineitem scan; the
+    orders join carries only (o_orderkey, o_orderpriority); both
+    counts come from ONE pass (a second scan per class would double
+    the cost); the aggregate partial-combines to |flags| rows.
+    Integer-exact throughout."""
+    li = table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q159_supplier_part_breadth",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type <> 'PROMO'
+      AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q159_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier breadth: how many distinct suppliers
+    ship each surviving (brand, type, size) part class, excluding a
+    blacklisted supplier set — Q16's NOT-IN + COUNT DISTINCT
+    grouping, with the fixture's observed (l_partkey, l_suppkey)
+    pairs standing in for the absent partsupp table and negative
+    account balance standing in for the comment-scan complaint
+    filter (no s_comment column). Exclusion is an anti-join (the
+    blacklist key is non-null by schema, so NOT IN ≡ ANTI); the
+    blacklist is a filtered SF-proportional dim, so the anti-join
+    stays a key shuffle that AQE demotes to broadcast when it
+    measures small. The pair-distinct collapses lineitem once on
+    (partkey, suppkey) BEFORE any join — the dedup-then-join order
+    is the scale decision (joining first would carry every duplicate
+    line through the part probe). Integer-exact."""
+    pairs = (
+        table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pa = (
+        table(spark, "part", sf_dir)
+        .where(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        table(spark, "supplier", sf_dir)
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(bad, pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(pa, F.col("l_partkey") == pa["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
+    "q160_excess_volume_suppliers",
+    """
+    WITH sp AS (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM((l_quantity)::DECIMAL(18,2)) > 50)
+    SELECT s_suppkey, s_name, n_name AS nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM sp)
+    ORDER BY s_suppkey
+    """,
+)
+def q160_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-volume suppliers: suppliers who moved
+    more than a threshold quantity of any single product-line part
+    within one year, reported with their nation — Q20's nested
+    semi-join chain (name-LIKE part filter → per-(supplier, part)
+    quantity aggregate → HAVING threshold → semi-join up to the
+    supplier dim), reshaped to shipped quantity since the fixture
+    has no partsupp availability. Exactness: the HAVING compares a
+    DECIMAL quantity sum (a double sum's combine order could flip a
+    boundary row cross-engine); output is id/name/nation only.
+    Scale: both filters push to their scans; the aggregate
+    partial-combines on (suppkey, partkey); the HAVING survivors
+    project to a bare key set before the semi-join, so the supplier
+    probe carries ids only; nation broadcasts."""
+    li = table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pa = (
+        table(spark, "part", sf_dir)
+        .where(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    keys = (
+        li.join(pa, li["l_partkey"] == pa["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_dec_sum("l_quantity", "decimal(18,2)").alias("__q"))
+        .where(F.col("__q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    na = table(spark, "nation", sf_dir).select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        su.join(keys, su["s_suppkey"] == keys["l_suppkey"], "left_semi")
+        .join(F.broadcast(na), F.col("s_nationkey") == na["n_nationkey"])
+        .select("s_suppkey", "s_name", "nation")
+        .orderBy("s_suppkey")
+    )

@@ -5,10 +5,14 @@ et al. 2016) algorithm."""
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from cr_data_pipeline_project_spark.catalog import table
 from cr_data_pipeline_project_spark.operators.textstats import (
     adjacent_pair_counts,
+    bpe_encode,
     bpe_learn,
+    bpe_merge_fold,
 )
 
 CORPUS = [
@@ -101,6 +105,118 @@ def test_bpe_fixture_matches_python(spark, sf_dir):
     docs = table(spark, "documents", sf_dir).select("text")
     texts = [r["text"] for r in docs.collect()]
     assert bpe_learn(docs, n_merges=3) == _py_bpe(texts, 3)
+
+
+# ------------------------------------------------------------------ #
+# BPE encode (the serve path): apply a learned merge table            #
+# ------------------------------------------------------------------ #
+
+
+def _py_apply(texts, merges):
+    """Reference encode: replay each merge in rank order, greedy
+    left-to-right — identical semantics to _py_bpe's rewrite."""
+    out_docs = []
+    for t in texts:
+        if t is None:
+            out_docs.append(None)
+            continue
+        toks = t.split(" ")
+        for a, b, *_ in merges:
+            nxt = []
+            for x in toks:
+                if nxt and nxt[-1] == a and x == b:
+                    nxt[-1] = a + "▁" + b
+                else:
+                    nxt.append(x)
+            toks = nxt
+        out_docs.append(toks)
+    return out_docs
+
+
+def test_bpe_encode_matches_python(spark):
+    merges = _py_bpe(CORPUS, 6)
+    assert merges  # the corpus supports merges — a vacuous pass hides bugs
+    got = [
+        r["bpe_tokens"]
+        for r in bpe_encode(_df(spark, CORPUS), merges)
+        .orderBy("text")
+        .collect()
+    ]
+    want = _py_apply(sorted(CORPUS), merges)
+    assert got == want
+
+
+def test_bpe_encode_matches_fold_expr_chain(spark):
+    """The Arrow kernel and the codegen fold are the same function:
+    replaying the merge table as chained bpe_merge_fold expressions
+    yields token-for-token identical arrays."""
+    # include a merge-of-merged-symbols case: learn on a corpus where
+    # round 2's winner contains round 1's fused symbol
+    corpus = ["a a a a b", "a a a a b", "c a a b"]
+    merges = bpe_learn(_df(spark, corpus), n_merges=3)
+    assert any("▁" in a or "▁" in b for a, b, _ in merges)
+    df = _df(spark, corpus)
+    col = F.split(F.col("text"), " ")
+    for a, b, _ in merges:
+        col = bpe_merge_fold(col, a, b)
+    expr_out = [
+        r["t"] for r in df.select(col.alias("t")).orderBy("text").collect()
+    ]
+    kern_out = [
+        r["bpe_tokens"]
+        for r in bpe_encode(df, merges).orderBy("text").collect()
+    ]
+    assert kern_out == expr_out
+
+
+def test_bpe_encode_null_and_edge_rows(spark):
+    merges = [("a", "b", 2)]
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a b"), (3, "x y"), (4, "b a")],
+        "i long, text string",
+    )
+    got = {
+        r["i"]: r["bpe_tokens"]
+        for r in bpe_encode(df, merges).collect()
+    }
+    assert got[0] is None          # NULL text -> NULL, not []
+    assert got[1] == [""]          # split("", " ") == [""]
+    assert got[2] == ["a▁b"]
+    assert got[3] == ["x", "y"]    # symbols absent: unchanged
+    assert got[4] == ["b", "a"]    # wrong order: no merge
+
+
+def test_bpe_encode_fixture_conservation_and_roundtrip(spark, sf_dir):
+    """On the fixture corpus with learned merges: every merge event
+    drops the token count by exactly one (raw − encoded = Σ '▁'
+    separators), and un-fusing reconstructs the original text."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges = bpe_learn(docs, n_merges=4)
+    assert merges
+    rows = bpe_encode(docs, merges).collect()
+    assert len(rows) > 100
+    fused_seen = 0
+    for r in rows:
+        toks = r["bpe_tokens"]
+        raw = r["text"].split(" ")
+        seps = sum(t.count("▁") for t in toks)
+        fused_seen += seps
+        assert len(raw) - len(toks) == seps, r["doc_id"]
+        assert " ".join(t.replace("▁", " ") for t in toks) == r["text"]
+    assert fused_seen > 0  # the learned merges actually fire
+
+
+def test_q156_source_stats_conservation(spark, sf_dir):
+    from cr_data_pipeline_project_spark.plans.llm_queries import (
+        q156_bpe_encode_stats,
+    )
+
+    rows = q156_bpe_encode_stats(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["raw_tokens"] - r["bpe_tokens"] == r["merge_events"]
+        assert 0 < r["compression"] <= 1.0
+        assert r["fused_tokens"] <= r["merge_events"]
 
 
 # ------------------------------------------------------------------ #

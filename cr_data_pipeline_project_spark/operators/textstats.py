@@ -4,7 +4,10 @@ marker-based language identification, document fingerprinting.
 Everything is built from ``pyspark.sql.functions`` string/array
 expressions — no Python in the hot path, so a 100 TB corpus scan
 stays inside whole-stage codegen with full column pruning (only
-``text`` is read).
+``text`` is read). One scoped exception: :func:`bpe_encode` is an
+Arrow-batched pandas kernel by design — a learned merge table cannot
+be replayed as a fixed expression chain at production vocabulary
+sizes (see its docstring).
 """
 
 from __future__ import annotations
@@ -407,13 +410,22 @@ def bpe_encode(
     token-for-token equality against a chain of
     :func:`bpe_merge_fold` expressions and a pure-Python reference.
 
+    Input caveat (standard BPE): text that already contains the
+    ``▁`` separator makes fused symbols ambiguous with natural
+    tokens — un-fusing still reconstructs the whitespace token
+    stream, but separator-counting statistics must count the
+    EXCESS over the input's own separators (q156 does).
+
     Scale: the merge table is vocab-bounded and ships in the task
     closure like a broadcast dim; the encode is ONE Arrow-batched
     map stage over ``text`` — zero shuffles, zero joins, and unlike
     replaying n_merges fold expressions (one plan node per merge;
     untenable at the 32k-merge vocabularies production tokenizers
     use) the kernel applies the whole table per batch in a single
-    pass, skipping merges whose symbols are absent from a document.
+    pass. A per-document symbol set makes absent merges an O(1)
+    skip (a conservative superset — consumed symbols linger — so
+    skips are always sound), keeping per-doc cost proportional to
+    the merges that actually FIRE, not the vocabulary size.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -427,18 +439,21 @@ def bpe_encode(
                 out.append(None)
                 continue
             toks = text.split(" ")
+            present = set(toks)
             for a, b, fused in ranked:
-                # absence guard only — a merge with no (a, b)
-                # adjacency is a no-op either way
-                if a not in toks or b not in toks:
+                if a not in present or b not in present:
                     continue
                 nxt: list[str] = []
+                fired = False
                 for x in toks:
                     if nxt and nxt[-1] == a and x == b:
                         nxt[-1] = fused
+                        fired = True
                     else:
                         nxt.append(x)
                 toks = nxt
+                if fired:
+                    present.add(fused)
             out.append(toks)
         return pd.Series(out)
 

@@ -3680,7 +3680,11 @@ def q156_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the iterative learner; tests/test_textstats_bpe.py pins the
     kernel token-for-token against a pure-Python reference AND a
     chain of bpe_merge_fold codegen expressions, plus the exact
-    conservation invariant raw − encoded = Σ merge separators.
+    conservation invariant raw − encoded = Σ EXCESS separators
+    (each merge adds exactly one ▁ and none is ever removed, so
+    counting the excess over the input's own ▁ content keeps the
+    cross-check exact even for corpora that already contain the
+    separator, e.g. SentencePiece-formatted text).
     Scale: the merge table is vocab-bounded closure state; the
     encode is one Arrow map stage (no shuffle, no join — unlike an
     n_merges-deep expression chain, untenable at 32k-merge
@@ -3695,7 +3699,12 @@ def q156_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: acc
         + F.length(t)
         - F.length(F.regexp_replace(t, "▁", "")),
-    )
+    ) - (
+        # excess over the input's own separators: merges only ever
+        # ADD one ▁ each, so this difference counts merge events
+        # exactly even when raw text contains ▁
+        F.length("text") - F.length(F.regexp_replace("text", "▁", ""))
+    ).cast("bigint")
     per_doc = enc.select(
         "source",
         F.size(textstats.tokens("text")).cast("bigint").alias("__raw"),

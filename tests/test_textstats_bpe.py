@@ -186,6 +186,39 @@ def test_bpe_encode_null_and_edge_rows(spark):
     assert got[4] == ["b", "a"]    # wrong order: no merge
 
 
+def test_bpe_encode_chained_merge_symbol_set(spark):
+    """A later merge whose symbol only EXISTS after an earlier merge
+    fires must not be skipped by the absence guard (the per-doc
+    symbol set gains fused symbols as passes fire)."""
+    merges = [("a", "b", 9), ("a▁b", "c", 9)]
+    df = _df(spark, ["a b c", "c a b"])
+    got = {
+        r["text"]: r["bpe_tokens"]
+        for r in bpe_encode(df, merges).collect()
+    }
+    assert got["a b c"] == ["a▁b▁c"]
+    assert got["c a b"] == ["c", "a▁b"]
+
+
+def test_bpe_encode_preexisting_separator_excess_conservation(spark):
+    """Raw text already containing ▁ (SentencePiece-style corpora):
+    encoding still works and the EXCESS separator count — after
+    minus before — equals the token-count drop, the invariant q156
+    reports."""
+    merges = [("a", "b", 9)]
+    df = _df(spark, ["a▁x a b", "a▁b a b"])
+    rows = bpe_encode(df, merges).collect()
+    by_text = {r["text"]: r["bpe_tokens"] for r in rows}
+    assert by_text["a▁x a b"] == ["a▁x", "a▁b"]
+    assert by_text["a▁b a b"] == ["a▁b", "a▁b"]
+    for r in rows:
+        raw = r["text"].split(" ")
+        toks = r["bpe_tokens"]
+        seps_before = r["text"].count("▁")
+        seps_after = sum(t.count("▁") for t in toks)
+        assert len(raw) - len(toks) == seps_after - seps_before
+
+
 def test_bpe_encode_fixture_conservation_and_roundtrip(spark, sf_dir):
     """On the fixture corpus with learned merges: every merge event
     drops the token count by exactly one (raw − encoded = Σ '▁'

@@ -302,3 +302,55 @@ def test_scd2_delete_batch_split_equals_oneshot(spark, tmp_path_factory, data, s
         .collect()
     ) if os.path.exists(hist) else []
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", "a▁b", "x"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@SLOW
+def test_bpe_encode_matches_python_reference(spark, docs, n_merges):
+    """For ANY corpus (including tokens that collide with the fused
+    separator) and merges learned from it, the Arrow encode kernel
+    equals the pure-Python rank-order replay token-for-token — the
+    full learn→apply contract, not just the fixture's happy path."""
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        bpe_encode,
+        bpe_learn,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    merges = bpe_learn(df, n_merges=n_merges)
+
+    # pure-Python replay in rank order (same greedy semantics)
+    def apply(toks, a, b):
+        out = []
+        for x in toks:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + "▁" + b
+            else:
+                out.append(x)
+        return out
+
+    want = []
+    for t in texts:
+        toks = t.split(" ")
+        for a, b, _ in merges:
+            toks = apply(toks, a, b)
+        want.append(toks)
+
+    got = {
+        r["i"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()
+    }
+    assert [got[i] for i in range(len(texts))] == want

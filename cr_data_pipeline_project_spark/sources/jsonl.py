@@ -39,8 +39,9 @@ from pyspark.sql import types as T
 _CORRUPT = "__corrupt_record"
 
 
-def _parsed(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    """(raw_line, src_file, rec struct) — the shared narrow plan.
+def parse_lines(text_df: DataFrame, schema: T.StructType) -> DataFrame:
+    """``value`` lines (batch OR streaming text source) →
+    (raw_line, src_file, rec struct) — the shared narrow plan.
 
     The corrupt-record column rides INSIDE the ``from_json`` schema:
     PERMISSIVE mode yields an all-NULL struct for a malformed line
@@ -49,7 +50,7 @@ def _parsed(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     full = T.StructType(
         [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
     )
-    return spark.read.text(path).select(
+    return text_df.select(
         F.col("value").alias("raw_line"),
         F.input_file_name().alias("src_file"),
         F.from_json(
@@ -58,6 +59,58 @@ def _parsed(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
         ).alias("rec"),
     )
+
+
+def _parsed(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return parse_lines(spark.read.text(path), schema)
+
+
+def split_jsonl(
+    parsed: DataFrame,
+    schema: T.StructType,
+    required: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Route a ``(raw_line, src_file, rec)`` frame (from
+    :func:`_parsed`, batch or micro-batch) into ``(clean,
+    quarantine)`` — ONE routing definition shared by the batch reader
+    and the streaming ingest, so their accept/reject semantics cannot
+    drift."""
+    for col in required:
+        if col not in schema.fieldNames():
+            raise ValueError(
+                f"required column {col!r} is not in the schema: "
+                f"{schema.fieldNames()}"
+            )
+    blank = F.trim("raw_line") == ""
+    corrupt = F.col("rec").isNull() | F.col("rec").getField(
+        _CORRUPT
+    ).isNotNull()
+    # PERMISSIVE keeps whatever fields DID parse alongside the
+    # corrupt column: nothing salvaged = broken JSON; something
+    # salvaged = valid JSON with a type-failing field
+    any_parsed = F.lit(False)
+    for f in schema.fieldNames():
+        any_parsed = any_parsed | F.col("rec").getField(f).isNotNull()
+    # a NULL rec struct (empty input) salvages nothing
+    salvaged = F.coalesce(any_parsed, F.lit(False))
+    reason = (
+        F.when(blank, F.lit("blank_line"))
+        .when(corrupt & ~salvaged, F.lit("malformed_json"))
+        .when(corrupt, F.lit("type_mismatch"))
+    )
+    for col in required:
+        reason = reason.when(
+            F.col("rec").getField(col).isNull(),
+            F.lit(f"missing_required:{col}"),
+        )
+    p = parsed.withColumn("reason", reason)
+    clean = p.where(F.col("reason").isNull()).select(
+        *[F.col("rec").getField(f).alias(f) for f in schema.fieldNames()]
+    )
+    quarantine = p.where(F.col("reason").isNotNull()).select(
+        "raw_line", "src_file", "reason"
+    )
+    return clean, quarantine
 
 
 def read_jsonl_corpus(
@@ -87,43 +140,7 @@ def read_jsonl_corpus(
     exactly one output — ``count(clean) + count(quarantine) ==
     count(text lines)``.
     """
-    for col in required:
-        if col not in schema.fieldNames():
-            raise ValueError(
-                f"required column {col!r} is not in the schema: "
-                f"{schema.fieldNames()}"
-            )
-    p = _parsed(spark, path, schema)
-    blank = F.trim("raw_line") == ""
-    corrupt = F.col("rec").isNull() | F.col("rec").getField(
-        _CORRUPT
-    ).isNotNull()
-    # PERMISSIVE keeps whatever fields DID parse alongside the
-    # corrupt column: nothing salvaged = broken JSON; something
-    # salvaged = valid JSON with a type-failing field
-    any_parsed = F.lit(False)
-    for f in schema.fieldNames():
-        any_parsed = any_parsed | F.col("rec").getField(f).isNotNull()
-    # a NULL rec struct (empty input) salvages nothing
-    salvaged = F.coalesce(any_parsed, F.lit(False))
-    reason = (
-        F.when(blank, F.lit("blank_line"))
-        .when(corrupt & ~salvaged, F.lit("malformed_json"))
-        .when(corrupt, F.lit("type_mismatch"))
-    )
-    for col in required:
-        reason = reason.when(
-            F.col("rec").getField(col).isNull(),
-            F.lit(f"missing_required:{col}"),
-        )
-    p = p.withColumn("reason", reason)
-    clean = p.where(F.col("reason").isNull()).select(
-        *[F.col("rec").getField(f).alias(f) for f in schema.fieldNames()]
-    )
-    quarantine = p.where(F.col("reason").isNotNull()).select(
-        "raw_line", "src_file", "reason"
-    )
-    return clean, quarantine
+    return split_jsonl(_parsed(spark, path, schema), schema, required)
 
 
 def quarantine_report(quarantine: DataFrame) -> DataFrame:

@@ -1052,3 +1052,54 @@ def daily_anomaly_snapshot(
     part = spark.read.parquet(partials_path)
     daily = part.groupBy("event_type", "d").agg(F.sum("c").alias("c"))
     return daily_count_anomaly(daily, z_threshold=z_threshold)
+
+
+def streaming_jsonl_corpus_ingest(
+    spark: SparkSession,
+    path: str,
+    schema,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    required: tuple[str, ...] = (),
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous JSONL corpus landing with quarantine routing — the
+    streaming twin of :func:`sources.jsonl.read_jsonl_corpus`: as
+    corpus dump files arrive, every line is routed to the clean lake
+    or the quarantine feed with a machine-readable reason. The
+    routing IS the batch loader's (:func:`sources.jsonl.split_jsonl`
+    applied per micro-batch), so batch backfills and the live stream
+    accept/reject identical lines by construction.
+
+    Replay idempotency: quarantine rows carry no key (two identical
+    broken lines are two real rejects), so the insert-if-absent gate
+    can't apply — both outputs instead OVERWRITE their own
+    ``batch=<id>`` directory (the :func:`streaming_daily_count_partials`
+    posture): a replayed batch replaces its rows, a crash between the
+    two writes heals on replay, and nothing double-lands. Readers
+    scan the parent path; the batch dir is hive-partition-discovered.
+    """
+    from ..sources.jsonl import parse_lines, split_jsonl
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    parsed = parse_lines(reader.text(path), schema)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        clean, quar = split_jsonl(batch_df, schema, required)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(clean_path, f"batch={batch_id}")
+        )
+        quar.write.mode("overwrite").parquet(
+            os.path.join(quarantine_path, f"batch={batch_id}")
+        )
+
+    return (
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1364,3 +1364,97 @@ def test_streaming_daily_anomaly_matches_batch(spark, tmp_path, sf_dir):
     spark.read.parquet(stash).write.mode("overwrite").parquet(replay_dir)
     got2 = [tuple(r) for r in daily_anomaly_snapshot(spark, partials).collect()]
     assert got2 == want
+
+
+def test_streaming_jsonl_ingest_matches_batch_loader(spark, tmp_path):
+    """Streamed JSONL landing routes every line exactly as the batch
+    loader does (shared split_jsonl core), conserves line counts
+    across clean+quarantine, and a replayed batch directory changes
+    nothing (overwrite posture)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from cr_data_pipeline_project_spark.sources.jsonl import (
+        quarantine_report,
+        read_jsonl_corpus,
+    )
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_jsonl_corpus_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "dumps"
+    src.mkdir()
+    files = {
+        "a.jsonl": [
+            json.dumps({"doc_id": 1, "text": "one"}),
+            '{"doc_id": 2, "text": "broken',
+        ],
+        "b.jsonl": [
+            json.dumps({"doc_id": 3, "text": "three"}),
+            json.dumps({"doc_id": None, "text": "no id"}),
+            "",
+        ],
+        "c.jsonl": [json.dumps({"doc_id": 4, "text": "four"})],
+    }
+    n_lines = 0
+    for name, lines in files.items():
+        (src / name).write_text("\n".join(lines) + "\n")
+        n_lines += len(lines)
+
+    clean_path = str(tmp_path / "clean")
+    quar_path = str(tmp_path / "quar")
+    with few_partitions(spark):
+        q = streaming_jsonl_corpus_ingest(
+            spark,
+            str(src),
+            schema,
+            clean_path,
+            quar_path,
+            str(tmp_path / "ckpt"),
+            required=("doc_id",),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    batch_dirs = [d for d in os.listdir(clean_path) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+
+    clean = spark.read.parquet(clean_path)
+    quar = spark.read.parquet(quar_path)
+    assert clean.count() + quar.count() == n_lines
+
+    # the batch loader over the same directory routes identically
+    bclean, bquar = read_jsonl_corpus(
+        spark, str(src), schema, required=("doc_id",)
+    )
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in clean.collect()
+    ) == sorted((r["doc_id"], r["text"]) for r in bclean.collect())
+    srep = {
+        (os.path.basename(r["src_file"]), r["reason"]): r["n_lines"]
+        for r in quarantine_report(quar.drop("batch")).collect()
+    }
+    brep = {
+        (os.path.basename(r["src_file"]), r["reason"]): r["n_lines"]
+        for r in quarantine_report(bquar).collect()
+    }
+    assert srep == brep
+    assert srep[("a.jsonl", "malformed_json")] == 1
+    assert srep[("b.jsonl", "missing_required:doc_id")] == 1
+
+    # replay: rewriting one batch's output dirs (same content) must
+    # not change either side — overwrite, not append
+    replay = os.path.join(clean_path, batch_dirs[0])
+    stash = str(tmp_path / "stash")
+    n_clean = clean.count()
+    spark.read.parquet(replay).write.mode("overwrite").parquet(stash)
+    spark.read.parquet(stash).write.mode("overwrite").parquet(replay)
+    spark.catalog.refreshByPath(clean_path)  # drop stale file listing
+    assert spark.read.parquet(clean_path).count() == n_clean

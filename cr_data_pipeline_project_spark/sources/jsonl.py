@@ -39,6 +39,19 @@ from pyspark.sql import types as T
 _CORRUPT = "__corrupt_record"
 
 
+def check_required(schema: T.StructType, required: tuple[str, ...]) -> None:
+    """Reject a ``required`` name absent from the schema — shared by
+    the batch split and the streaming ingest (which must fail BEFORE
+    ``.start()``, not as a StreamingQueryException inside the first
+    micro-batch with the checkpoint already created)."""
+    for col in required:
+        if col not in schema.fieldNames():
+            raise ValueError(
+                f"required column {col!r} is not in the schema: "
+                f"{schema.fieldNames()}"
+            )
+
+
 def parse_lines(text_df: DataFrame, schema: T.StructType) -> DataFrame:
     """``value`` lines (batch OR streaming text source) →
     (raw_line, src_file, rec struct) — the shared narrow plan.
@@ -47,6 +60,11 @@ def parse_lines(text_df: DataFrame, schema: T.StructType) -> DataFrame:
     PERMISSIVE mode yields an all-NULL struct for a malformed line
     (indistinguishable from a valid ``{}``), so malformedness must be
     observed through the corrupt column, not struct nullness."""
+    if _CORRUPT in schema.fieldNames():
+        raise ValueError(
+            f"schema field {_CORRUPT!r} collides with the loader's "
+            "reserved corrupt-record column — rename it"
+        )
     full = T.StructType(
         [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
     )
@@ -75,28 +93,27 @@ def split_jsonl(
     quarantine)`` — ONE routing definition shared by the batch reader
     and the streaming ingest, so their accept/reject semantics cannot
     drift."""
-    for col in required:
-        if col not in schema.fieldNames():
-            raise ValueError(
-                f"required column {col!r} is not in the schema: "
-                f"{schema.fieldNames()}"
-            )
-    blank = F.trim("raw_line") == ""
+    check_required(schema, required)
+    # \s-anywhere, not F.trim: trim strips ASCII spaces only, and a
+    # tab-padded blank line mislabeled malformed_json is exactly the
+    # false alarm the reason taxonomy exists to avoid
+    blank = F.col("raw_line").rlike(r"^\s*$")
     corrupt = F.col("rec").isNull() | F.col("rec").getField(
         _CORRUPT
     ).isNotNull()
-    # PERMISSIVE keeps whatever fields DID parse alongside the
-    # corrupt column: nothing salvaged = broken JSON; something
-    # salvaged = valid JSON with a type-failing field
-    any_parsed = F.lit(False)
-    for f in schema.fieldNames():
-        any_parsed = any_parsed | F.col("rec").getField(f).isNotNull()
-    # a NULL rec struct (empty input) salvages nothing
-    salvaged = F.coalesce(any_parsed, F.lit(False))
+    # type_mismatch vs malformed_json needs an independent "is this
+    # a JSON object at all" probe — a schema-field-salvaged heuristic
+    # mislabels a record whose ONLY present field type-fails (and is
+    # config-dependent via spark.sql.json.enablePartialResults). A
+    # map<string,string> parse succeeds iff the line is a JSON
+    # object, regardless of the declared schema.
+    is_obj = F.from_json(
+        F.col("raw_line"), "map<string,string>"
+    ).isNotNull()
     reason = (
         F.when(blank, F.lit("blank_line"))
-        .when(corrupt & ~salvaged, F.lit("malformed_json"))
-        .when(corrupt, F.lit("type_mismatch"))
+        .when(corrupt & is_obj, F.lit("type_mismatch"))
+        .when(corrupt, F.lit("malformed_json"))
     )
     for col in required:
         reason = reason.when(
@@ -128,10 +145,11 @@ def read_jsonl_corpus(
     ``(raw_line, src_file, reason)`` with ``reason`` one of
     ``blank_line`` (whitespace-only, not an error worth alerting on
     but counted so line totals reconcile), ``malformed_json`` (not a
-    JSON document — the parser salvaged nothing), ``type_mismatch``
-    (valid JSON, but at least one field failed its declared type;
-    the record parsed partially — admitting it would ship silent
-    schema drift downstream), or ``missing_required:<col>``
+    JSON OBJECT — broken syntax, or a top-level array/scalar/null:
+    the corpus contract is one object per line), ``type_mismatch``
+    (a JSON object, but at least one field failed its declared type;
+    admitting it would ship silent schema drift downstream), or
+    ``missing_required:<col>``
     (well-typed, but a declared required field is absent or
     explicitly null; the first failing column in ``required`` order
     names the reason).

@@ -1080,7 +1080,18 @@ def streaming_jsonl_corpus_ingest(
     two writes heals on replay, and nothing double-lands. Readers
     scan the parent path; the batch dir is hive-partition-discovered.
     """
-    from ..sources.jsonl import parse_lines, split_jsonl
+    from ..sources.jsonl import check_required, parse_lines, split_jsonl
+
+    # fail BEFORE .start(): a bad required name inside the first
+    # micro-batch would surface as a StreamingQueryException with
+    # the checkpoint already created
+    check_required(schema, required)
+    if "batch" in schema.fieldNames():
+        raise ValueError(
+            "schema field 'batch' collides with the sink's batch=<id> "
+            "partition directories (hive discovery would see a "
+            "duplicate column) — rename it"
+        )
 
     reader = spark.readStream
     if max_files_per_trigger is not None:
@@ -1088,13 +1099,19 @@ def streaming_jsonl_corpus_ingest(
     parsed = parse_lines(reader.text(path), schema)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        clean, quar = split_jsonl(batch_df, schema, required)
-        clean.write.mode("overwrite").parquet(
-            os.path.join(clean_path, f"batch={batch_id}")
-        )
-        quar.write.mode("overwrite").parquet(
-            os.path.join(quarantine_path, f"batch={batch_id}")
-        )
+        # both sinks fork from one materialization — unpersisted,
+        # each write would re-read and re-parse the batch's files
+        batch_df.persist()
+        try:
+            clean, quar = split_jsonl(batch_df, schema, required)
+            clean.write.mode("overwrite").parquet(
+                os.path.join(clean_path, f"batch={batch_id}")
+            )
+            quar.write.mode("overwrite").parquet(
+                os.path.join(quarantine_path, f"batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         parsed.writeStream.outputMode("append")

@@ -87,6 +87,39 @@ def test_no_required_fields_admits_partial_rows(spark, tmp_path):
     assert clean.count() == len(LINES) - 4
 
 
+def test_reason_precision_edges(spark, tmp_path):
+    """Tab-only lines are blank (not malformed); a JSON OBJECT whose
+    only present field type-fails is type_mismatch (not malformed);
+    top-level non-objects are malformed (one object per line is the
+    corpus contract)."""
+    lines = [
+        "\t",                                  # tab-only -> blank_line
+        json.dumps({"doc_id": "x"}),           # only field type-fails
+        "[1, 2, 3]",                           # top-level array
+        "null",                                # top-level null
+        '"just a string"',                     # top-level scalar
+    ]
+    path = _write(tmp_path, lines, "edges.jsonl")
+    _, quar = read_jsonl_corpus(spark, path, SCHEMA, required=("doc_id",))
+    by_line = {r["raw_line"]: r["reason"] for r in quar.collect()}
+    assert by_line["\t"] == "blank_line"
+    assert by_line[lines[1]] == "type_mismatch"
+    assert by_line["[1, 2, 3]"] == "malformed_json"
+    assert by_line["null"] == "malformed_json"
+    assert by_line['"just a string"'] == "malformed_json"
+
+
+def test_reserved_schema_names_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    path = _write(tmp_path, LINES[:1], "r.jsonl")
+    bad = T.StructType(
+        [*SCHEMA.fields, T.StructField("__corrupt_record", T.StringType())]
+    )
+    with _pytest.raises(ValueError, match="__corrupt_record"):
+        read_jsonl_corpus(spark, path, bad)
+
+
 def test_required_col_must_exist_in_schema(spark, tmp_path):
     path = _write(tmp_path, LINES[:1])
     try:

@@ -1449,6 +1449,23 @@ def test_streaming_jsonl_ingest_matches_batch_loader(spark, tmp_path):
     assert srep[("a.jsonl", "malformed_json")] == 1
     assert srep[("b.jsonl", "missing_required:doc_id")] == 1
 
+    # misconfiguration fails BEFORE .start(), not inside batch 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="typo_col"):
+        streaming_jsonl_corpus_ingest(
+            spark, str(src), schema, clean_path, quar_path,
+            str(tmp_path / "ckpt2"), required=("typo_col",),
+        )
+    bad = T.StructType(
+        [*schema.fields, T.StructField("batch", T.LongType())]
+    )
+    with _pytest.raises(ValueError, match="batch"):
+        streaming_jsonl_corpus_ingest(
+            spark, str(src), bad, clean_path, quar_path,
+            str(tmp_path / "ckpt3"),
+        )
+
     # replay: rewriting one batch's output dirs (same content) must
     # not change either side — overwrite, not append
     replay = os.path.join(clean_path, batch_dirs[0])

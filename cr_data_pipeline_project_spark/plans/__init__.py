@@ -148,6 +148,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q158_priority_line_classes",
     "q159_supplier_part_breadth",
     "q160_excess_volume_suppliers",
+    "q161_linear_interpolation",
 )
 
 

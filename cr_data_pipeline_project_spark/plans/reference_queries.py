@@ -2621,3 +2621,89 @@ def q160_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "nation")
         .orderBy("s_suppkey")
     )
+
+
+@q(
+    "q161_linear_interpolation",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, ts, value,
+               (event_type <> 'error') AS ok,
+               LAST_VALUE(CASE WHEN event_type <> 'error'
+                          THEN value END IGNORE NULLS) OVER wp AS vp,
+               LAST_VALUE(CASE WHEN event_type <> 'error'
+                          THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER wp AS tp,
+               FIRST_VALUE(CASE WHEN event_type <> 'error'
+                           THEN value END IGNORE NULLS) OVER wn AS vn,
+               FIRST_VALUE(CASE WHEN event_type <> 'error'
+                           THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER wn AS tn
+        FROM events
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING),
+               wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CASE WHEN ok THEN value
+                WHEN vp IS NULL OR vn IS NULL THEN NULL
+                WHEN tn = tp THEN vp
+                ELSE vp + (vn - vp)
+                     * ((epoch_us(ts) - tp)::DOUBLE
+                        / (tn - tp)::DOUBLE)
+           END AS value_interp
+    FROM base
+    """,
+)
+def q161_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-series interpolation: each untrustworthy reading
+    ('error' events, q147's gap definition) is replaced by the
+    time-weighted blend of the user's nearest valid readings before
+    and after — the gap-filling complement of q147's LOCF that
+    metrics/sensor pipelines reach for when a step function distorts
+    downstream rates. Leading/trailing gaps (no bracket on one side)
+    stay NULL — extrapolation is a different, riskier contract.
+
+    Exactness (the q155 fixed-chain discipline): the time fraction
+    divides two exact BIGINT microsecond differences in ONE IEEE
+    division, and the blend ``vp + (vn − vp) · frac`` runs in
+    identical textual order in both engines — no combine-order
+    freedom anywhere, so raw doubles hash-match. Equal-timestamp
+    brackets (Δt = 0) take the previous value rather than dividing
+    by zero. Scale: both IGNORE-NULLS windows (backward last,
+    forward first) share the one (user_id → ts, event_id) exchange
+    and sort — the q133/q147/q155 shuffle class; no joins, no
+    self-union."""
+    ev = table(spark, "events", sf_dir)
+    order = [F.col("ts"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ok = F.col("event_type") != "error"
+    valid_val = F.when(ok, F.col("value"))
+    valid_us = F.when(ok, F.unix_micros("ts"))
+    vp = F.last(valid_val, ignorenulls=True).over(wp)
+    tp = F.last(valid_us, ignorenulls=True).over(wp)
+    vn = F.first(valid_val, ignorenulls=True).over(wn)
+    tn = F.first(valid_us, ignorenulls=True).over(wn)
+    frac = (F.unix_micros("ts") - tp).cast("double") / (tn - tp).cast(
+        "double"
+    )
+    interp = (
+        F.when(ok, F.col("value"))
+        .when(vp.isNull() | vn.isNull(), F.lit(None).cast("double"))
+        .when(tn == tp, vp)
+        .otherwise(vp + (vn - vp) * frac)
+    )
+    return ev.select(
+        "event_id", "user_id", interp.alias("value_interp")
+    )

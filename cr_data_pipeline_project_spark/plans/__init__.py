@@ -149,6 +149,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q159_supplier_part_breadth",
     "q160_excess_volume_suppliers",
     "q161_linear_interpolation",
+    "q162_score_calibration",
 )
 
 

@@ -3794,3 +3794,53 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("score", 6).alias("score"), "n_terms_hit"
     )
+
+
+@q(
+    "q162_score_calibration",
+    """
+    WITH q AS (
+        SELECT doc_id, source,
+               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to','is','in')))
+                         * 1.0 / len(string_split(text, ' ')), 4))
+                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
+                     / 200.0, 4) AS quality_score
+        FROM documents)
+    SELECT doc_id, source, quality_score,
+           percent_rank() OVER w AS cal_rank,
+           cume_dist() OVER w AS cal_cume
+    FROM q
+    WINDOW w AS (PARTITION BY source ORDER BY quality_score)
+    """,
+)
+def q162_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: each document's q38
+    rule-based score mapped to its percentile WITHIN its source
+    (percent_rank + cume_dist) — the normalization step before a
+    global quality threshold, so a source whose raw scores run low
+    (different boilerplate, different length mix) isn't wholesale
+    rejected by one corpus-wide cutoff; mixture planners (q57/q131)
+    consume the calibrated rank, not the raw score. Exercises the
+    rank-to-fraction window family (percent_rank = (rank−1)/(N−1),
+    cume_dist = n≤/N) nothing else on the surface touches.
+    Exactness: ranks are integers over bit-identical 4-dp scores
+    (q38 hash-matches), each fraction is ONE IEEE division of exact
+    integers, and ties share a rank by definition — so ordering
+    inside a tie cannot change any output and raw doubles
+    hash-match. Scale: one window partitioned by source; at 100 TB
+    a source's docs must fit one task's sort — for mega-sources,
+    swap to the q72 sketch-cutpoint pattern (approx quantiles +
+    map-side bucketing), the documented deciles escape hatch."""
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    scored = textstats.quality_score(docs, "text")
+    w = Window.partitionBy("source").orderBy("quality_score")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.percent_rank().over(w).alias("cal_rank"),
+        F.cume_dist().over(w).alias("cal_cume"),
+    )

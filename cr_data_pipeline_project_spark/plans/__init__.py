@@ -150,6 +150,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q160_excess_volume_suppliers",
     "q161_linear_interpolation",
     "q162_score_calibration",
+    "q163_ngram_novelty",
 )
 
 

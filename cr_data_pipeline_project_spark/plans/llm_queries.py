@@ -3844,3 +3844,58 @@ def q162_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("cal_rank"),
         F.cume_dist().over(w).alias("cal_cume"),
     )
+
+
+@q(
+    "q163_ngram_novelty",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ')
+            AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(words)-2, 1))) AS i) t),
+    d AS (SELECT shingle, COUNT(*)::BIGINT AS df
+          FROM sh GROUP BY shingle)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           (SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END))::BIGINT AS n_novel,
+           (SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END))::DOUBLE
+               / (COUNT(*))::DOUBLE AS novelty
+    FROM sh JOIN d USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q163_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word-trigram shingles that appear NOWHERE else in the
+    corpus — the uniqueness signal curation recipes weigh against
+    quality (boilerplate-heavy docs score near 0, genuinely novel
+    content near 1), and the per-doc complement of the corpus-level
+    dup telemetry (q80). Reuses the q33/q34 shingle generator
+    (operators/dedup.py:shingle_set, n=3; sub-n docs contribute
+    their full text as one shingle, so every document scores).
+    Exactness: both counts are BIGINTs off the same distinct shingle
+    set; novelty is ONE IEEE division — hash-exact. Scale: the df
+    table is one partial-combining aggregate on the shingle key (the
+    q70 shape); the join back carries (shingle, df=1?) bits to the
+    doc-keyed rollup; shingle text never leaves the exchange that
+    the inverted-index family already pays. At 100 TB, hash the
+    shingle to a 64-bit key before the df aggregate (the q34
+    discipline) so the exchange moves 8-byte keys, not strings."""
+    docs = table(spark, "documents", sf_dir)
+    sh = dedup.shingle_set(docs, "text", "doc_id", n=3)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    novel = F.when(F.col("__df") == 1, 1).otherwise(0)
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (
+                F.sum(novel).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )

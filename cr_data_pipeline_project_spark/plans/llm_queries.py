@@ -40,21 +40,43 @@ def q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            # shared-scalar splice: every oracle consuming the q38
+            # quality score writes the placeholder, so the formula
+            # has ONE SQL definition (_QUALITY_SCORE_SQL)
+            ORACLES[name] = oracle.replace(
+                "__QUALITY_SCORE__", _QUALITY_SCORE_SQL
+            )
         fn.__query_name__ = name
         return fn
 
     return deco
 
 
-# Shared DuckDB CTE: distinct word-5-gram shingles per document.
-_SHINGLES_CTE = """
+# Shared DuckDB CTE: distinct word-n-gram shingles per document.
+# ONE definition of the shingle convention (incl. the sub-n
+# full-text-as-one-shingle edge) for every oracle that consumes
+# shingles — mirrors operators/dedup.py:shingle_set exactly.
+def _shingles_cte(n: int) -> str:
+    return f"""
     sh AS (
-        SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+{n - 1}], ' ') AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-             LATERAL (SELECT unnest(generate_series(1, greatest(len(words)-4, 1))) AS i) t
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(words)-{n - 1}, 1))) AS i) t
     )
 """
+
+
+_SHINGLES_CTE = _shingles_cte(5)
+
+# Shared DuckDB scalar: the q38 rule-based quality score (textstats.
+# quality_score's composite) — ONE definition for every oracle that
+# consumes the score, so a formula/stopword change can't silently
+# leave one oracle testing stale semantics.
+_QUALITY_SCORE_SQL = """ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
+                     / len(string_split(text, ' ')), 4))
+                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
+                     / 200.0, 4)"""
 
 _JACCARD_SQL = f"""
     WITH {_SHINGLES_CTE},
@@ -402,11 +424,7 @@ def q52_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(len(list_filter(string_split(text, ' '),
                      t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
                  / len(string_split(text, ' ')), 4) AS stopword_ratio,
-           ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
-                     t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
-                 / len(string_split(text, ' ')), 4))
-                 * least(len(string_split(text, ' '))::DOUBLE, 200.0) / 200.0,
-                 4) AS quality_score
+           __QUALITY_SCORE__ AS quality_score
     FROM documents
     """,
 )
@@ -1869,11 +1887,7 @@ def q105_semantic_neardup_two_level(
     ),
     quality AS (
         SELECT doc_id,
-               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
-                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
-                     / len(string_split(text, ' ')), 4))
-                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
-                     / 200.0, 4) AS quality_score
+               __QUALITY_SCORE__ AS quality_score
         FROM documents
     )
     SELECT component_id, doc_id AS keep_id, quality_score, n_docs
@@ -2796,11 +2810,7 @@ def q111_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     quality AS (
         SELECT doc_id,
-               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
-                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
-                     / len(string_split(text, ' ')), 4))
-                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
-                     / 200.0, 4) AS quality_score
+               __QUALITY_SCORE__ AS quality_score
         FROM documents
     ),
     keep AS (
@@ -2994,11 +3004,7 @@ def q118_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
         SELECT doc_id,
-               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
-                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
-                     / len(string_split(text, ' ')), 4))
-                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
-                     / 200.0, 4) AS quality_score,
+               __QUALITY_SCORE__ AS quality_score,
                len(string_split(text, ' ')) AS n_tokens
         FROM documents),
     tiered AS (
@@ -3309,11 +3315,7 @@ def q128_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tok,
-               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
-                         t -> t IN ('the','a','of','and','to','is','in'))) * 1.0
-                     / len(string_split(text, ' ')), 4))
-                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
-                     / 200.0, 4) AS s
+               __QUALITY_SCORE__ AS s
         FROM documents),
     banded AS (
         SELECT doc_id, n_tok,
@@ -3801,11 +3803,7 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
         SELECT doc_id, source,
-               ROUND((1 - ROUND(len(list_filter(string_split(text, ' '),
-                         t -> t IN ('the','a','of','and','to','is','in')))
-                         * 1.0 / len(string_split(text, ' ')), 4))
-                     * least(len(string_split(text, ' '))::DOUBLE, 200.0)
-                     / 200.0, 4) AS quality_score
+               __QUALITY_SCORE__ AS quality_score
         FROM documents)
     SELECT doc_id, source, quality_score,
            percent_rank() OVER w AS cal_rank,
@@ -3848,14 +3846,8 @@ def q162_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q163_ngram_novelty",
-    """
-    WITH sh AS (
-        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ')
-            AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS words
-              FROM documents),
-             LATERAL (SELECT unnest(generate_series(
-                 1, greatest(len(words)-2, 1))) AS i) t),
+    f"""
+    WITH {_shingles_cte(3)},
     d AS (SELECT shingle, COUNT(*)::BIGINT AS df
           FROM sh GROUP BY shingle)
     SELECT doc_id, COUNT(*)::BIGINT AS n_grams,

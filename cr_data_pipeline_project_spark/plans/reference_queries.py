@@ -2630,13 +2630,17 @@ def q160_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, ts, value,
                (event_type <> 'error') AS ok,
                LAST_VALUE(CASE WHEN event_type <> 'error'
+                          AND value IS NOT NULL
                           THEN value END IGNORE NULLS) OVER wp AS vp,
                LAST_VALUE(CASE WHEN event_type <> 'error'
+                          AND value IS NOT NULL
                           THEN epoch_us(ts) END IGNORE NULLS)
                    OVER wp AS tp,
                FIRST_VALUE(CASE WHEN event_type <> 'error'
+                           AND value IS NOT NULL
                            THEN value END IGNORE NULLS) OVER wn AS vn,
                FIRST_VALUE(CASE WHEN event_type <> 'error'
+                           AND value IS NOT NULL
                            THEN epoch_us(ts) END IGNORE NULLS)
                    OVER wn AS tn
         FROM events
@@ -2689,8 +2693,13 @@ def q161_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(1, Window.unboundedFollowing)
     )
     ok = F.col("event_type") != "error"
-    valid_val = F.when(ok, F.col("value"))
-    valid_us = F.when(ok, F.unix_micros("ts"))
+    # a bracket row must contribute value AND timestamp from the
+    # SAME row: gating only on event_type would let a NULL-valued
+    # non-error row donate its timestamp while the value comes from
+    # an earlier row, skewing the blend's anchor
+    bracket = ok & F.col("value").isNotNull()
+    valid_val = F.when(bracket, F.col("value"))
+    valid_us = F.when(bracket, F.unix_micros("ts"))
     vp = F.last(valid_val, ignorenulls=True).over(wp)
     tp = F.last(valid_us, ignorenulls=True).over(wp)
     vn = F.first(valid_val, ignorenulls=True).over(wn)

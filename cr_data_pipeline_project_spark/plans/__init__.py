@@ -151,6 +151,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q161_linear_interpolation",
     "q162_score_calibration",
     "q163_ngram_novelty",
+    "q164_user_journeys",
 )
 
 

@@ -2716,3 +2716,74 @@ def q161_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", interp.alias("value_interp")
     )
+
+
+@q(
+    "q164_user_journeys",
+    """
+    WITH firstk AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events) t
+        WHERE rn <= 5),
+    sigs AS (
+        SELECT user_id,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id)
+                   AS journey
+        FROM firstk GROUP BY user_id)
+    SELECT journey, COUNT(*)::BIGINT AS n_users
+    FROM sigs GROUP BY journey
+    ORDER BY n_users DESC, journey
+    LIMIT 20
+    """,
+)
+def q164_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey signatures: each user's first five events
+    (event-time order, event_id tie-break) concatenated into a path
+    string, ranked by how many users share the path — the
+    onboarding-funnel shape product analytics asks first, and the
+    ORDERED ARRAY AGGREGATION family (collect_list is unordered by
+    contract; determinism comes from sort_array over (ts, event_id,
+    type) structs, the only portable way to an ordered agg in Spark)
+    nothing else on the surface exercises. Exactness: the signature
+    is string concatenation over a total order (ties broken by
+    event_id) and the count is BIGINT — hash-exact vs DuckDB's
+    ORDER BY STRING_AGG. Scale: ONE user_id exchange serves both the
+    top-5 window and the per-user aggregate (same partitioning);
+    signatures are ≤5 short tokens per user, so the final signature
+    rollup partial-combines on strings bounded by |event_type|⁵
+    regardless of corpus size; top-20 with a full tie-break."""
+    ev = table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = ev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 5
+    )
+    ordered = (
+        firstk.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ).alias("__steps")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.col("__steps"), lambda s: s.getField("event_type")
+                ),
+            ).alias("journey")
+        )
+    )
+    return (
+        ordered.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "journey")
+        .limit(20)
+    )

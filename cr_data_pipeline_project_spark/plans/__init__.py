@@ -152,6 +152,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q162_score_calibration",
     "q163_ngram_novelty",
     "q164_user_journeys",
+    "q165_robust_outlier_stats",
 )
 
 

@@ -2787,3 +2787,72 @@ def q164_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "journey")
         .limit(20)
     )
+
+
+@q(
+    "q165_robust_outlier_stats",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           ROUND(ANY_VALUE(d.med), 4) AS median_value,
+           ROUND(ANY_VALUE(a.mad), 4) AS mad,
+           (SUM(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END))::BIGINT
+               AS n_outliers,
+           COUNT(*)::BIGINT AS n
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def q165_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped robust statistics: per event type, the median, the
+    median absolute deviation (MAD — the robust scale estimator that
+    a single corrupt reading cannot inflate, unlike q137's
+    stddev-based z), and how many readings sit beyond 3·MAD — the
+    outlier census a data-quality monitor publishes when the metric
+    distribution has heavy tails. Exactness: both medians are the
+    q71 linear-interpolation percentile (cross-engine-matched
+    there); |x−median| and the 3·MAD comparison are single IEEE ops
+    in identical order; counts BIGINT — hash-exact. Scale: every
+    aggregate partial-combines and the per-type medians/MADs join
+    back as |event_types|-row broadcasts, so the fact table never
+    shuffles for a join; the deviation branch is consumed twice (MAD
+    fit + census), so the plan reads the 2-column events projection
+    four times — when the re-scan dominates (cold object store),
+    persist the deviation frame or land it once. At 100 TB swap both
+    percentile calls for approx_percentile (t-digest), the q71/q50
+    escape hatch."""
+    ev = table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 4).alias("median_value"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -184,3 +184,39 @@ def resample_by_rate(
     exactly in distribution and is exactly reproducible row-wise."""
     r = F.col(rate_col) if isinstance(rate_col, str) else rate_col
     return df.where(hash_bucket(id_col, buckets) < r)
+
+
+def pps_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-k probability-proportional-to-size sample WITHOUT
+    replacement — sequential Poisson sampling (Ohlsson 1998, the
+    πps design statistics agencies run): each row draws a uniform
+    u from its id's md5 (the module's portable lottery) and the k
+    smallest ``u / weight`` win, so inclusion probability tracks the
+    weight while the SAME rows win on every engine, run, and
+    partitioning. The deterministic complement of q131's band-rate
+    acceptance sampling when the budget is an exact row count, not a
+    rate. Rows with weight ≤ 0 are excluded (zero mass can't be
+    sampled proportionally). Appends ``sample_key`` (u/weight — two
+    IEEE divisions of exact integers, portable bit-for-bit).
+
+    Scale: the key is a scan-side expression; the global k-smallest
+    is orderBy+limit, which Spark executes as TakeOrdered (per-
+    partition top-k, then a k-row driver merge) — no global sort, no
+    full shuffle."""
+    c = F.col(id_col)
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = h.cast("double") / F.lit(4294967296.0)
+    key = u / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )

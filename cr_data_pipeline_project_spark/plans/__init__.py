@@ -153,6 +153,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q163_ngram_novelty",
     "q164_user_journeys",
     "q165_robust_outlier_stats",
+    "q166_pps_token_sample",
 )
 
 

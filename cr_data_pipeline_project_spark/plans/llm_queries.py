@@ -3891,3 +3891,41 @@ def q163_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@q(
+    "q166_pps_token_sample",
+    """
+    WITH w AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents),
+    keyed AS (
+        SELECT doc_id, source, n_tokens,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0) / n_tokens AS sample_key
+        FROM w WHERE n_tokens > 0)
+    SELECT doc_id, source, n_tokens, sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT 200
+    """,
+)
+def q166_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-proportional document sample
+    (operators/sampling.py:pps_sample): exactly 200 documents drawn
+    with probability proportional to their token count — how an eval
+    or inspection set is drawn so long documents (most of the
+    training tokens) are represented by token mass, not by document
+    count. Sequential Poisson keys (md5-uniform / weight) make the
+    draw deterministic and engine-portable: the u and the key are
+    two IEEE divisions of exact integers, so the oracle hash-matches
+    including the key column. Scale: scan-side keys + TakeOrdered
+    top-k — per-partition k-smallest then a 200-row merge; no global
+    sort, no shuffle of the corpus."""
+    from ..operators.sampling import pps_sample
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return pps_sample(docs, "doc_id", "n_tokens", k=200).select(
+        "doc_id", "source", "n_tokens", "sample_key"
+    )

@@ -124,3 +124,37 @@ def test_resample_by_rate_deterministic_and_rate_obeyed(spark):
         assert (i in kept) == want, i
     n_mid = sum(1 for i in kept if i % 3 == 1)
     assert 0.25 * 1000 < n_mid < 0.55 * 1000  # ~40% of the 1000 mid rows
+
+
+def test_pps_sample_exact_k_deterministic_positive_weights(spark):
+    from cr_data_pipeline_project_spark.operators.sampling import pps_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7) - 1.0) for i in range(300)], "id long, w double"
+    )
+    got = pps_sample(df, "id", "w", k=50)
+    rows = got.collect()
+    assert len(rows) == 50
+    assert all(r["w"] > 0 for r in rows)          # nonpositive excluded
+    assert all(r["sample_key"] > 0 for r in rows)
+    again = {r["id"] for r in pps_sample(df, "id", "w", k=50).collect()}
+    assert again == {r["id"] for r in rows}        # deterministic
+
+    # inclusion tracks weight: sampling the SAME population with all
+    # weights doubled changes no winner (keys scale uniformly) …
+    doubled = df.selectExpr("id", "w * 2 AS w")
+    same = {r["id"] for r in pps_sample(doubled, "id", "w", 50).collect()}
+    assert same == again
+    # … while boosting ONE loser's weight 1000x pulls it in
+    loser = (
+        df.where("w > 0")
+        .join(got.select("id"), "id", "left_anti")
+        .limit(1)
+        .collect()[0]["id"]
+    )
+    boosted = df.selectExpr(
+        "id", f"CASE WHEN id = {loser} THEN w * 1000 ELSE w END AS w"
+    )
+    assert loser in {
+        r["id"] for r in pps_sample(boosted, "id", "w", 50).collect()
+    }

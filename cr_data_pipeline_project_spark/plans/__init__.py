@@ -154,6 +154,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q164_user_journeys",
     "q165_robust_outlier_stats",
     "q166_pps_token_sample",
+    "q167_cusum_changepoint",
 )
 
 

@@ -2856,3 +2856,84 @@ def q165_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q167_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s
+        FROM daily GROUP BY 1),
+    cus AS (
+        SELECT d.event_type, d.d, t.n,
+               (t.n * SUM(d.c) OVER (PARTITION BY d.event_type
+                                     ORDER BY d.d
+                                     ROWS UNBOUNDED PRECEDING)
+                - (ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                      ORDER BY d.d)) * t.s)::BIGINT
+                   AS ncusum
+        FROM daily d JOIN tot t USING (event_type)),
+    ranked AS (
+        SELECT event_type, d, n, ncusum,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs(ncusum) DESC, d) AS rk
+        FROM cus)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day,
+           ncusum AS n_scaled_cusum, n AS n_days
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def q167_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954, public): per event
+    type, the day where the cumulative deviation of daily volume
+    from its own mean peaks — the classic level-shift locator that
+    complements q137's per-day |z| tripwire (a tripwire flags WHICH
+    days are extreme; CUSUM locates WHERE the regime changed).
+    Exactness: the mean is rational, so the running deviation is
+    scaled by n (the q137 discipline) — n·Σ_{i≤k}c_i − k·S — and
+    every quantity stays BIGINT: no division, no float anywhere;
+    the argmax tie-breaks on earliest day. Scale: daily counts
+    partial-combine to |types|·|days| rows before any window; both
+    windows and the per-type argmax share the one event_type
+    exchange over that bounded aggregate; raw events never shuffle."""
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrow = Window.partitionBy("event_type").orderBy("d")
+    cus = (
+        daily.join(tot, "event_type")
+        .withColumn(
+            "ncusum",
+            (
+                F.col("n") * F.sum("c").over(wcum)
+                - F.row_number().over(wrow) * F.col("s")
+            ).cast("bigint"),
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("ncusum")).desc(), "d"
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.col("ncusum").alias("n_scaled_cusum"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

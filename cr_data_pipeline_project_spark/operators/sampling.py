@@ -19,12 +19,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _md5_u32(c: Column) -> Column:
+    """The module's portable lottery: first 8 md5 hex chars of the
+    stringified id as a BIGINT in [0, 2³²). ONE definition — the
+    DuckDB twin ('0x' || substr(md5(id), 1, 8))::BIGINT mirrors it
+    exactly, so every consumer (bucket splits, PPS keys) stays
+    engine-synchronized."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
 def hash_bucket(id_col: str | Column, buckets: int = 100) -> Column:
     """Stable bucket in [0, buckets) from the id's md5 (portable:
     DuckDB twin is ('0x' || substr(md5(id), 1, 8))::BIGINT % n)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
-    return F.pmod(h, F.lit(buckets))
+    return F.pmod(_md5_u32(c), F.lit(buckets))
 
 
 def split_column(
@@ -201,21 +211,21 @@ def pps_sample(
     partitioning. The deterministic complement of q131's band-rate
     acceptance sampling when the budget is an exact row count, not a
     rate. Rows with weight ≤ 0 are excluded (zero mass can't be
-    sampled proportionally). Appends ``sample_key`` (u/weight — two
-    IEEE divisions of exact integers, portable bit-for-bit).
+    sampled proportionally), as are NULL ids (a NULL key would sort
+    NULLS-FIRST in Spark but NULLS-LAST in the DuckDB twin — the one
+    spot the portability contract could silently diverge). Appends
+    ``sample_key`` (u/weight — two IEEE divisions of exact
+    integers, portable bit-for-bit).
 
     Scale: the key is a scan-side expression; the global k-smallest
     is orderBy+limit, which Spark executes as TakeOrdered (per-
     partition top-k, then a k-row driver merge) — no global sort, no
     full shuffle."""
     c = F.col(id_col)
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    u = h.cast("double") / F.lit(4294967296.0)
+    u = _md5_u32(c).cast("double") / F.lit(4294967296.0)
     key = u / F.col(weight_col).cast("double")
     return (
-        df.where(F.col(weight_col) > 0)
+        df.where((F.col(weight_col) > 0) & c.isNotNull())
         .withColumn("sample_key", key)
         .orderBy("sample_key", id_col)
         .limit(k)

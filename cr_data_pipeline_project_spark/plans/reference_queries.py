@@ -2897,31 +2897,34 @@ def q167_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled by n (the q137 discipline) — n·Σ_{i≤k}c_i − k·S — and
     every quantity stays BIGINT: no division, no float anywhere;
     the argmax tie-breaks on earliest day. Scale: daily counts
-    partial-combine to |types|·|days| rows before any window; both
-    windows and the per-type argmax share the one event_type
-    exchange over that bounded aggregate; raw events never shuffle."""
+    partial-combine to |types|·|days| rows before any window; the
+    per-type totals are FULL-PARTITION windows over that bounded
+    aggregate (a groupBy+join would plan a second events scan), so
+    the cumulative sum, the totals, and the per-type argmax all
+    share the one event_type exchange; raw events scan ONCE and
+    never shuffle."""
     ev = table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("c"))
-    tot = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
-    )
+    wall = Window.partitionBy("event_type")
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wrow = Window.partitionBy("event_type").orderBy("d")
-    cus = (
-        daily.join(tot, "event_type")
-        .withColumn(
-            "ncusum",
-            (
-                F.col("n") * F.sum("c").over(wcum)
-                - F.row_number().over(wrow) * F.col("s")
-            ).cast("bigint"),
+    n = F.count(F.lit(1)).over(wall)
+    s = F.sum("c").over(wall)
+    cus = daily.select(
+        "event_type",
+        "d",
+        n.alias("n"),
+        (
+            n * F.sum("c").over(wcum) - F.row_number().over(wrow) * s
         )
+        .cast("bigint")
+        .alias("ncusum"),
     )
     wrank = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("ncusum")).desc(), "d"

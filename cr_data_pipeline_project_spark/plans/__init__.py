@@ -33,26 +33,73 @@ GATE_SLOTS = 50
 
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
-# round, so every query gets a driver-green attestation at least
-# every other round: round 6 parks the 50 r05-attested window
-# queries and brings back 45 of the 50 r04-attested ones parked
-# during round 5 (the 41 longest-parked plus q93-q96) — the freed 5
-# slots hold the five GATE_PENDING first-timers (q116-q120, which
-# have never had a driver row). The 5 shortest-parked r04-attested
-# queries (q97-q102, parked mid-round-5) wait one more round. All
-# parked queries stay covered every round by
-# tests/test_oracle_parity.py and tools/check_oracle.py, which run
-# the FULL surface.
+# round, so every query gets a driver-green attestation on a fixed
+# cadence (every third round now that 143 oracled queries share 50
+# slots). Round 7: the 38 GATE_PENDING first-timers (q123-q167
+# oracled additions, never driver-attested) take the window along
+# with the 12 longest-parked returners — the five r04-attested
+# queries parked since mid-round-5 (q97/q98/q99/q101/q102) and the
+# first seven of the round-6-parked r05-attested set (q03-q08,
+# q11). Everything else parks here: the 50 queries the r06 window
+# attested plus the 43 remaining r05-attested ones. All parked
+# queries stay covered every round by tests/test_oracle_parity.py
+# and tools/check_oracle.py, which run the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
-    # parked round 6 (driver-green in r05): the 50 queries the r05
-    # window attested; they return in round 7
-    "q03_player_win_rate",
-    "q04_recent_rankings_top100",
-    "q05_player_clan_view",
-    "q06_distinct_single",
-    "q07_dedup_by_key",
-    "q08_dedup_composite_count",
-    "q11_union_dedup",
+    # parked round 7 (driver-green in r06): the 50 queries the r06
+    # window attested; they are next in line to return
+    "q01_pricing_summary",
+    "q02_brand_usage_wins",
+    "q09_anti_join_new_keys",
+    "q10_semi_join_kept_keys",
+    "q15_range_join_season",
+    "q22_priority_share",
+    "q24_merge_upsert",
+    "q25_insert_if_absent",
+    "q26_cascade_delete",
+    "q28_tumbling_window",
+    "q29_sessionization",
+    "q31_dedup_exact_groups",
+    "q32_dedup_fingerprint_keep",
+    "q33_ngram_jaccard_pairs",
+    "q34_minhash_lsh_pairs",
+    "q35_simhash_pairs",
+    "q37_embedding_neardup",
+    "q38_text_quality",
+    "q39_lang_id",
+    "q40_token_count",
+    "q41_fingerprint",
+    "q43_multimodal_meta",
+    "q45_nested_flatten",
+    "q52_hash_split",
+    "q53_group_zscore",
+    "q55_curation_pipeline",
+    "q57_dataset_mixing",
+    "q61_repetition_ratio",
+    "q62_pii_redaction",
+    "q63_stratified_sample",
+    "q64_sequence_packing",
+    "q66_dedup_clusters",
+    "q67_event_pivot",
+    "q68_audience_setops",
+    "q70_term_doc_freq",
+    "q86_bloom_prefilter_gate",
+    "q87_chunk_dedup",
+    "q88_ngram_decontamination",
+    "q89_scd2_intervals",
+    "q90_stratified_sample_scale",
+    "q92_cluster_representatives",
+    "q93_decontaminated_export",
+    "q94_wav_decode_meta",
+    "q95_state_at_event",
+    "q96_snapshot_diff",
+    "q116_windowed_heavy_hitters",
+    "q117_embedding_standardize",
+    "q118_grouped_correlation",
+    "q119_stickiness_dau_wau",
+    "q120_quality_tier_budgets",
+    # still parked from round 6 (driver-green in r05): the 43
+    # longest-parked returners after q03-q08/q11 rotated back in
+    # round 7; they return in round 8
     "q12_key_synthesis",
     "q13_ts_parse_strict",
     "q14_url_encode",
@@ -96,66 +143,20 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q112_neardup_dedup_export",
     "q113_shipping_priority",
     "q114_local_supplier_volume",
-    # still parked from mid-round-5 (driver-green in r04): the 5
-    # shortest-parked returners, deferred one round so the q116-q120
-    # first-timers could take their slots; they return in round 7
-    "q97_adaptive_length_gate",
-    "q98_shard_manifest",
-    "q99_ppm_decode_meta",
-    "q101_token_budget_apportion",
-    "q102_ppm_resize_meta",
 )
 
 # Newly-added oracled queries queued for their FIRST driver
-# attestation: the round-6 window is already full (45 returners +
-# the five q116-q120 first-timers), so every oracled query added
-# during round 6 waits here — registered right AFTER the window
+# attestation: when the window is full, every oracled query added
+# mid-round waits here — registered right AFTER the window
 # (full-surface oracle checks still verify them every round;
 # tools/check_oracle.py + tests/test_oracle_parity.py) and rotated
 # in next round. Distinct from GATE_OVERFLOW on purpose:
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-GATE_PENDING: tuple[str, ...] = (
-    "q123_returned_item_reporting",
-    "q124_large_volume_customers",
-    "q125_embedding_drift",
-    "q126_source_token_mix",
-    "q127_fuzzy_blocked_pairs",
-    "q129_late_shipment_priority",
-    "q130_promo_revenue_share",
-    "q131_quality_resample",
-    "q132_token_cooccurrence",
-    "q133_sessionization",
-    "q134_bpe_pair_merges",
-    "q135_volume_shipping",
-    "q136_market_share",
-    "q137_daily_event_anomaly",
-    "q139_wav_frame_inventory",
-    "q142_customer_order_distribution",
-    "q144_event_cube",
-    "q145_daily_matrix_unpivot",
-    "q146_audience_except_all",
-    "q147_forward_fill",
-    "q148_top_supplier_revenue",
-    "q149_small_quantity_revenue",
-    "q150_disjunctive_parts_revenue",
-    "q151_waiting_suppliers",
-    "q152_idle_premium_customers",
-    "q153_inverted_postings",
-    "q155_ewma_lag_chain",
-    "q157_product_line_revenue",
-    "q158_priority_line_classes",
-    "q159_supplier_part_breadth",
-    "q160_excess_volume_suppliers",
-    "q161_linear_interpolation",
-    "q162_score_calibration",
-    "q163_ngram_novelty",
-    "q164_user_journeys",
-    "q165_robust_outlier_stats",
-    "q166_pps_token_sample",
-    "q167_cusum_changepoint",
-)
+# Round 7 starts empty: all 38 round-6 first-timers rotated into
+# the window; queries added during round 7 queue here.
+GATE_PENDING: tuple[str, ...] = ()
 
 
 def _merged() -> dict[str, Builder]:

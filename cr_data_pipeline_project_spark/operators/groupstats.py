@@ -121,6 +121,14 @@ def daily_count_anomaly(daily: DataFrame, z_threshold: int = 2) -> DataFrame:
     one IEEE sqrt + division on exact BIGINT moments. Scale: the
     moment table is |types| rows and broadcasts back; counts
     partial-combine upstream; no window functions."""
+    if not isinstance(z_threshold, int) or isinstance(z_threshold, bool):
+        # z² multiplies BIGINT moments — a float threshold would
+        # silently demote the whole gate to double arithmetic and
+        # void the bit-deterministic cross-engine contract.
+        raise TypeError(
+            f"z_threshold must be int (got {type(z_threshold).__name__}): "
+            "the exact-integer gate squares it against BIGINT moments"
+        )
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),

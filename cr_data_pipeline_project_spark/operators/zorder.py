@@ -46,12 +46,19 @@ def quantize_cols(
     """Per-column integer ranks in [0, 2**bits): min-max linear
     scaling computed from one tiny aggregate (collected — 2·|cols|
     scalars). Monotone by construction, which is all the curve
-    needs."""
+    needs.
+
+    Non-finite rows get deterministic ranks rather than errors:
+    NaN rows take the TOP rank (they sort above every real value,
+    matching Spark's own NaN ordering) and NULL rows take rank 0
+    (they sort below every value in ascending NULLS FIRST order) —
+    both choices only affect which files those rows co-cluster
+    into, never read-side correctness."""
     n = 2**bits
     # NaN-safe bounds: Spark's max() orders NaN above every real
     # value, so an unguarded max over a double column with NaNs
     # would make span NaN and every rank NULL — quantize over the
-    # finite values only (NaN rows clamp to the top rank below).
+    # finite values only.
     floating = {
         f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
     }
@@ -75,12 +82,19 @@ def quantize_cols(
         scaled = (
             (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
         ) * F.lit(n - 1)
-        out.append(
-            F.least(
-                F.greatest(F.round(scaled).cast("bigint"), F.lit(0)),
-                F.lit(n - 1),
-            )
+        if c in floating:
+            # NaN propagates through the arithmetic and ANSI mode
+            # throws CAST_OVERFLOW on round(NaN).cast(bigint) —
+            # clamp NaN rows to the top rank before the cast.
+            scaled = F.nanvl(scaled, F.lit(float(n - 1)))
+        rank = F.least(
+            F.greatest(F.round(scaled).cast("bigint"), F.lit(0)),
+            F.lit(n - 1),
         )
+        # NULL inputs stay NULL through the arithmetic; pin them to
+        # rank 0 explicitly (greatest() would drop the NULL anyway,
+        # but an implicit landing spot is a trap for readers).
+        out.append(F.coalesce(rank, F.lit(0)))
     return out
 
 

@@ -36,3 +36,23 @@ def test_zscore_moments(spark, sf_dir):
         var = sum(v * v for v in vals) / (n - 1)
         assert abs(var - 1.0) < 1e-2  # variance ≈ 1
         assert all(not math.isnan(v) for v in vals)
+
+
+def test_anomaly_gate_rejects_float_threshold(spark, sf_dir):
+    """The exact-integer gate squares z_threshold against BIGINT
+    moments — a float caller must fail loudly, not silently demote
+    the cross-engine bit-exactness contract (round-6 advisory)."""
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        daily_count_anomaly,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        ev.event_type, ev.ts.cast("date").alias("d")
+    ).count().withColumnRenamed("count", "c")
+    with pytest.raises(TypeError, match="z_threshold must be int"):
+        daily_count_anomaly(daily, z_threshold=2.5)
+    with pytest.raises(TypeError, match="z_threshold must be int"):
+        daily_count_anomaly(daily, z_threshold=True)

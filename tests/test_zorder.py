@@ -83,6 +83,35 @@ def test_zorder_layout_is_lossless(spark, layouts):
     assert z.schema == c.schema
 
 
+def test_quantize_handles_nan_and_null(spark, tmp_path):
+    """ANSI mode throws CAST_OVERFLOW on round(NaN).cast(bigint) —
+    NaN rows must clamp to the top rank, NULL rows to rank 0, and
+    the write must survive both (round-6 advisory)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=0.0),
+            Row(k=2, v=5.0),
+            Row(k=3, v=10.0),
+            Row(k=4, v=float("nan")),
+            Row(k=5, v=None),
+        ]
+    )
+    ranks = zorder.quantize_cols(df, ["v"], bits=2)
+    got = {
+        r["k"]: r["r"]
+        for r in df.select("k", ranks[0].alias("r")).collect()
+    }
+    assert got[1] == 0 and got[3] == 3  # min-max span intact
+    assert got[4] == 3  # NaN → top rank
+    assert got[5] == 0  # NULL → rank 0
+    # end-to-end: the full write path must not abort
+    out = str(tmp_path / "z_nan")
+    zorder.zorder_write(df, out, ["v", "k"], target_files=2)
+    assert spark.read.parquet(out).count() == 5
+
+
 def test_morton_key_locality(spark):
     """Interleaving, not concatenation: both dimensions contribute
     the same number of low-order bits, so the key can't degrade to

@@ -236,7 +236,12 @@ def main() -> None:
         "n5000": "/root/testdata/sf0.1",
         big_label: SYN_DIR,
     }
-    out: dict = {"sizes": {k: v for k, v in sizes.items()}, "queries": {}}
+    out: dict = {
+        "sizes": {k: v for k, v in sizes.items()},
+        "replicas": args.replicas,
+        "corpus_marker": os.path.basename(marker),
+        "queries": {},
+    }
     probes = PROBES
     if args.only:
         only = set(args.only.split(","))
@@ -246,12 +251,34 @@ def main() -> None:
         probes = [n for n in PROBES if n in only] + sorted(only - set(PROBES))
         # a subset run MERGES into an existing results file — a
         # forgotten --out must not clobber a full sweep with a
-        # one-query file
+        # one-query file. Refuse to merge across sweep settings:
+        # timings recorded at a different --replicas (or corpus
+        # generation) must not silently mix into one file.
         try:
             with open(args.out) as f:
-                out["queries"].update(json.load(f).get("queries", {}))
+                prev = json.load(f)
         except (OSError, ValueError):
-            pass
+            prev = None
+        if prev is not None:
+            prev_rep = prev.get("replicas")
+            prev_marker = prev.get("corpus_marker")
+            if (prev_rep is not None and prev_rep != args.replicas) or (
+                prev_marker is not None
+                and prev_marker != out["corpus_marker"]
+            ):
+                raise SystemExit(
+                    f"--only merge refused: {args.out} was recorded at "
+                    f"replicas={prev_rep} marker={prev_marker}, this run "
+                    f"is replicas={args.replicas} marker="
+                    f"{out['corpus_marker']} — use a fresh --out"
+                )
+            if prev_rep is None:
+                print(
+                    f"warning: {args.out} predates the replicas stamp; "
+                    "merging on the assumption it used the same settings",
+                    file=sys.stderr,
+                )
+            out["queries"].update(prev.get("queries", {}))
     for name in probes:
         fn = qs[name]
         rec: dict = {}

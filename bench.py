@@ -70,18 +70,73 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     _warn_regressions(times)
     _append_history(times, total)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    _write_detail(times, total)
+    print(json.dumps(_compact_report(times, total)))
     spark.stop()
+
+
+# The driver records only the LAST ~2000 characters of stdout and
+# json-parses the final line — a full 160+-query dict (~5 KB) gets
+# front-truncated and the per-query record is lost (BENCH_r02-r06
+# all show "parsed": null). Keep the printed line inside that
+# window: slowest queries first (the ones perf review needs), the
+# rest folded into an explicit omitted-rollup, full detail in
+# docs/metrics/bench_full_latest.json + .bench_history.jsonl.
+_LINE_BUDGET = 1800
+
+
+def _compact_report(times: dict[str, float], total: float) -> dict:
+    report = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        # placeholder at maximum rendered width so the size check
+        # below bounds the FINAL line, not the pre-rollup one
+        "omitted": {"n": 99999, "total_sec": 999999.999},
+        "detail": "docs/metrics/bench_full_latest.json",
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    by_cost = sorted(times, key=lambda n: (-times[n], n))
+    kept = 0
+    for name in by_cost:
+        report["queries"][name] = times[name]
+        if len(json.dumps(report)) > _LINE_BUDGET:
+            del report["queries"][name]
+            break
+        kept += 1
+    omitted = by_cost[kept:]
+    report["omitted"] = {
+        "n": len(omitted),
+        "total_sec": round(sum(times[n] for n in omitted), 3),
+    }
+    return report
+
+
+def _write_detail(times: dict[str, float], total: float) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs",
+        "metrics",
+        "bench_full_latest.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": _sf_from_dir(SF_DIR),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass
 
 
 _HISTORY = os.path.join(

@@ -114,6 +114,50 @@ def shingle_set(
     )
 
 
+def ngram_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """EVERY word n-gram occurrence with its 1-based token position:
+    (id_col, pos, gram, n_tokens) — the occurrence-level (bag)
+    counterpart of ``shingle_set``'s distinct-set view, for
+    consumers that need multiplicity or location: repeated-span
+    coverage (which tokens sit under a duplicated gram), hashed
+    n-gram feature counts (DSIR-style importance), positional
+    inverted indexes. Same sub-``n`` convention as ``shingle_set``:
+    a document shorter than ``n`` words contributes its full text
+    as one gram at pos 1. Same explicit-width repartition-by-id
+    discipline (see shingle_set's comment): the shuffle moves
+    compact doc rows BEFORE the ~|doc|-per-row gram fan-out, and
+    every downstream per-doc aggregate reuses the id clustering."""
+    tokens = F.col("__toks")
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(tokens, i, n)).alias("gram"),
+        ),
+    )
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        )
+        .repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.size(tokens).cast("bigint").alias("n_tokens"),
+            F.explode(grams).alias("__g"),
+        )
+        .select(
+            id_col,
+            F.col("__g.pos").alias("pos"),
+            F.col("__g.gram").alias("gram"),
+            "n_tokens",
+        )
+    )
+
+
 def _jaccard_on_pairs(
     pairs: DataFrame, shingles: DataFrame, id_col: str
 ) -> DataFrame:

@@ -156,7 +156,16 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # query with a driver row hiding here would dodge re-attestation).
 # Round 7 starts empty: all 38 round-6 first-timers rotated into
 # the window; queries added during round 7 queue here.
-GATE_PENDING: tuple[str, ...] = ()
+GATE_PENDING: tuple[str, ...] = (
+    "q168_forecast_revenue_change",
+    "q169_daily_autocorrelation",
+    "q170_dow_seasonality",
+    "q171_audience_intersect_all",
+    "q172_dsir_importance",
+    "q173_dup_span_census",
+    "q174_chunk_plan",
+    "q175_kanon_census",
+)
 
 
 def _merged() -> dict[str, Builder]:

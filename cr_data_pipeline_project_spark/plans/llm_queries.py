@@ -68,6 +68,22 @@ def _shingles_cte(n: int) -> str:
 
 _SHINGLES_CTE = _shingles_cte(5)
 
+
+# Shared DuckDB CTE: EVERY word-n-gram occurrence with its 1-based
+# token position — the bag/positional counterpart of _shingles_cte,
+# mirroring operators/dedup.py:ngram_positions exactly (incl. the
+# sub-n full-text-as-one-gram edge).
+def _gram_pos_cte(n: int) -> str:
+    return f"""
+    gp AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(words[i:i+{n - 1}], ' ') AS gram,
+               len(words)::BIGINT AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(words)-{n - 1}, 1))) AS i) t
+    )
+"""
+
 # Shared DuckDB scalar: the q38 rule-based quality score (textstats.
 # quality_score's composite) — ONE definition for every oracle that
 # consumes the score, so a formula/stopword change can't silently
@@ -3928,4 +3944,293 @@ def q166_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pps_sample(docs, "doc_id", "n_tokens", k=200).select(
         "doc_id", "source", "n_tokens", "sample_key"
+    )
+
+
+@q(
+    "q172_dsir_importance",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS words
+        FROM documents),
+    grams AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(array_to_string(words[i:i+1], ' ')), 1, 8))::BIGINT
+                   % 256 AS f
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(words)-1, 1))) AS i) t),
+    raw AS (SELECT f, COUNT(*)::BIGINT AS rc FROM grams GROUP BY f),
+    tgt AS (SELECT f, COUNT(*)::BIGINT AS tc FROM grams
+            WHERE lang = 'en' GROUP BY f),
+    tot AS (SELECT COUNT(*)::BIGINT AS r_tot,
+                   (COUNT(*) FILTER (WHERE lang = 'en'))::BIGINT AS t_tot
+            FROM grams),
+    lam AS (
+        SELECT raw.f,
+               ROUND((ln((COALESCE(tc, 0) + 1)::DOUBLE / (t_tot + 256)::DOUBLE)
+                      - ln((rc + 1)::DOUBLE / (r_tot + 256)::DOUBLE))
+                     * 10000000)::BIGINT AS lam7
+        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot),
+    docf AS (SELECT doc_id, f, COUNT(*)::BIGINT AS c FROM grams GROUP BY 1, 2),
+    w AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_grams,
+               SUM(c * lam7)::BIGINT AS wsum7
+        FROM docf JOIN lam USING (f) GROUP BY doc_id)
+    SELECT doc_id, n_grams,
+           ROUND(wsum7::DOUBLE / (n_grams::DOUBLE * 10000000.0), 6)
+               AS dsir_score
+    FROM w ORDER BY dsir_score DESC, doc_id LIMIT 200
+    """,
+)
+def q172_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): rank raw
+    documents by how much their hashed-bigram distribution resembles
+    a target domain (here: the corpus's English slice) relative to
+    the raw pool — the cheap lexical stand-in for 'select data that
+    looks like the eval distribution'. Per hash bucket f (md5-bucket
+    of each bigram occurrence into 256 features — the portable
+    sampling.hash_bucket lottery), the log-likelihood ratio
+    lambda_f = ln p_target(f) - ln p_raw(f) with add-1 smoothing; a
+    document's score is its occurrence-weighted mean lambda.
+    Exactness: ln() agrees bit-for-bit across engines for ~97% of
+    inputs (1-ulp wobble otherwise — measured), so lambda is pinned
+    to integer 1e-7 units (round-scale-cast, the q167 discipline)
+    and everything after is BIGINT-exact: per-doc sums are
+    c_f * lam7 products, the finish is one IEEE division, rounded
+    once. Scale: the only corpus-sized shuffles carry (doc_id, f)
+    pairs — 8-byte ints, never gram text (the bucket hash is
+    map-side); raw/tgt/lam are 256-row aggregates that broadcast
+    back; top-k is TakeOrdered, no global sort. At 100 TB, raise
+    the bucket count (DSIR uses 10k) — the lam table stays
+    broadcast-sized at any realistic width."""
+    from ..operators.sampling import hash_bucket
+
+    docs = table(spark, "documents", sf_dir)
+    grams = (
+        dedup.ngram_positions(docs, "text", "doc_id", n=2)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", hash_bucket(F.col("gram"), 256).alias("f"))
+    )
+    raw = grams.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        grams.where(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = grams.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tot"),
+    )
+    lam = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_tot") + 256).cast("double")
+                    )
+                    - F.log(
+                        (F.col("rc") + 1).cast("double")
+                        / (F.col("r_tot") + 256).cast("double")
+                    )
+                )
+                * 10000000
+            )
+            .cast("bigint")
+            .alias("lam7"),
+        )
+    )
+    docf = grams.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        docf.join(F.broadcast(lam), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam7")).alias("wsum7"),
+        )
+    )
+    score = F.round(
+        F.col("wsum7").cast("double")
+        / (F.col("n_grams").cast("double") * F.lit(10000000.0)),
+        6,
+    )
+    return (
+        w.select("doc_id", "n_grams", score.alias("dsir_score"))
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(200)
+    )
+
+
+@q(
+    "q173_dup_span_census",
+    f"""
+    WITH {_gram_pos_cte(8)},
+    occ AS (SELECT gram, COUNT(*)::BIGINT AS occ FROM gp GROUP BY gram),
+    dup AS (
+        SELECT gp.doc_id, gp.pos, least(gp.pos + 7, gp.n_tokens) AS e
+        FROM gp JOIN occ USING (gram) WHERE occ.occ >= 2),
+    isl AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+    grp AS (
+        SELECT doc_id, pos, e,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM isl),
+    cov AS (
+        SELECT doc_id, isl_id,
+               MAX(e) - MIN(pos) + 1 AS cov_len, COUNT(*) AS n_spans
+        FROM grp GROUP BY doc_id, isl_id),
+    per_doc AS (
+        SELECT doc_id, SUM(cov_len)::BIGINT AS covered,
+               SUM(n_spans)::BIGINT AS n_dup_grams
+        FROM cov GROUP BY doc_id),
+    dl AS (SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents)
+    SELECT dl.doc_id, dl.n_tokens,
+           COALESCE(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+           COALESCE(covered, 0)::BIGINT AS covered_tokens,
+           ROUND(COALESCE(covered, 0)::DOUBLE / dl.n_tokens, 6)
+               AS dup_fraction
+    FROM dl LEFT JOIN per_doc USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q173_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring duplication census (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better'
+    signal, arXiv:2107.06499, at word-8-gram granularity): for each
+    document, the fraction of its tokens lying under at least one
+    8-gram that occurs >= 2 times ANYWHERE in the corpus — the
+    span-level complement of doc-level near-dup (a doc can be 40%
+    boilerplate yet no near-dup of anything). Pipeline: occurrence-
+    level grams with positions (dedup.ngram_positions), corpus
+    occurrence counts on the gram key, duplicated spans [pos,
+    pos+7] merged per doc by the classic gaps-and-islands window
+    (new island when pos exceeds the running max end), island
+    lengths summed. Exactness: pure integer arithmetic end-to-end;
+    the fraction is one IEEE division, rounded once. Scale: the
+    gram-key exchange is the inverted-index family's (hash grams to
+    64-bit keys at 100 TB, the q34 discipline); the island window
+    partitions per doc over dup spans only — bounded by tokens per
+    doc, never corpus-global; docs with zero dup spans rejoin via
+    the doc-keyed left join, costing a dim-sized exchange."""
+    docs = table(spark, "documents", sf_dir)
+    gp = dedup.ngram_positions(docs, "text", "doc_id", n=8)
+    occ = gp.groupBy("gram").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (
+        gp.join(occ, "gram")
+        .where(F.col("occ") >= 2)
+        .select(
+            "doc_id",
+            "pos",
+            F.least(F.col("pos") + 7, F.col("n_tokens")).alias("e"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        "e",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("e").over(wprev), F.lit(0)), 1
+        )
+        .otherwise(0)
+        .alias("new_isl"),
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = isl.select(
+        "doc_id", "pos", "e", F.sum("new_isl").over(wcum).alias("isl_id")
+    )
+    cov = grp.groupBy("doc_id", "isl_id").agg(
+        (F.max("e") - F.min("pos") + 1).alias("cov_len"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("cov_len").alias("covered"),
+        F.sum("n_spans").alias("n_dup_grams"),
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        dl.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("covered", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q174_chunk_plan",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           ((s - 1) / 48)::INT AS chunk_idx,
+           s::BIGINT AS start_tok,
+           len(words[s:s+63])::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(words[s:s+63], ' ')) AS chunk_md5
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, len(words), 48)) AS s) t
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q174_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking plan (RAG / context-window prep):
+    split every document into 64-token chunks at stride 48 (25%
+    overlap so no boundary-straddling passage is lost), emitting
+    (chunk_idx, start_tok, n_chunk_tokens, md5) — the manifest a
+    chunk-level embed/dedup/index stage consumes (q87 dedups chunks;
+    this is the operator that MAKES them). Start positions 1, 49,
+    97, ... <= doc length, so the tail chunk may run short — the
+    standard contract. Exactness: pure integer generate_series +
+    slicing + md5, identical in both engines. Scale: one map-side
+    explode per document — sequence/slice stay in whole-stage
+    codegen, nothing shuffles at all (the ORDER BY is presentation;
+    a real sink would write hash-partitioned by doc)."""
+    docs = table(spark, "documents", sf_dir)
+    tokens = F.col("__toks")
+    starts = F.sequence(F.lit(1), F.size(tokens), F.lit(48))
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select("doc_id", tokens.alias("__toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 48).cast("int").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("start_tok"),
+            F.size(F.slice(tokens, F.col("s"), 64))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(tokens, F.col("s"), 64))).alias(
+                "chunk_md5"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
     )

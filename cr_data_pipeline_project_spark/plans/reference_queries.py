@@ -2940,3 +2940,257 @@ def q167_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "q168_forecast_revenue_change",
+    """
+    SELECT (SUM((l_extendedprice * l_discount)::DECIMAL(28,6)))::DOUBLE
+               AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q168_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change: the revenue that
+    would have been gained by eliminating small discounts on
+    low-quantity orders in one year — the canonical
+    filter-everything-then-one-scalar shape, completing the
+    implementable TPC-H surface (Q2/Q11 need the partsupp table the
+    fixture lacks). Exactness: the product sums as DECIMAL and casts
+    to double once; double-literal discount bounds compare
+    identically in both engines. Scale: every predicate pushes to
+    the parquet scan (shipdate range, discount band, quantity cap —
+    all min/max-prunable), the aggregate partial-combines to one
+    row, nothing shuffles but 1-row partials."""
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q169_daily_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, lag, c AS x,
+               LAG(c, lag) OVER (PARTITION BY event_type, lag
+                                 ORDER BY d) AS y
+        FROM daily
+        CROSS JOIN (SELECT unnest(generate_series(1, 7))::INT AS lag) lags),
+    m AS (
+        SELECT event_type, lag,
+               COUNT(*)::BIGINT AS n,
+               SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
+               SUM(x * y)::BIGINT AS sxy
+        FROM lagged WHERE y IS NOT NULL
+        GROUP BY 1, 2)
+    SELECT event_type, lag, n AS n_pairs,
+           ROUND((n * sxy - sx * sy) /
+                 (sqrt((n * sxx - sx * sx)::DOUBLE)
+                  * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS acf
+    FROM m WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY event_type, lag
+    """,
+)
+def q169_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-volume series,
+    lags 1-7 per event type — the periodicity probe run before
+    picking a seasonal model (a weekly cycle shows as a lag-7 peak).
+    Row-lagged (LAG k over the date-ordered daily series), the
+    standard form for regularly-sampled series, and computed
+    identically in both engines. Exactness: counts and all five
+    moment sums are BIGINT, the Pearson finish is a fixed IEEE chain
+    (two sqrt, one divide) on exact integers, rounded once —
+    hash-exact. Scale: raw events collapse to |types|x|days| rows in
+    one partial-combining aggregate BEFORE the 7x lag fan-out; the
+    window partitions by (type, lag) over that tiny daily table; the
+    fact table never shuffles."""
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    fan = daily.crossJoin(F.broadcast(lags))
+    w = Window.partitionBy("event_type", "lag").orderBy("d")
+    # LAG with a column offset isn't supported — one lag expression
+    # per k, selected by the fanned-out lag value
+    y = F.when(F.lit(False), F.lit(None).cast("long"))
+    for k in range(1, 8):
+        y = y.when(F.col("lag") == k, F.lag("c", k).over(w))
+    lagged = fan.select(
+        "event_type", "lag", F.col("c").alias("x"), y.alias("y")
+    ).where(F.col("y").isNotNull())
+    m = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    dx = n * F.col("sxx") - sx * sx
+    dy = n * F.col("syy") - sy * sy
+    acf = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))
+    )
+    return (
+        m.where((dx > 0) & (dy > 0))
+        .select(
+            "event_type",
+            "lag",
+            n.alias("n_pairs"),
+            F.round(acf, 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@q(
+    "q170_dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+    dow AS (
+        SELECT event_type, (isodow(d) - 1)::INT AS dow,
+               COUNT(*)::BIGINT AS n_days, SUM(c)::BIGINT AS total
+        FROM daily GROUP BY 1, 2)
+    SELECT event_type, dow, n_days, total,
+           ROUND((total * SUM(n_days) OVER (PARTITION BY event_type))::DOUBLE
+                 / (n_days * SUM(total) OVER (PARTITION BY event_type))::DOUBLE,
+                 6) AS seasonal_index
+    FROM dow ORDER BY event_type, dow
+    """,
+)
+def q170_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile: per (event type, weekday), the
+    multiplicative seasonal index — mean daily volume on that
+    weekday over the all-days mean (1.0 = flat; the classical-
+    decomposition seasonal component for a weekly cycle, and the
+    divisor a seasonally-adjusted monitor divides out before
+    alerting). Weekday convention: 0=Monday (Spark ``weekday()`` ==
+    DuckDB ``isodow()-1``). Exactness: the index collapses to ONE
+    IEEE division of two exact BIGINT products (total_dow * n_all) /
+    (n_dow * total_all) — no mean-of-means double chain — rounded
+    once. Scale: events collapse to the daily table in one pass;
+    both window totals share the single |types|x7 exchange; the
+    fact table never shuffles."""
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dow = daily.groupBy(
+        "event_type", F.expr("weekday(d)").cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("total"),
+    )
+    wall = Window.partitionBy("event_type")
+    idx = (F.col("total") * F.sum("n_days").over(wall)).cast("double") / (
+        F.col("n_days") * F.sum("total").over(wall)
+    ).cast("double")
+    return dow.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "total",
+        F.round(idx, 6).alias("seasonal_index"),
+    ).orderBy("event_type", "dow")
+
+
+@q(
+    "q171_audience_intersect_all",
+    """
+    WITH paired AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, COUNT(*)::BIGINT AS paired_actions
+    FROM paired GROUP BY user_id
+    ORDER BY paired_actions DESC, user_id
+    """,
+)
+def q171_audience_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set intersection (INTERSECT ALL): per user, the
+    number of click events that pair one-for-one with purchase
+    events — min(clicks, purchases) by multiset arithmetic, the
+    matched-exposure count conversion analyses divide by. The bag
+    complement of q146's EXCEPT ALL (together they tile the click
+    bag: surplus + paired = clicks). Exercises ``intersectAll``
+    (Spark plans a min-of-counts generate, not a join). The
+    surviving bag re-aggregates so output order is deterministic."""
+    ev = table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.intersectAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("paired_actions"))
+        .orderBy(F.desc("paired_actions"), "user_id")
+    )
+
+
+@q(
+    "q175_kanon_census",
+    """
+    SELECT c_nationkey::INT AS nation, c_mktsegment AS segment,
+           FLOOR(c_acctbal / 1000)::BIGINT AS bal_band,
+           COUNT(*)::BIGINT AS class_size,
+           (COUNT(*) < 5)::INT AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q175_kanon_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over quasi-identifiers (Sweeney 2002):
+    equivalence-class sizes for the (nation, market segment,
+    account-balance band) projection of the customer table, flagging
+    classes smaller than k=5 — the re-identification audit a
+    training-data release runs before shipping records keyed by
+    demographic-ish attributes (the row-level complement of q62's
+    in-text PII redaction: PII can leak through joinable attribute
+    combinations even with the text scrubbed). Exactness: the band
+    is FLOOR on a double (deterministic), everything else integer.
+    Scale: one partial-combining aggregate; class cardinality is
+    bounded by |nations| x |segments| x |bands|, so the exchange is
+    dim-sized regardless of fact row count."""
+    cu = table(spark, "customer", sf_dir)
+    return (
+        cu.groupBy(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "nation",
+            "segment",
+            "bal_band",
+            "class_size",
+            (F.col("class_size") < 5).cast("int").alias("at_risk"),
+        )
+        .orderBy("nation", "segment", "bal_band")
+    )

@@ -61,6 +61,8 @@ NESTED_LOOP_OK = {
     "q132_token_cooccurrence",  # 1-row doc-count broadcast
     "q152_idle_premium_customers",  # 1-row balance-threshold broadcast
     "q154_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
+    "q169_daily_autocorrelation",  # 7-row lag-spine literal broadcast
+    "q172_dsir_importance",  # 1-row corpus-totals (R, T) broadcast
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

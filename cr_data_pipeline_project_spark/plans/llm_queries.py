@@ -3949,35 +3949,32 @@ def q166_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q172_dsir_importance",
-    """
-    WITH toks AS (
-        SELECT doc_id, lang, string_split(text, ' ') AS words
-        FROM documents),
-    grams AS (
-        SELECT doc_id, lang,
-               ('0x' || substr(md5(array_to_string(words[i:i+1], ' ')), 1, 8))::BIGINT
-                   % 256 AS f
-        FROM toks,
-             LATERAL (SELECT unnest(generate_series(1, greatest(len(words)-1, 1))) AS i) t),
-    raw AS (SELECT f, COUNT(*)::BIGINT AS rc FROM grams GROUP BY f),
-    tgt AS (SELECT f, COUNT(*)::BIGINT AS tc FROM grams
-            WHERE lang = 'en' GROUP BY f),
-    tot AS (SELECT COUNT(*)::BIGINT AS r_tot,
-                   (COUNT(*) FILTER (WHERE lang = 'en'))::BIGINT AS t_tot
-            FROM grams),
+    f"""
+    WITH {_gram_pos_cte(2)},
+    docf AS (
+        SELECT gp.doc_id, d.lang,
+               ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS f,
+               COUNT(*)::BIGINT AS c
+        FROM gp JOIN documents d USING (doc_id)
+        GROUP BY 1, 2, 3),
+    per_f AS (
+        SELECT f, SUM(c)::BIGINT AS rc,
+               COALESCE(SUM(c) FILTER (WHERE lang = 'en'), 0)::BIGINT AS tc
+        FROM docf GROUP BY f),
+    tot AS (SELECT SUM(rc)::BIGINT AS r_tot, SUM(tc)::BIGINT AS t_tot
+            FROM per_f),
     lam AS (
-        SELECT raw.f,
-               ROUND((ln((COALESCE(tc, 0) + 1)::DOUBLE / (t_tot + 256)::DOUBLE)
+        SELECT f,
+               ROUND((ln((tc + 1)::DOUBLE / (t_tot + 256)::DOUBLE)
                       - ln((rc + 1)::DOUBLE / (r_tot + 256)::DOUBLE))
-                     * 10000000)::BIGINT AS lam7
-        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot),
-    docf AS (SELECT doc_id, f, COUNT(*)::BIGINT AS c FROM grams GROUP BY 1, 2),
+                     * 100000)::BIGINT AS lam5
+        FROM per_f CROSS JOIN tot),
     w AS (
         SELECT doc_id, SUM(c)::BIGINT AS n_grams,
-               SUM(c * lam7)::BIGINT AS wsum7
+               SUM(c * lam5)::BIGINT AS wsum5
         FROM docf JOIN lam USING (f) GROUP BY doc_id)
     SELECT doc_id, n_grams,
-           ROUND(wsum7::DOUBLE / (n_grams::DOUBLE * 10000000.0), 6)
+           ROUND(wsum5::DOUBLE / (n_grams::DOUBLE * 100000.0), 6)
                AS dsir_score
     FROM w ORDER BY dsir_score DESC, doc_id LIMIT 200
     """,
@@ -3995,67 +3992,73 @@ def q172_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's score is its occurrence-weighted mean lambda.
     Exactness: ln() agrees bit-for-bit across engines for ~97% of
     inputs (1-ulp wobble otherwise — measured), so lambda is pinned
-    to integer 1e-7 units (round-scale-cast, the q167 discipline)
-    and everything after is BIGINT-exact: per-doc sums are
-    c_f * lam7 products, the finish is one IEEE division, rounded
-    once. Scale: the only corpus-sized shuffles carry (doc_id, f)
-    pairs — 8-byte ints, never gram text (the bucket hash is
-    map-side); raw/tgt/lam are 256-row aggregates that broadcast
-    back; top-k is TakeOrdered, no global sort. At 100 TB, raise
-    the bucket count (DSIR uses 10k) — the lam table stays
-    broadcast-sized at any realistic width."""
+    to integer 1e-5 units (round-scale-cast, the q167 discipline; at
+    1e-5 the half-boundary a 1-ulp wobble could flip sits ~2e-10
+    away in relative terms — review pushed this down from 1e-7,
+    which left only ~3e-8) and everything after is BIGINT-exact:
+    per-doc sums are c_f * lam5 products, the finish is one IEEE
+    division, rounded once. Shape (review-flagged; was one
+    re-tokenized branch per statistic): the corpus fans out to
+    bigrams into the (doc_id, lang, f) count table, consumed by
+    exactly TWO aggregates — the 256-row per-feature table (raw and
+    target counts in one pass; corpus totals then come from THAT
+    table, not another corpus pass) and the per-doc score rollup.
+    Scale: the only corpus-sized shuffle carries (doc_id, f) ints,
+    never gram text (the bucket hash is map-side); per_f/tot/lam
+    are 256-row frames that broadcast back; top-k is TakeOrdered,
+    no global sort. At 100 TB, materialize docf once (a build
+    artifact, the PQ-codebook discipline) so the two consumers read
+    it instead of re-exploding, and raise the bucket count (DSIR
+    uses 10k) — lam stays broadcast-sized at any realistic width."""
     from ..operators.sampling import hash_bucket
 
     docs = table(spark, "documents", sf_dir)
-    grams = (
+    docf = (
         dedup.ngram_positions(docs, "text", "doc_id", n=2)
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", hash_bucket(F.col("gram"), 256).alias("f"))
-    )
-    raw = grams.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        grams.where(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
-    tot = grams.agg(
-        F.count(F.lit(1)).alias("r_tot"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tot"),
-    )
-    lam = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "f",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
-                        / (F.col("t_tot") + 256).cast("double")
-                    )
-                    - F.log(
-                        (F.col("rc") + 1).cast("double")
-                        / (F.col("r_tot") + 256).cast("double")
-                    )
-                )
-                * 10000000
-            )
-            .cast("bigint")
-            .alias("lam7"),
+        .groupBy(
+            "doc_id", "lang", hash_bucket(F.col("gram"), 256).alias("f")
         )
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    docf = grams.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c"))
+    per_f = docf.groupBy("f").agg(
+        F.sum("c").alias("rc"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
+        ).alias("tc"),
+    )
+    tot = per_f.agg(
+        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
+    )
+    lam = per_f.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(
+            (
+                F.log(
+                    (F.col("tc") + 1).cast("double")
+                    / (F.col("t_tot") + 256).cast("double")
+                )
+                - F.log(
+                    (F.col("rc") + 1).cast("double")
+                    / (F.col("r_tot") + 256).cast("double")
+                )
+            )
+            * 100000
+        )
+        .cast("bigint")
+        .alias("lam5"),
+    )
     w = (
         docf.join(F.broadcast(lam), "f")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_grams"),
-            F.sum(F.col("c") * F.col("lam7")).alias("wsum7"),
+            F.sum(F.col("c") * F.col("lam5")).alias("wsum5"),
         )
     )
     score = F.round(
-        F.col("wsum7").cast("double")
-        / (F.col("n_grams").cast("double") * F.lit(10000000.0)),
+        F.col("wsum5").cast("double")
+        / (F.col("n_grams").cast("double") * F.lit(100000.0)),
         6,
     )
     return (
@@ -4199,6 +4202,7 @@ def q173_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(array_to_string(words[s:s+63], ' ')) AS chunk_md5
     FROM toks,
          LATERAL (SELECT unnest(generate_series(1, len(words), 48)) AS s) t
+    WHERE s = 1 OR s + 15 < len(words)
     ORDER BY doc_id, chunk_idx
     """,
 )
@@ -4209,9 +4213,13 @@ def q174_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chunk_idx, start_tok, n_chunk_tokens, md5) — the manifest a
     chunk-level embed/dedup/index stage consumes (q87 dedups chunks;
     this is the operator that MAKES them). Start positions 1, 49,
-    97, ... <= doc length, so the tail chunk may run short — the
-    standard contract. Exactness: pure integer generate_series +
-    slicing + md5, identical in both engines. Scale: one map-side
+    97, ... <= doc length, and a start is emitted only if the
+    PREVIOUS chunk stopped short of the document end (s = 1 OR
+    s + 15 < L) — otherwise the tail chunk would be a strict
+    sub-span of its predecessor, duplicating downstream embed/index
+    work (review-flagged; the kept tail chunk may still run short,
+    the standard contract). Exactness: pure integer generate_series
+    + slicing + md5, identical in both engines. Scale: one map-side
     explode per document — sequence/slice stay in whole-stage
     codegen, nothing shuffles at all (the ORDER BY is presentation;
     a real sink would write hash-partitioned by doc)."""
@@ -4221,6 +4229,9 @@ def q174_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.split("text", " ").alias("__toks"))
         .select("doc_id", tokens.alias("__toks"), F.explode(starts).alias("s"))
+        .where(
+            (F.col("s") == 1) | (F.col("s") + 15 < F.size(tokens))
+        )
         .select(
             "doc_id",
             ((F.col("s") - 1) / 48).cast("int").alias("chunk_idx"),

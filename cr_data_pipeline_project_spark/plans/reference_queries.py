@@ -2942,6 +2942,34 @@ def q167_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_calendar(ev: DataFrame) -> DataFrame:
+    """Zero-filled per-type daily event counts on a CALENDAR spine
+    (each type's min..max date): (event_type, d, c) with c = 0 on
+    days the type logged nothing. The shared base of every daily
+    time-series statistic here (q169 ACF, q170 seasonality) — a
+    series with silently missing days makes row-lag arithmetic and
+    per-weekday denominators wrong in ways an observed-days-only
+    oracle twin can't catch. Scale: the spine explodes from a
+    |types|-row bounds aggregate, so it is dim-sized; the fact
+    table collapses once and never re-shuffles."""
+    obs = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d"),
+        )
+    )
+    return spine.join(obs, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+    )
+
+
 @q(
     "q168_forecast_revenue_change",
     """
@@ -2988,9 +3016,18 @@ def q168_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q169_daily_autocorrelation",
     """
-    WITH daily AS (
+    WITH obs AS (
         SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS c
         FROM events GROUP BY 1, 2),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+              FROM obs GROUP BY 1)),
+    daily AS (
+        SELECT s.event_type, s.d, COALESCE(c, 0)::BIGINT AS c
+        FROM spine s LEFT JOIN obs USING (event_type, d)),
     lagged AS (
         SELECT event_type, lag, c AS x,
                LAG(c, lag) OVER (PARTITION BY event_type, lag
@@ -3017,19 +3054,20 @@ def q169_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the daily event-volume series,
     lags 1-7 per event type — the periodicity probe run before
     picking a seasonal model (a weekly cycle shows as a lag-7 peak).
-    Row-lagged (LAG k over the date-ordered daily series), the
-    standard form for regularly-sampled series, and computed
-    identically in both engines. Exactness: counts and all five
-    moment sums are BIGINT, the Pearson finish is a fixed IEEE chain
-    (two sqrt, one divide) on exact integers, rounded once —
-    hash-exact. Scale: raw events collapse to |types|x|days| rows in
-    one partial-combining aggregate BEFORE the 7x lag fan-out; the
-    window partitions by (type, lag) over that tiny daily table; the
-    fact table never shuffles."""
+    The observed daily counts join onto a per-type CALENDAR spine
+    (min..max date, zero-filled) before lagging, so LAG(c, k) is a
+    true k-DAY shift — without the spine, one zero-event day would
+    silently misalign every pair after it, and both engines would
+    agree on the wrong answer (the q161 oracle-blind-spot class;
+    flagged by review). Exactness: counts and all five moment sums
+    are BIGINT, the Pearson finish is a fixed IEEE chain (two sqrt,
+    one divide) on exact integers, rounded once — hash-exact.
+    Scale: raw events collapse to |types|x|days| rows in one
+    partial-combining aggregate BEFORE the spine join and 7x lag
+    fan-out; the window partitions by (type, lag) over that tiny
+    daily table; the fact table never shuffles."""
     ev = table(spark, "events", sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = _daily_calendar(ev)
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     fan = daily.crossJoin(F.broadcast(lags))
     w = Window.partitionBy("event_type", "lag").orderBy("d")
@@ -3070,9 +3108,18 @@ def q169_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q170_dow_seasonality",
     """
-    WITH daily AS (
+    WITH obs AS (
         SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS c
         FROM events GROUP BY 1, 2),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+              FROM obs GROUP BY 1)),
+    daily AS (
+        SELECT s.event_type, s.d, COALESCE(c, 0)::BIGINT AS c
+        FROM spine s LEFT JOIN obs USING (event_type, d)),
     dow AS (
         SELECT event_type, (isodow(d) - 1)::INT AS dow,
                COUNT(*)::BIGINT AS n_days, SUM(c)::BIGINT AS total
@@ -3091,16 +3138,18 @@ def q170_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition seasonal component for a weekly cycle, and the
     divisor a seasonally-adjusted monitor divides out before
     alerting). Weekday convention: 0=Monday (Spark ``weekday()`` ==
-    DuckDB ``isodow()-1``). Exactness: the index collapses to ONE
-    IEEE division of two exact BIGINT products (total_dow * n_all) /
-    (n_dow * total_all) — no mean-of-means double chain — rounded
-    once. Scale: events collapse to the daily table in one pass;
-    both window totals share the single |types|x7 exchange; the
-    fact table never shuffles."""
+    DuckDB ``isodow()-1``). Daily counts come zero-filled from the
+    calendar spine (``_daily_calendar``), so n_days counts CALENDAR
+    weekdays — an observed-days-only denominator would inflate the
+    index for weekdays the type mostly skips (review-flagged, the
+    same blind-spot class as q169). Exactness: the index collapses
+    to ONE IEEE division of two exact BIGINT products
+    (total_dow * n_all) / (n_dow * total_all) — no mean-of-means
+    double chain — rounded once. Scale: events collapse to the
+    daily table in one pass; both window totals share the single
+    |types|x7 exchange; the fact table never shuffles."""
     ev = table(spark, "events", sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = _daily_calendar(ev)
     dow = daily.groupBy(
         "event_type", F.expr("weekday(d)").cast("int").alias("dow")
     ).agg(

@@ -103,20 +103,20 @@ def _py_dsir(docs: list[tuple[int, str, str]], buckets: int = 256):
         rc[f] = rc.get(f, 0) + 1
         if lang == "en":
             tc[f] = tc.get(f, 0) + 1
-    lam7 = {
+    lam5 = {
         f: round(
             (
                 math.log((tc.get(f, 0) + 1) / (t_tot + buckets))
                 - math.log((c + 1) / (r_tot + buckets))
             )
-            * 10**7
+            * 10**5
         )
         for f, c in rc.items()
     }
     scores = {}
     for doc_id, _, _ in docs:
         fs = [f for d, _, f in occ if d == doc_id]
-        scores[doc_id] = sum(lam7[f] for f in fs) / (len(fs) * 10**7)
+        scores[doc_id] = sum(lam5[f] for f in fs) / (len(fs) * 10**5)
     return scores
 
 
@@ -131,10 +131,10 @@ def test_dsir_matches_bruteforce_and_prefers_target(spark, sf_dir):
     got = {r["doc_id"]: r["dsir_score"] for r in
            q172_dsir_importance(spark, sf_dir).collect()}
     # the query returns the top 200 — every returned score must match
-    # the independent recompute (1e-6 tolerance: lam7 rounding can
-    # differ by 1 unit when ln wobbles an ulp at the half boundary)
+    # the independent recompute (tolerance: lam5 rounding can differ
+    # by 1 unit of 1e-5 when ln wobbles an ulp at the half boundary)
     for doc_id, s in got.items():
-        assert abs(s - round(expected[doc_id], 6)) <= 2e-6, doc_id
+        assert abs(s - round(expected[doc_id], 6)) <= 2e-5, doc_id
     # and the selection must actually prefer target-looking data:
     # mean score of English docs exceeds mean score of the rest
     lang = {d: l for d, l, _ in docs}
@@ -176,3 +176,11 @@ def test_chunk_plan_covers_and_overlaps(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             if a["n_chunk_tokens"] == 64:
                 assert b["start_tok"] == a["start_tok"] + 48
+        # no redundant chunks: every chunk after the first must add
+        # coverage beyond its predecessor's end (review finding:
+        # tails shorter than the overlap were emitted as strict
+        # sub-spans of the previous chunk)
+        for a, b in zip(rs, rs[1:]):
+            a_end = a["start_tok"] + a["n_chunk_tokens"] - 1
+            b_end = b["start_tok"] + b["n_chunk_tokens"] - 1
+            assert b_end > a_end, (doc_id, a_end, b_end)

@@ -184,3 +184,102 @@ def dedup_clusters(
     edges = pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
     cc = connected_components(nodes, edges)
     return cc.select(F.col("node").alias(id_col), "component_id")
+
+
+# TextRank integer-PageRank scaling: ranks live in units of
+# 1e-6 "mass" (SCALE per node initially); the damping split 85/100
+# and every per-edge contribution use integer floor division, so
+# ten iterations stay BIGINT-exact end-to-end — the property that
+# lets an iterative algorithm carry a machine-checked cross-engine
+# oracle at all (float PageRank sums in shuffle order and can never
+# hash-match). Worst-case magnitude: a hub absorbing ALL mass holds
+# |V|*SCALE ~ 1e11 at a 1e5 vocabulary; times a 1e6 edge weight is
+# 1e17, inside BIGINT with two orders to spare.
+TEXTRANK_SCALE = 1_000_000
+TEXTRANK_DAMP_NUM = 85  # d = 0.85 as an exact 85/100 split
+TEXTRANK_BASE = (100 - TEXTRANK_DAMP_NUM) * TEXTRANK_SCALE // 100
+
+
+def textrank_scores(
+    weighted_edges: DataFrame,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted TextRank (Mihalcea & Tarau 2004) node scores via
+    ``n_iter`` integer power iterations:
+
+        r'(i) = BASE + 85 * sum_j floor(r(j) * w(j,i) / W(j)) // 100
+
+    over a SYMMETRIZED weighted graph (caller supplies directed
+    edges; both directions are added here, self-loops dropped,
+    parallel edges re-aggregated). Every node of a symmetric graph
+    has in-degree == out-degree >= 1, so no rank row ever drops out
+    and no dangling-mass term is needed.
+
+    Exactness: all arithmetic is BIGINT with floor division on
+    positives (Spark ``div`` == DuckDB ``//``) — scores are
+    hash-exact across engines and runs. Scale: each iteration is
+    one edges-join-ranks shuffle plus one partial-combining sum on
+    dst — the connected-components cost model; edges and each rank
+    generation persist so the single final action computes every
+    generation exactly once (the bpe_learn discipline) instead of
+    re-deriving an exponentially deep lineage. The caller must
+    consume the result via a bounded collect (top-k) and this
+    function unpersists nothing it returns — wrap with
+    ``textrank_topk`` for the serve path."""
+    fwd = weighted_edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).alias("w"),
+    )
+    rev = weighted_edges.select(
+        F.col(dst).alias("src"), F.col(src).alias("dst"),
+        F.col(weight).alias("w"),
+    )
+    edges = (
+        fwd.union(rev)
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = edges.join(wout, "src").persist()
+    ranks = e.select("src").distinct().select(
+        F.col("src").alias("token"),
+        F.lit(TEXTRANK_SCALE).cast("bigint").alias("r"),
+    ).persist()
+    gens = [e, ranks]
+    for _ in range(n_iter):
+        contrib = e.join(ranks, e["src"] == ranks["token"]).select(
+            F.col("dst"),
+            F.expr("(r * w) div wout").alias("t"),
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("token")).agg(
+            (
+                F.lit(TEXTRANK_BASE)
+                + F.expr(f"({TEXTRANK_DAMP_NUM} * sum(t)) div 100")
+            )
+            .cast("bigint")
+            .alias("r")
+        ).persist()
+        gens.append(ranks)
+    ranks._textrank_gens = gens  # unpersisted by textrank_topk
+    return ranks
+
+
+def textrank_topk(
+    weighted_edges: DataFrame, k: int = 50, n_iter: int = 10, **kw
+) -> list:
+    """Run :func:`textrank_scores` and return the top-``k`` rows
+    (token, r) — rank-desc, token-asc — as driver-local rows
+    (bounded by contract: k), releasing every persisted generation
+    before returning."""
+    ranks = textrank_scores(weighted_edges, n_iter=n_iter, **kw)
+    try:
+        return (
+            ranks.orderBy(F.desc("r"), "token").limit(k).collect()
+        )
+    finally:
+        for g in ranks._textrank_gens:
+            g.unpersist()

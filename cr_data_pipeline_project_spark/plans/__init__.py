@@ -165,6 +165,10 @@ GATE_PENDING: tuple[str, ...] = (
     "q173_dup_span_census",
     "q174_chunk_plan",
     "q175_kanon_census",
+    "q176_grouping_sets",
+    "q177_ks_source_drift",
+    "q178_zipf_slope",
+    "q179_textrank_keywords",
 )
 
 

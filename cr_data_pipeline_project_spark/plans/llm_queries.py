@@ -4245,3 +4245,170 @@ def q174_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@q(
+    "q178_zipf_slope",
+    """
+    WITH freq AS (
+        SELECT word, COUNT(*)::BIGINT AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r
+        FROM freq
+        ORDER BY c DESC, word LIMIT 1000),
+    pinned AS (
+        SELECT ROUND(ln(r::DOUBLE) * 100000)::BIGINT AS x,
+               ROUND(ln(c::DOUBLE) * 100000)::BIGINT AS y
+        FROM ranked),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx,
+               SUM(y * y)::BIGINT AS syy
+        FROM pinned)
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope,
+           ROUND(((n * sxy - sx * sy)::DOUBLE
+                  * (n * sxy - sx * sy)::DOUBLE)
+                 / ((n * sxx - sx * sx)::DOUBLE
+                    * (n * syy - sy * sy)::DOUBLE), 6) AS r_squared
+    FROM m
+    """,
+)
+def q178_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS
+    slope of log-frequency against log-rank for the top 1000 terms
+    (natural text sits near -1; a synthetic or boilerplate-heavy
+    corpus drifts off — a one-number corpus-health check curation
+    dashboards track across snapshots, next to q38 quality and q80
+    dup rates). Exactness: ln(rank)/ln(freq) are pinned to integer
+    1e-5 units (the q172 discipline — ln wobbles 1 ulp across
+    engines ~3% of the time), so all five OLS moments are BIGINT
+    and slope/r^2 are fixed IEEE chains on exact integers, rounded
+    once. Magnitudes: |pinned ln| <= ~1.6e6, squares ~2.6e12, times
+    1000 terms ~2.6e15, times n — well inside BIGINT. Scale: the
+    word-frequency aggregate partial-combines (exchange carries
+    distinct words); top-1000 is TakeOrdered (per-partition heads,
+    no global sort); the moment aggregate is over 1000 rows."""
+    docs = table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = (
+        freq.orderBy(F.desc("c"), "word")
+        .limit(1000)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "word"))
+            .alias("r"),
+        )
+    )
+    pinned = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 100000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 100000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pinned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    varx = (n * F.col("sxx") - sx * sx).cast("double")
+    vary = (n * F.col("syy") - sy * sy).cast("double")
+    return m.select(
+        n.alias("n_terms"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r_squared"),
+    )
+
+
+def _textrank_oracle_sql(n_iter: int = 10, k: int = 50) -> str:
+    """The q179 oracle: TextRank's ten integer power iterations
+    unrolled as chained CTEs (pr0..pr10) — BIGINT floor-division
+    arithmetic makes every iteration hash-exact, which is what
+    lets an ITERATIVE algorithm carry a SQL oracle at all."""
+    from ..operators.graph import (
+        TEXTRANK_BASE,
+        TEXTRANK_DAMP_NUM,
+        TEXTRANK_SCALE,
+    )
+
+    iters = "".join(
+        f""",
+    pr{i + 1} AS (
+        SELECT e.dst AS token,
+               ({TEXTRANK_BASE} + ({TEXTRANK_DAMP_NUM}
+                * SUM((pr{i}.r * e.w) // e.wout)) // 100)::BIGINT AS r
+        FROM pr{i} JOIN e ON e.src = pr{i}.token GROUP BY e.dst)"""
+        for i in range(n_iter)
+    )
+    return f"""
+    WITH bi AS (
+        SELECT words[i] AS a, words[i+1] AS b
+        FROM (SELECT string_split(text, ' ') AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= 2),
+    pairs AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+    edges AS (
+        SELECT src, dst, SUM(c)::BIGINT AS w FROM (
+            SELECT a AS src, b AS dst, c FROM pairs
+            UNION ALL SELECT b AS src, a AS dst, c FROM pairs) u
+        WHERE src <> dst GROUP BY 1, 2),
+    wout AS (SELECT src, SUM(w)::BIGINT AS wout FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, wout.wout
+          FROM edges JOIN wout USING (src)),
+    pr0 AS (SELECT DISTINCT src AS token,
+                   {TEXTRANK_SCALE}::BIGINT AS r FROM edges){iters}
+    SELECT token, r AS rank_score FROM pr{n_iter}
+    ORDER BY rank_score DESC, token LIMIT {k}
+    """
+
+
+@q("q179_textrank_keywords", None)
+def q179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): the 50
+    highest-centrality tokens of the corpus's adjacency
+    co-occurrence graph under ten weighted-PageRank power
+    iterations — the classic unsupervised keyword/keyphrase seed
+    (and the graph sibling of q75's TF-IDF term ranking: centrality
+    vs distinctiveness). Edges are the q134/q143 adjacent-pair
+    counts (ONE pair-statistic definition corpus-wide), symmetrized
+    with self-loops dropped; damping 0.85 is the exact 85/100
+    integer split (operators/graph.py:textrank_scores). Exactness:
+    ranks are BIGINT in 1e-6 mass units with floor division
+    everywhere (Spark ``div`` == DuckDB ``//``), so ten ITERATIONS
+    of a numeric fixed-point algorithm still hash-match a SQL
+    oracle (unrolled pr0..pr10 CTEs) — float PageRank could only
+    ever be rows-only. Scale: each iteration is one edges-ranks
+    shuffle join + one partial-combining dst-sum over the
+    vocab-bounded edge table (the connected-components cost model);
+    generations persist so the single action computes each once;
+    the final collect is k=50 rows by contract (TakeOrdered)."""
+    from ..operators.graph import textrank_topk
+
+    docs = table(spark, "documents", sf_dir)
+    ap = textstats.adjacent_pair_counts(docs, "text").select(
+        F.col("first").alias("src"),
+        F.col("second").alias("dst"),
+        F.col("n_pairs").alias("w"),
+    )
+    rows = [(r["token"], int(r["r"])) for r in textrank_topk(ap, k=50)]
+    return spark.createDataFrame(rows, "token string, rank_score bigint")
+
+
+ORACLES["q179_textrank_keywords"] = _textrank_oracle_sql()

@@ -3243,3 +3243,121 @@ def q175_kanon_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "segment", "bal_band")
     )
+
+
+@q(
+    "q176_grouping_sets",
+    """
+    SELECT event_type, (isodow(ts::DATE) - 1)::INT AS dow,
+           COUNT(*)::BIGINT AS n_events,
+           (SUM(value::DECIMAL(28,6)))::DOUBLE AS total_value,
+           GROUPING(event_type, (isodow(ts::DATE) - 1)::INT)::INT AS gid
+    FROM events
+    GROUP BY GROUPING SETS ((1, 2), (1), (2), ())
+    ORDER BY gid, event_type, dow
+    """,
+)
+def q176_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP — q144,
+    q46 — specialize): the (type x weekday), by-type, by-weekday and
+    grand-total aggregates in ONE pass, with GROUPING_ID
+    disambiguating real NULLs from subtotal rows — the multi-
+    granularity report shape BI layers emit. Bitmask convention
+    (verified identical in both engines): bit i set when grouping
+    column i is aggregated away, so gid 0 = finest cell, 3 = grand
+    total. Exactness: counts BIGINT, the value sum decimal-cast
+    once. Scale: Spark plans one Expand (4x row multiply) + one
+    partial-combining hash aggregate — no per-set re-scan; the
+    exchange carries |types| x 7 x 4 aggregated rows."""
+    ev = table(spark, "events", sf_dir)
+    dow = F.expr("weekday(to_date(ts))").cast("int").alias("dow")
+    return (
+        ev.select("event_type", dow, "value")
+        .groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value").cast("double").alias("total_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy("gid", "event_type", "dow")
+    )
+
+
+@q(
+    "q177_ks_source_drift",
+    """
+    WITH a AS (SELECT n_chars AS v FROM documents WHERE source = 'src0'),
+    b AS (SELECT n_chars AS v FROM documents WHERE source = 'src1'),
+    n AS (SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n1,
+                 (SELECT COUNT(*) FROM b)::BIGINT AS n2),
+    pts AS (
+        SELECT v, SUM(ca)::BIGINT AS ca, SUM(cb)::BIGINT AS cb
+        FROM (SELECT v, 1 AS ca, 0 AS cb FROM a
+              UNION ALL
+              SELECT v, 0 AS ca, 1 AS cb FROM b)
+        GROUP BY v),
+    cum AS (
+        SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+        FROM pts)
+    SELECT n1, n2,
+           MAX(abs(f1 * n2 - f2 * n1))::BIGINT AS ks_num,
+           ROUND(MAX(abs(f1 * n2 - f2 * n1))::DOUBLE / (n1 * n2)::DOUBLE, 6)
+               AS ks_stat
+    FROM cum CROSS JOIN n
+    GROUP BY n1, n2
+    """,
+)
+def q177_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two
+    sources' document-length distributions — the distribution-drift
+    gate a curation pipeline runs when a new crawl snapshot lands
+    (did src1's length profile shift vs src0's?), done EXACTLY
+    rather than via binned histograms. sup|F1 - F2| evaluated at
+    every distinct observed value via cumulative counts; the
+    comparison is pure BIGINT cross-products (|f1*n2 - f2*n1|), so
+    the supremum is integer-exact and the statistic is ONE IEEE
+    division at the end. Scale: per-value counts partial-combine
+    first (the exchange carries distinct values, not rows); the
+    cumulative window is a single ordered pass over that distinct-
+    value table — bounded by value cardinality, not corpus size; at
+    100 TB swap in the q72-style sketch-CDF twin if value
+    cardinality itself explodes."""
+    docs = table(spark, "documents", sf_dir)
+    ab = docs.where(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("ca"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("cb"),
+    )
+    pts = ab.groupBy("v").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    wcum = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        F.sum("ca").over(wcum).alias("f1"),
+        F.sum("cb").over(wcum).alias("f2"),
+    )
+    n = ab.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+    )
+    num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(num).cast("bigint").alias("ks_num"),
+            F.round(
+                F.max(num).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

@@ -94,3 +94,53 @@ def test_fast_path_and_distributed_loop_agree(spark):
     }
     assert fast == dist
     assert len(fast) == 200
+
+
+def test_textrank_matches_python_reference(spark):
+    """Integer TextRank vs an independent pure-Python power
+    iteration on a small weighted graph — exact equality, since the
+    whole point of the BIGINT formulation is bit-determinism."""
+    edges = [
+        ("a", "b", 3), ("b", "c", 2), ("c", "a", 1),
+        ("c", "d", 5), ("d", "e", 1), ("a", "e", 2),
+        ("e", "e", 9),  # self-loop must be dropped
+        ("b", "a", 4),  # parallel reverse edge must aggregate
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["token"]: r["r"] for r in graph.textrank_topk(edf, k=10)
+    }
+
+    # reference: symmetrize, drop self-loops, integer iterate
+    sym: dict[tuple, int] = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        sym[(s, d)] = sym.get((s, d), 0) + w
+        sym[(d, s)] = sym.get((d, s), 0) + w
+    wout: dict[str, int] = {}
+    for (s, _), w in sym.items():
+        wout[s] = wout.get(s, 0) + w
+    r = {n: graph.TEXTRANK_SCALE for n in wout}
+    for _ in range(10):
+        incoming: dict[str, int] = {n: 0 for n in wout}
+        for (s, d), w in sym.items():
+            incoming[d] += (r[s] * w) // wout[s]
+        r = {
+            n: graph.TEXTRANK_BASE
+            + (graph.TEXTRANK_DAMP_NUM * incoming[n]) // 100
+            for n in wout
+        }
+    assert got == r
+    # the heaviest-degree hub ('a': wout 3+4+1+2 = 10) tops the list
+    assert max(got, key=got.get) == "a"
+    assert all(v > 0 for v in got.values())
+
+
+def test_textrank_releases_persisted_generations(spark):
+    edges = [("a", "b", 1), ("b", "c", 1)]
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    graph.textrank_topk(edf, k=5, n_iter=3)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before

@@ -1,0 +1,124 @@
+"""DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+"Data Selection via Importance Resampling", arXiv:2302.03169) — ONE
+implementation shared by the batch report (plans/llm_queries.py:
+q172_dsir_importance) and the streaming maintenance path
+(streaming/incremental.py: feature partials + serve scoring), the
+same single-kernel discipline as daily_count_anomaly.
+
+The statistic: per hash bucket f of each bigram occurrence,
+lambda_f = ln p_target(f) - ln p_raw(f) with add-1 smoothing; a
+document scores its occurrence-weighted mean lambda. ln() wobbles
+1 ulp across engines for ~3% of inputs (measured), so lambda is
+pinned to integer 1e-5 units (``LAMBDA_SCALE``) and everything
+downstream is BIGINT-exact — the property that lets the DuckDB
+oracle hash-match and lets streamed partials aggregate without
+float drift.
+
+At 100 TB: the only corpus-sized shuffle carries (doc_id, f) ints
+(the bucket hash is map-side); per-feature tables are
+``buckets``-row frames that broadcast; raise ``buckets`` toward
+DSIR's 10k as the corpus grows — still broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import ngram_positions
+from .sampling import hash_bucket
+
+# lambda lives in integer 1e-5 units: coarse enough that a 1-ulp
+# ln() difference sits ~2e-10 (relative) from the nearest rounding
+# half-boundary, fine enough that doc scores keep 5 significant
+# decimals before their final 6-dp rounding.
+LAMBDA_SCALE = 100_000
+
+
+def bigram_feature_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    buckets: int = 256,
+) -> DataFrame:
+    """(id, lang, f, c): occurrence counts of md5-bucketed word
+    bigrams per document — the working table every other kernel
+    consumes. Bucketing uses the portable sampling.hash_bucket
+    lottery so external systems (and the DuckDB oracle) can
+    reproduce feature ids exactly."""
+    return (
+        ngram_positions(df, text_col, id_col, n=2)
+        .join(df.select(id_col, lang_col), id_col)
+        .groupBy(
+            id_col, lang_col, hash_bucket(F.col("gram"), buckets).alias("f")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def per_feature_counts(
+    docf: DataFrame, lang_col: str = "lang", target_lang: str = "en"
+) -> DataFrame:
+    """(f, rc, tc): raw and target bigram-occurrence totals per
+    feature, in ONE pass over the doc-feature table. ADDITIVE —
+    partials from disjoint document slices sum to the full-corpus
+    table, which is what the streaming maintenance path relies on."""
+    return docf.groupBy("f").agg(
+        F.sum("c").alias("rc"),
+        F.coalesce(
+            F.sum(F.when(F.col(lang_col) == target_lang, F.col("c"))),
+            F.lit(0),
+        ).alias("tc"),
+    )
+
+
+def lambda_table(per_f: DataFrame, buckets: int = 256) -> DataFrame:
+    """(f, lam5): the smoothed log-likelihood ratio per feature,
+    pinned to integer ``LAMBDA_SCALE`` units. Corpus totals come
+    from the per-feature table itself (bounded input), never from
+    another corpus pass."""
+    tot = per_f.agg(F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot"))
+    return per_f.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(
+            (
+                F.log(
+                    (F.col("tc") + 1).cast("double")
+                    / (F.col("t_tot") + buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("rc") + 1).cast("double")
+                    / (F.col("r_tot") + buckets).cast("double")
+                )
+            )
+            * LAMBDA_SCALE
+        )
+        .cast("bigint")
+        .alias("lam5"),
+    )
+
+
+def dsir_scores(
+    docf: DataFrame, lam: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_grams, dsir_score): occurrence-weighted mean lambda
+    per document. BIGINT sums of c*lam5 products; the score is one
+    IEEE division, rounded once — hash-exact given the same lambda
+    table (which is the point of pinning it)."""
+    w = (
+        docf.join(F.broadcast(lam), "f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam5")).alias("wsum5"),
+        )
+    )
+    return w.select(
+        id_col,
+        "n_grams",
+        F.round(
+            F.col("wsum5").cast("double")
+            / (F.col("n_grams").cast("double") * F.lit(float(LAMBDA_SCALE))),
+            6,
+        ).alias("dsir_score"),
+    )

@@ -4003,66 +4003,24 @@ def q172_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly TWO aggregates — the 256-row per-feature table (raw and
     target counts in one pass; corpus totals then come from THAT
     table, not another corpus pass) and the per-doc score rollup.
-    Scale: the only corpus-sized shuffle carries (doc_id, f) ints,
-    never gram text (the bucket hash is map-side); per_f/tot/lam
-    are 256-row frames that broadcast back; top-k is TakeOrdered,
-    no global sort. At 100 TB, materialize docf once (a build
-    artifact, the PQ-codebook discipline) so the two consumers read
-    it instead of re-exploding, and raise the bucket count (DSIR
-    uses 10k) — lam stays broadcast-sized at any realistic width."""
-    from ..operators.sampling import hash_bucket
+    The kernels live in operators/importance.py, SHARED with the
+    streaming maintenance path (feature partials + serve scoring)
+    so batch and stream cannot de-synchronize — the
+    daily_count_anomaly discipline. Scale: the only corpus-sized
+    shuffle carries (doc_id, f) ints, never gram text (the bucket
+    hash is map-side); per_f/tot/lam are 256-row frames that
+    broadcast back; top-k is TakeOrdered, no global sort. At
+    100 TB, materialize docf once (a build artifact, the
+    PQ-codebook discipline) so the two consumers read it instead of
+    re-exploding, and raise the bucket count (DSIR uses 10k) — lam
+    stays broadcast-sized at any realistic width."""
+    from ..operators import importance
 
     docs = table(spark, "documents", sf_dir)
-    docf = (
-        dedup.ngram_positions(docs, "text", "doc_id", n=2)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy(
-            "doc_id", "lang", hash_bucket(F.col("gram"), 256).alias("f")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per_f = docf.groupBy("f").agg(
-        F.sum("c").alias("rc"),
-        F.coalesce(
-            F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
-        ).alias("tc"),
-    )
-    tot = per_f.agg(
-        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
-    )
-    lam = per_f.crossJoin(F.broadcast(tot)).select(
-        "f",
-        F.round(
-            (
-                F.log(
-                    (F.col("tc") + 1).cast("double")
-                    / (F.col("t_tot") + 256).cast("double")
-                )
-                - F.log(
-                    (F.col("rc") + 1).cast("double")
-                    / (F.col("r_tot") + 256).cast("double")
-                )
-            )
-            * 100000
-        )
-        .cast("bigint")
-        .alias("lam5"),
-    )
-    w = (
-        docf.join(F.broadcast(lam), "f")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.sum(F.col("c") * F.col("lam5")).alias("wsum5"),
-        )
-    )
-    score = F.round(
-        F.col("wsum5").cast("double")
-        / (F.col("n_grams").cast("double") * F.lit(100000.0)),
-        6,
-    )
+    docf = importance.bigram_feature_counts(docs)
+    lam = importance.lambda_table(importance.per_feature_counts(docf))
     return (
-        w.select("doc_id", "n_grams", score.alias("dsir_score"))
+        importance.dsir_scores(docf, lam)
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(200)
     )

@@ -1120,3 +1120,112 @@ def streaming_jsonl_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dsir_feature_partials(
+    doc_stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    buckets: int = 256,
+) -> StreamingQuery:
+    """Continuous maintenance of the DSIR importance model's input
+    (operators/importance.py — the q172 kernels): per micro-batch,
+    the (f, rc, tc) hashed-bigram feature-count PARTIALS of the
+    arriving documents, written to ``partials_path/batch=<id>/``.
+    Counts are additive, so replay idempotency follows the q137
+    partials posture: each batch OVERWRITES its own batch directory
+    — a replayed batch replaces its partials instead of
+    double-counting. Per-batch state is ``buckets`` rows, never
+    documents."""
+    from ..operators.importance import (
+        bigram_feature_counts,
+        per_feature_counts,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        per_f = per_feature_counts(
+            bigram_feature_counts(
+                batch_df, text_col, id_col, lang_col, buckets
+            ),
+            lang_col,
+        )
+        per_f.write.mode("overwrite").parquet(
+            os.path.join(partials_path, f"batch={batch_id}")
+        )
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dsir_lambda_snapshot(
+    spark: SparkSession, partials_path: str, buckets: int = 256
+) -> DataFrame:
+    """The (f, lam5) importance model served from streamed feature
+    partials: sum the per-batch (f, rc, tc) partials — additive by
+    construction — then apply the SAME pinned-integer lambda kernel
+    as the batch query (operators/importance.py:lambda_table, not a
+    copy), so a corpus ingested in any micro-batch slicing yields
+    the bit-identical model the batch recompute would (asserted in
+    tests). The 'retrain' of the build-rarely/serve-continuously
+    split: cheap (``buckets``-row input), run on whatever cadence
+    drift tolerance allows."""
+    from ..operators.importance import lambda_table
+
+    part = spark.read.parquet(partials_path)
+    per_f = part.groupBy("f").agg(
+        F.sum("rc").alias("rc"), F.sum("tc").alias("tc")
+    )
+    return lambda_table(per_f, buckets)
+
+
+def streaming_dsir_score_append(
+    doc_stream: DataFrame,
+    lambda_path: str,
+    scores_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    buckets: int = 256,
+) -> StreamingQuery:
+    """Serve side of the DSIR split: score arriving documents
+    against the PERSISTED lambda model and append (doc_id, n_grams,
+    dsir_score) to the scores lake — the importance weights a
+    downstream resampler consumes. The model re-reads per batch, so
+    a lambda refresh (dsir_lambda_snapshot written to
+    ``lambda_path``) is picked up at the next micro-batch without a
+    stream restart — exactly the PQ-codebook posture
+    (:func:`streaming_pq_index_append`). Idempotent under replay
+    via insert-if-absent on the doc id; a missing MODEL aborts the
+    batch — scoring against nothing is not a recoverable state."""
+    from ..operators.importance import bigram_feature_counts, dsir_scores
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        lam = spark.read.parquet(lambda_path)  # absent → abort
+        docf = bigram_feature_counts(
+            batch_df, text_col, id_col, lang_col, buckets
+        )
+        scores = dsir_scores(docf, lam, id_col)
+        existing = _read_parquet_if_present(spark, scores_path)
+        if existing is not None:
+            scores = insert_if_absent(
+                scores, existing.select(id_col), [id_col]
+            )
+        scores.write.mode("append").parquet(scores_path)
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )

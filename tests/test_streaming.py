@@ -1475,3 +1475,92 @@ def test_streaming_jsonl_ingest_matches_batch_loader(spark, tmp_path):
     spark.read.parquet(stash).write.mode("overwrite").parquet(replay)
     spark.catalog.refreshByPath(clean_path)  # drop stale file listing
     assert spark.read.parquet(clean_path).count() == n_clean
+
+
+def test_streaming_dsir_model_and_scores_match_batch(spark, tmp_path, sf_dir):
+    """Build-rarely/serve-continuously DSIR split: (1) feature
+    partials streamed over any micro-batch slicing sum to the
+    bit-identical lambda model the batch kernel computes; (2) docs
+    scored by the serve stream against that persisted model carry
+    exactly the batch q172 scores; (3) a replayed partial batch
+    (overwrite posture) changes nothing."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators import importance
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        dsir_lambda_snapshot,
+        streaming_dsir_feature_partials,
+        streaming_dsir_score_append,
+    )
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang"
+    )
+    src = os.path.join(str(tmp_path), "dsir_src")
+    docs.repartition(4).write.parquet(src)
+    partials = os.path.join(str(tmp_path), "dsir_partials")
+    schema = "doc_id long, text string, lang string"
+
+    with few_partitions(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_dsir_feature_partials(
+            stream, partials, os.path.join(str(tmp_path), "dsir_ckpt1")
+        )
+        q.awaitTermination(120)
+
+    batch_dirs = [d for d in os.listdir(partials) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+
+    # (1) streamed model == batch model, bit-identical
+    want_lam = sorted(
+        tuple(r)
+        for r in importance.lambda_table(
+            importance.per_feature_counts(
+                importance.bigram_feature_counts(docs)
+            )
+        ).collect()
+    )
+    got_lam = sorted(
+        tuple(r) for r in dsir_lambda_snapshot(spark, partials).collect()
+    )
+    assert got_lam == want_lam and len(want_lam) > 0
+
+    # persist the model, then run the serve stream against it
+    lam_path = os.path.join(str(tmp_path), "dsir_lambda")
+    dsir_lambda_snapshot(spark, partials).write.parquet(lam_path)
+    scores_path = os.path.join(str(tmp_path), "dsir_scores")
+    with few_partitions(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = streaming_dsir_score_append(
+            stream, lam_path, scores_path,
+            os.path.join(str(tmp_path), "dsir_ckpt2"),
+        )
+        q.awaitTermination(120)
+
+    # (2) streamed scores == the batch kernels' scores for ALL docs
+    docf = importance.bigram_feature_counts(docs)
+    lam = spark.read.parquet(lam_path)
+    want_scores = sorted(
+        tuple(r) for r in importance.dsir_scores(docf, lam).collect()
+    )
+    got_scores = sorted(
+        tuple(r) for r in spark.read.parquet(scores_path).collect()
+    )
+    assert got_scores == want_scores and len(want_scores) > 0
+
+    # (3) replay one partial batch dir: overwrite, not double-count
+    replay_dir = os.path.join(partials, batch_dirs[0])
+    stash = os.path.join(str(tmp_path), "dsir_stash")
+    spark.read.parquet(replay_dir).write.mode("overwrite").parquet(stash)
+    spark.read.parquet(stash).write.mode("overwrite").parquet(replay_dir)
+    got_lam2 = sorted(
+        tuple(r) for r in dsir_lambda_snapshot(spark, partials).collect()
+    )
+    assert got_lam2 == want_lam

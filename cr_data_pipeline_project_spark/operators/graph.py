@@ -187,15 +187,22 @@ def dedup_clusters(
 
 
 # TextRank integer-PageRank scaling: ranks live in units of
-# 1e-6 "mass" (SCALE per node initially); the damping split 85/100
-# and every per-edge contribution use integer floor division, so
-# ten iterations stay BIGINT-exact end-to-end — the property that
-# lets an iterative algorithm carry a machine-checked cross-engine
-# oracle at all (float PageRank sums in shuffle order and can never
-# hash-match). Worst-case magnitude: a hub absorbing ALL mass holds
-# |V|*SCALE ~ 1e11 at a 1e5 vocabulary; times a 1e6 edge weight is
-# 1e17, inside BIGINT with two orders to spare.
+# 1e-6 "mass" (SCALE per node initially); per-edge transition
+# probabilities w(j,i)/W(j) are quantized ONCE to integer 1e-6
+# units (PROB_SCALE) when the graph is built; the damping split
+# 85/100 and every contribution use integer floor division, so ten
+# iterations stay BIGINT-exact end-to-end — the property that lets
+# an iterative algorithm carry a machine-checked cross-engine
+# oracle at all (float PageRank sums in shuffle order and can
+# never hash-match). Quantizing the probability rather than
+# computing (r*w) div W per iteration bounds the product by
+# VOCABULARY, not corpus size (review-flagged: raw adjacent-pair
+# weights are corpus-scale, and r*w overflowed BIGINT exactly at
+# the 100 TB framing): r <= |V|*SCALE, so r*p <= |V|*1e12 — safe
+# through a 1e6-token vocabulary with 3 orders to spare, and
+# independent of how many times any bigram occurs.
 TEXTRANK_SCALE = 1_000_000
+TEXTRANK_PROB_SCALE = 1_000_000
 TEXTRANK_DAMP_NUM = 85  # d = 0.85 as an exact 85/100 split
 TEXTRANK_BASE = (100 - TEXTRANK_DAMP_NUM) * TEXTRANK_SCALE // 100
 
@@ -210,7 +217,8 @@ def textrank_scores(
     """Weighted TextRank (Mihalcea & Tarau 2004) node scores via
     ``n_iter`` integer power iterations:
 
-        r'(i) = BASE + 85 * sum_j floor(r(j) * w(j,i) / W(j)) // 100
+        p(j,i) = floor(w(j,i) * PROB_SCALE / W(j))        (once)
+        r'(i)  = BASE + 85 * sum_j floor(r(j) * p(j,i) / PROB_SCALE) // 100
 
     over a SYMMETRIZED weighted graph (caller supplies directed
     edges; both directions are added here, self-loops dropped,
@@ -220,15 +228,20 @@ def textrank_scores(
 
     Exactness: all arithmetic is BIGINT with floor division on
     positives (Spark ``div`` == DuckDB ``//``) — scores are
-    hash-exact across engines and runs. Scale: each iteration is
-    one edges-join-ranks shuffle plus one partial-combining sum on
-    dst — the connected-components cost model; edges and each rank
-    generation persist so the single final action computes every
-    generation exactly once (the bpe_learn discipline) instead of
-    re-deriving an exponentially deep lineage. The caller must
-    consume the result via a bounded collect (top-k) and this
-    function unpersists nothing it returns — wrap with
-    ``textrank_topk`` for the serve path."""
+    hash-exact across engines and runs; see the PROB_SCALE comment
+    above for why the product is vocab-bounded. Scale: each
+    iteration is one edges-join-ranks shuffle plus one
+    partial-combining sum on dst — the connected-components cost
+    model; edges and each rank generation persist so the single
+    final action computes every generation exactly once (the
+    bpe_learn discipline) instead of re-deriving an exponentially
+    deep lineage.
+
+    Returns ``(ranks, generations)`` — the caller owns the persisted
+    generations and must unpersist every frame in ``generations``
+    after consuming ``ranks`` (an explicit pair, not an attribute a
+    transformation would silently drop); ``textrank_topk`` wraps
+    exactly that for the bounded top-k serve path."""
     fwd = weighted_edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).alias("w"),
@@ -244,7 +257,15 @@ def textrank_scores(
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    e = edges.join(wout, "src").persist()
+    e = (
+        edges.join(wout, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(w * {TEXTRANK_PROB_SCALE}) div wout").alias("p"),
+        )
+        .persist()
+    )
     ranks = e.select("src").distinct().select(
         F.col("src").alias("token"),
         F.lit(TEXTRANK_SCALE).cast("bigint").alias("r"),
@@ -253,7 +274,7 @@ def textrank_scores(
     for _ in range(n_iter):
         contrib = e.join(ranks, e["src"] == ranks["token"]).select(
             F.col("dst"),
-            F.expr("(r * w) div wout").alias("t"),
+            F.expr(f"(r * p) div {TEXTRANK_PROB_SCALE}").alias("t"),
         )
         ranks = contrib.groupBy(F.col("dst").alias("token")).agg(
             (
@@ -264,8 +285,7 @@ def textrank_scores(
             .alias("r")
         ).persist()
         gens.append(ranks)
-    ranks._textrank_gens = gens  # unpersisted by textrank_topk
-    return ranks
+    return ranks, gens
 
 
 def textrank_topk(
@@ -275,11 +295,11 @@ def textrank_topk(
     (token, r) — rank-desc, token-asc — as driver-local rows
     (bounded by contract: k), releasing every persisted generation
     before returning."""
-    ranks = textrank_scores(weighted_edges, n_iter=n_iter, **kw)
+    ranks, gens = textrank_scores(weighted_edges, n_iter=n_iter, **kw)
     try:
         return (
             ranks.orderBy(F.desc("r"), "token").limit(k).collect()
         )
     finally:
-        for g in ranks._textrank_gens:
+        for g in gens:
             g.unpersist()

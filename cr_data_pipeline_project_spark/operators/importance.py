@@ -74,9 +74,26 @@ def per_feature_counts(
 
 def lambda_table(per_f: DataFrame, buckets: int = 256) -> DataFrame:
     """(f, lam5): the smoothed log-likelihood ratio per feature,
-    pinned to integer ``LAMBDA_SCALE`` units. Corpus totals come
-    from the per-feature table itself (bounded input), never from
+    pinned to integer ``LAMBDA_SCALE`` units, DENSE over all
+    ``buckets`` feature ids — buckets unobserved in the fitting
+    corpus get the add-1-smoothing default ln((r_tot+B)/(t_tot+B))
+    rather than being absent. Density is what makes the table a
+    MODEL: a serve-side consumer (streaming_dsir_score_append)
+    scoring documents the fit never saw must find every bucket, or
+    an inner join silently drops their grams (review-flagged). On
+    the fitting corpus itself every gram's bucket is observed, so
+    densification changes no batch result. Corpus totals come from
+    the per-feature table itself (bounded input), never from
     another corpus pass."""
+    spark = per_f.sparkSession
+    dense = spark.range(buckets).select(
+        F.col("id").cast("bigint").alias("f")  # hash_bucket emits bigint
+    )
+    per_f = dense.join(per_f, "f", "left").select(
+        "f",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+    )
     tot = per_f.agg(F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot"))
     return per_f.crossJoin(F.broadcast(tot)).select(
         "f",

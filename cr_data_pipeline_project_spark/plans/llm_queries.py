@@ -4303,6 +4303,7 @@ def _textrank_oracle_sql(n_iter: int = 10, k: int = 50) -> str:
     from ..operators.graph import (
         TEXTRANK_BASE,
         TEXTRANK_DAMP_NUM,
+        TEXTRANK_PROB_SCALE,
         TEXTRANK_SCALE,
     )
 
@@ -4311,7 +4312,8 @@ def _textrank_oracle_sql(n_iter: int = 10, k: int = 50) -> str:
     pr{i + 1} AS (
         SELECT e.dst AS token,
                ({TEXTRANK_BASE} + ({TEXTRANK_DAMP_NUM}
-                * SUM((pr{i}.r * e.w) // e.wout)) // 100)::BIGINT AS r
+                * SUM((pr{i}.r * e.p) // {TEXTRANK_PROB_SCALE})) // 100
+               )::BIGINT AS r
         FROM pr{i} JOIN e ON e.src = pr{i}.token GROUP BY e.dst)"""
         for i in range(n_iter)
     )
@@ -4328,7 +4330,8 @@ def _textrank_oracle_sql(n_iter: int = 10, k: int = 50) -> str:
             UNION ALL SELECT b AS src, a AS dst, c FROM pairs) u
         WHERE src <> dst GROUP BY 1, 2),
     wout AS (SELECT src, SUM(w)::BIGINT AS wout FROM edges GROUP BY src),
-    e AS (SELECT edges.src, edges.dst, edges.w, wout.wout
+    e AS (SELECT edges.src, edges.dst,
+                 ((edges.w * {TEXTRANK_PROB_SCALE}) // wout.wout)::BIGINT AS p
           FROM edges JOIN wout USING (src)),
     pr0 AS (SELECT DISTINCT src AS token,
                    {TEXTRANK_SCALE}::BIGINT AS r FROM edges){iters}

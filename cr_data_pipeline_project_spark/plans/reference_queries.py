@@ -3290,25 +3290,23 @@ def q176_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q177_ks_source_drift",
     """
-    WITH a AS (SELECT n_chars AS v FROM documents WHERE source = 'src0'),
-    b AS (SELECT n_chars AS v FROM documents WHERE source = 'src1'),
-    n AS (SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n1,
-                 (SELECT COUNT(*) FROM b)::BIGINT AS n2),
-    pts AS (
-        SELECT v, SUM(ca)::BIGINT AS ca, SUM(cb)::BIGINT AS cb
-        FROM (SELECT v, 1 AS ca, 0 AS cb FROM a
-              UNION ALL
-              SELECT v, 0 AS ca, 1 AS cb FROM b)
-        GROUP BY v),
+    WITH pts AS (
+        SELECT n_chars AS v,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM documents WHERE source IN ('src0', 'src1')
+        GROUP BY n_chars),
     cum AS (
         SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
-               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2,
+               SUM(ca) OVER ()::BIGINT AS n1,
+               SUM(cb) OVER ()::BIGINT AS n2
         FROM pts)
     SELECT n1, n2,
            MAX(abs(f1 * n2 - f2 * n1))::BIGINT AS ks_num,
            ROUND(MAX(abs(f1 * n2 - f2 * n1))::DOUBLE / (n1 * n2)::DOUBLE, 6)
                AS ks_stat
-    FROM cum CROSS JOIN n
+    FROM cum
     GROUP BY n1, n2
     """,
 )
@@ -3322,9 +3320,11 @@ def q177_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is pure BIGINT cross-products (|f1*n2 - f2*n1|), so
     the supremum is integer-exact and the statistic is ONE IEEE
     division at the end. Scale: per-value counts partial-combine
-    first (the exchange carries distinct values, not rows); the
-    cumulative window is a single ordered pass over that distinct-
-    value table — bounded by value cardinality, not corpus size; at
+    first — the corpus scans ONCE into the distinct-value pts
+    table, and the sample sizes ride the SAME window pass as the
+    cumulative counts (review-flagged: a separate aggregate subtree
+    re-expanded pts and doubled the corpus scan); both windows are
+    over pts — bounded by value cardinality, not corpus size; at
     100 TB swap in the q72-style sketch-CDF twin if value
     cardinality itself explodes."""
     docs = table(spark, "documents", sf_dir)
@@ -3340,18 +3340,16 @@ def q177_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wall = Window.partitionBy()
     cum = pts.select(
         F.sum("ca").over(wcum).alias("f1"),
         F.sum("cb").over(wcum).alias("f2"),
-    )
-    n = ab.agg(
-        F.sum("ca").cast("bigint").alias("n1"),
-        F.sum("cb").cast("bigint").alias("n2"),
+        F.sum("ca").over(wall).cast("bigint").alias("n1"),
+        F.sum("cb").over(wall).cast("bigint").alias("n2"),
     )
     num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
     return (
-        cum.crossJoin(F.broadcast(n))
-        .groupBy("n1", "n2")
+        cum.groupBy("n1", "n2")
         .agg(
             F.max(num).cast("bigint").alias("ks_num"),
             F.round(

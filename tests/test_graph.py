@@ -121,11 +121,15 @@ def test_textrank_matches_python_reference(spark):
     wout: dict[str, int] = {}
     for (s, _), w in sym.items():
         wout[s] = wout.get(s, 0) + w
+    p = {
+        (s, d): (w * graph.TEXTRANK_PROB_SCALE) // wout[s]
+        for (s, d), w in sym.items()
+    }
     r = {n: graph.TEXTRANK_SCALE for n in wout}
     for _ in range(10):
         incoming: dict[str, int] = {n: 0 for n in wout}
-        for (s, d), w in sym.items():
-            incoming[d] += (r[s] * w) // wout[s]
+        for (s, d), pp in p.items():
+            incoming[d] += (r[s] * pp) // graph.TEXTRANK_PROB_SCALE
         r = {
             n: graph.TEXTRANK_BASE
             + (graph.TEXTRANK_DAMP_NUM * incoming[n]) // 100

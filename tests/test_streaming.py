@@ -1564,3 +1564,63 @@ def test_streaming_dsir_model_and_scores_match_batch(spark, tmp_path, sf_dir):
         tuple(r) for r in dsir_lambda_snapshot(spark, partials).collect()
     )
     assert got_lam2 == want_lam
+
+
+def test_streaming_dsir_serve_replay_and_unseen_buckets(spark, tmp_path, sf_dir):
+    """Two review-flagged gaps: (1) re-delivering already-scored
+    docs through the serve stream must not double-append
+    (insert-if-absent actually exercised, not just a no-op);
+    (2) docs whose bigrams hash to buckets the fitted model never
+    observed must still score — the dense lambda table carries the
+    add-1-smoothing default for unseen buckets."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators import importance
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_dsir_score_append,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+
+    # fit the model on a tiny slice so most buckets stay unobserved
+    fit = docs.limit(3)
+    lam = importance.lambda_table(
+        importance.per_feature_counts(
+            importance.bigram_feature_counts(fit)
+        )
+    )
+    assert lam.count() == 256  # dense: every bucket present
+    lam_path = os.path.join(str(tmp_path), "lam")
+    lam.write.parquet(lam_path)
+
+    src = os.path.join(str(tmp_path), "serve_src")
+    docs.repartition(2).write.parquet(src)
+    scores_path = os.path.join(str(tmp_path), "scores")
+    schema = "doc_id long, text string, lang string"
+
+    def run(ckpt):
+        with few_partitions(spark):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = streaming_dsir_score_append(
+                stream, lam_path, scores_path,
+                os.path.join(str(tmp_path), ckpt),
+            )
+            q.awaitTermination(120)
+
+    run("ckpt_a")
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(scores_path).collect()
+    )
+    # (2) EVERY doc scored, including those hitting unseen buckets
+    assert len(first) == docs.count()
+
+    # (1) full re-delivery with a FRESH checkpoint: same docs stream
+    # again, insert-if-absent must drop every one of them
+    run("ckpt_b")
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(scores_path).collect()
+    )
+    assert second == first

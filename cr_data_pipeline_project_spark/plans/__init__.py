@@ -169,6 +169,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q177_ks_source_drift",
     "q178_zipf_slope",
     "q179_textrank_keywords",
+    "q180_pmi_collocations",
+    "q181_lexical_entropy",
 )
 
 

@@ -4373,3 +4373,161 @@ def q179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q179_textrank_keywords"] = _textrank_oracle_sql()
+
+
+@q(
+    "q180_pmi_collocations",
+    """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS words FROM documents),
+    uni AS (
+        SELECT word, COUNT(*)::BIGINT AS c
+        FROM (SELECT unnest(words) AS word FROM toks) GROUP BY word),
+    bi AS (
+        SELECT words[i] AS tok_a, words[i+1] AS tok_b, COUNT(*)::BIGINT AS c_ab
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= 2 AND words[i] <> words[i+1]
+        GROUP BY 1, 2),
+    tot AS (SELECT (SELECT SUM(c) FROM uni)::BIGINT AS n,
+                   (SELECT SUM(c_ab) FROM bi)::BIGINT AS m),
+    pmi AS (
+        SELECT tok_a, tok_b, c_ab,
+               ROUND(ln((c_ab::DOUBLE * n::DOUBLE * n::DOUBLE)
+                        / (m::DOUBLE * ua.c::DOUBLE * ub.c::DOUBLE))
+                     * 100000)::BIGINT AS pmi5
+        FROM bi
+        JOIN uni ua ON ua.word = tok_a
+        JOIN uni ub ON ub.word = tok_b
+        CROSS JOIN tot
+        WHERE c_ab >= 5)
+    SELECT tok_a, tok_b, c_ab, pmi5
+    FROM pmi ORDER BY pmi5 DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def q180_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information
+    (Church & Hanks 1990): the 50 adjacent word pairs (count >= 5,
+    self-pairs dropped) whose co-occurrence most exceeds unigram
+    independence — the classic multi-word-expression signal a
+    tokenizer- or phrase-vocabulary stage mines before committing
+    merges (the statistical complement of q134's raw pair counts
+    and q140's frequency-greedy BPE). PMI = ln(p(ab)/(p(a)p(b)))
+    with p from corpus totals; the ratio is assembled in ONE
+    identically-ordered double expression and the single ln is
+    pinned to integer 1e-5 units (the q172 discipline), so the
+    output is hash-exact. Scale: unigram and bigram tables are
+    vocab-bounded partial-combining aggregates; the two uni joins
+    broadcast; totals are a 1-row broadcast; top-k is TakeOrdered.
+    The fact table scans twice (unigrams, bigrams) — fuse via the
+    q172 materialize-docf pattern if the corpus re-read ever
+    dominates."""
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select(F.split("text", " ").alias("words"))
+    uni = (
+        toks.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        textstats.adjacent_pair_counts(docs, "text")
+        .where(F.col("first") != F.col("second"))
+        .select(
+            F.col("first").alias("tok_a"),
+            F.col("second").alias("tok_b"),
+            F.col("n_pairs").alias("c_ab"),
+        )
+    )
+    tot = uni.agg(F.sum("c").alias("n")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("m"))
+    )
+    ua = uni.select(F.col("word").alias("tok_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("tok_b"), F.col("c").alias("cb"))
+    ratio = (
+        F.col("c_ab").cast("double")
+        * F.col("n").cast("double")
+        * F.col("n").cast("double")
+    ) / (
+        F.col("m").cast("double")
+        * F.col("ca").cast("double")
+        * F.col("cb").cast("double")
+    )
+    return (
+        bi.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(F.log(ratio) * 100000).cast("bigint").alias("pmi5"),
+        )
+        .orderBy(F.desc("pmi5"), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+@q(
+    "q181_lexical_entropy",
+    """
+    WITH wc AS (
+        SELECT doc_id, word, COUNT(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id,
+               SUM(c)::BIGINT AS n_tokens,
+               COUNT(*)::BIGINT AS distinct_tokens,
+               SUM(c * ROUND(ln(c::DOUBLE) * 100000)::BIGINT)::BIGINT
+                   AS sum_clnc5
+        FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, distinct_tokens,
+           ROUND(distinct_tokens::DOUBLE / n_tokens, 6) AS ttr,
+           ROUND((n_tokens * ROUND(ln(n_tokens::DOUBLE) * 100000)::BIGINT
+                  - sum_clnc5)::DOUBLE / (n_tokens::DOUBLE * 100000.0), 6)
+               AS entropy_nats
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q181_lexical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and Shannon
+    entropy (nats) of the document's unigram distribution — the
+    repetitiveness/diversity signals quality filters weigh next to
+    q61's repetition ratio (entropy near 0 = one token spammed; TTR
+    near 1 = no reuse). Entropy uses H = (n ln n - sum c_w ln c_w)/n
+    with every ln pinned to integer 1e-5 units, so the numerator is
+    pure BIGINT (per-doc counts bound c_w ln5 terms ~1e9) and both
+    outputs are one IEEE division each, rounded once — hash-exact.
+    Scale: one explode + one (doc, word) partial-combining
+    aggregate riding the ngram-family's doc-keyed clustering; the
+    per-doc rollup is the same exchange; nothing corpus-global."""
+    docs = table(spark, "documents", sf_dir)
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ln5 = lambda c: F.round(F.log(c.cast("double")) * 100000).cast("bigint")
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("c") * ln5(F.col("c"))).alias("sum_clnc5"),
+    )
+    ent = (
+        (
+            F.col("n_tokens") * ln5(F.col("n_tokens"))
+            - F.col("sum_clnc5")
+        ).cast("double")
+        / (F.col("n_tokens").cast("double") * F.lit(100000.0))
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.round(
+            F.col("distinct_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("ttr"),
+        F.round(ent, 6).alias("entropy_nats"),
+    ).orderBy("doc_id")

@@ -63,6 +63,7 @@ NESTED_LOOP_OK = {
     "q154_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
     "q169_daily_autocorrelation",  # 7-row lag-spine literal broadcast
     "q172_dsir_importance",  # 1-row corpus-totals (R, T) broadcast
+    "q180_pmi_collocations",  # 1-row corpus-totals (N, M) broadcast
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

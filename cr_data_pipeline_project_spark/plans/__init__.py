@@ -171,6 +171,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q179_textrank_keywords",
     "q180_pmi_collocations",
     "q181_lexical_entropy",
+    "q182_psi_drift",
 )
 
 

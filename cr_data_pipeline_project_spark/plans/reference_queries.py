@@ -3319,14 +3319,19 @@ def q177_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     every distinct observed value via cumulative counts; the
     comparison is pure BIGINT cross-products (|f1*n2 - f2*n1|), so
     the supremum is integer-exact and the statistic is ONE IEEE
-    division at the end. Scale: per-value counts partial-combine
-    first — the corpus scans ONCE into the distinct-value pts
-    table, and the sample sizes ride the SAME window pass as the
-    cumulative counts (review-flagged: a separate aggregate subtree
-    re-expanded pts and doubled the corpus scan); both windows are
-    over pts — bounded by value cardinality, not corpus size; at
-    100 TB swap in the q72-style sketch-CDF twin if value
-    cardinality itself explodes."""
+    division at the end. The finish is operators/drift.py:
+    ks_from_merged — ONE kernel shared with the streaming drift
+    monitor (streamed value-count partials vs a frozen reference),
+    so batch and stream cannot de-synchronize. Scale: per-value
+    counts partial-combine first — the corpus scans ONCE into the
+    distinct-value pts table, and the sample sizes ride the SAME
+    window pass as the cumulative counts (review-flagged: a
+    separate aggregate subtree re-expanded pts and doubled the
+    corpus scan); both windows are over pts — bounded by value
+    cardinality, not corpus size; at 100 TB swap in the q72-style
+    sketch-CDF twin if value cardinality itself explodes."""
+    from ..operators.drift import ks_from_merged
+
     docs = table(spark, "documents", sf_dir)
     ab = docs.where(F.col("source").isin("src0", "src1")).select(
         F.col("n_chars").alias("v"),
@@ -3336,26 +3341,72 @@ def q177_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ab.groupBy("v").agg(
         F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
     )
-    wcum = (
-        Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy()
-    cum = pts.select(
-        F.sum("ca").over(wcum).alias("f1"),
-        F.sum("cb").over(wcum).alias("f2"),
-        F.sum("ca").over(wall).cast("bigint").alias("n1"),
-        F.sum("cb").over(wall).cast("bigint").alias("n2"),
-    )
-    num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
-    return (
-        cum.groupBy("n1", "n2")
-        .agg(
-            F.max(num).cast("bigint").alias("ks_num"),
-            F.round(
-                F.max(num).cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double"),
-                6,
-            ).alias("ks_stat"),
-        )
-    )
+    return ks_from_merged(pts)
+
+
+@q(
+    "q182_psi_drift",
+    """
+    WITH ref AS (SELECT n_chars AS v, COUNT(*)::BIGINT AS c
+                 FROM documents WHERE source = 'src0' GROUP BY 1),
+    live AS (SELECT n_chars AS v, COUNT(*)::BIGINT AS c
+             FROM documents WHERE source = 'src1' GROUP BY 1),
+    refc AS (SELECT v, c,
+                    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                    SUM(c) OVER () AS n1
+             FROM ref),
+    cuts AS (SELECT i, MIN(v) AS cut
+             FROM refc CROSS JOIN
+                  (SELECT unnest(generate_series(1, 9))::BIGINT AS i) s
+             WHERE cum >= (i * n1 + 9) // 10
+             GROUP BY i),
+    rv AS (SELECT v, MAX(c) AS c,
+                  (1 + SUM(CASE WHEN v > cut THEN 1 ELSE 0 END))::INT AS bin
+           FROM ref CROSS JOIN cuts GROUP BY v),
+    lv AS (SELECT v, MAX(c) AS c,
+                  (1 + SUM(CASE WHEN v > cut THEN 1 ELSE 0 END))::INT AS bin
+           FROM live CROSS JOIN cuts GROUP BY v),
+    rbin AS (SELECT bin, SUM(c)::BIGINT AS n FROM rv GROUP BY bin),
+    lbin AS (SELECT bin, SUM(c)::BIGINT AS n FROM lv GROUP BY bin),
+    ab AS (SELECT b.bin, COALESCE(rbin.n, 0)::BIGINT AS ref_n,
+                  COALESCE(lbin.n, 0)::BIGINT AS live_n
+           FROM (SELECT unnest(generate_series(1, 10))::INT AS bin) b
+           LEFT JOIN rbin USING (bin) LEFT JOIN lbin USING (bin)),
+    tot AS (SELECT bin, ref_n, live_n,
+                   SUM(ref_n) OVER () AS n1, SUM(live_n) OVER () AS n2
+            FROM ab),
+    t AS (SELECT bin, ref_n, live_n,
+                 ((ref_n + 1)::DOUBLE / (n1 + 10)::DOUBLE
+                  - (live_n + 1)::DOUBLE / (n2 + 10)::DOUBLE)
+                 * (ROUND(ln(((ref_n + 1) * (n2 + 10))::DOUBLE
+                            / ((live_n + 1) * (n1 + 10))::DOUBLE)
+                          * 100000)::BIGINT::DOUBLE / 100000.0) AS term
+          FROM tot)
+    SELECT bin, ref_n, live_n, ROUND(term, 6) AS term,
+           ROUND(SUM(term) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING), 6)
+               AS psi_cum
+    FROM t ORDER BY bin
+    """,
+)
+def q182_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two sources' length
+    distributions (operators/drift.py:psi_from_counts) — the
+    industry-standard binned drift score (<0.1 stable / 0.1-0.25
+    watch / >0.25 shifted) that complements q177's exact KS: KS
+    gives the supremum deviation, PSI localizes WHICH reference
+    deciles gained or lost mass (the per-bin terms are the
+    diagnosis). Bins are exact reference quantiles from integer
+    rank arithmetic (cut_i = min v with cum >= ceil(i*n1/10) — no
+    percentile interpolation to disagree across engines); add-1
+    smoothing keeps empty bins finite; the per-bin ln ratio pins to
+    integer 1e-5 units; the running PSI accumulates in bin order
+    via a cumulative window so the float sum has ONE order.
+    Output: one row per bin; the last psi_cum is the PSI. Scale:
+    all windows and joins run over value-count / 10-row tables; the
+    corpus collapses once per side."""
+    from ..operators.drift import psi_from_counts, value_counts
+
+    docs = table(spark, "documents", sf_dir)
+    ref = value_counts(docs.where(F.col("source") == "src0"), "n_chars")
+    live = value_counts(docs.where(F.col("source") == "src1"), "n_chars")
+    return psi_from_counts(ref, live, bins=10)

@@ -1229,3 +1229,55 @@ def streaming_dsir_score_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_value_count_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    val_col: str,
+) -> StreamingQuery:
+    """Continuous maintenance of a drift monitor's live side
+    (operators/drift.py): per micro-batch, the (v, c) value-count
+    PARTIALS of the arriving rows, written to
+    ``partials_path/batch=<id>/``. Additive stats — replay
+    idempotency by overwriting the batch's own directory (the
+    q137/DSIR partials posture). Per-batch state is bounded by the
+    batch's value cardinality, never its row count."""
+    from ..operators.drift import value_counts
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        value_counts(batch_df, val_col).write.mode("overwrite").parquet(
+            os.path.join(partials_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ks_drift_snapshot(
+    spark: SparkSession, reference_path: str, partials_path: str
+) -> DataFrame:
+    """The drift verdict served from streamed partials: sum the live
+    (v, c) partials — additive by construction — and run the SAME
+    exact-BIGINT KS kernel as the batch q177 against the frozen
+    reference count table at ``reference_path`` (written once when
+    the reference snapshot was blessed). One row (n1, n2, ks_num,
+    ks_stat); bit-identical to a batch recompute over the same rows
+    regardless of micro-batch slicing (asserted in tests). Alert on
+    ks_stat crossing the critical value for (n1, n2) — that policy
+    stays with the caller."""
+    from ..operators.drift import ks_from_counts
+
+    ref = spark.read.parquet(reference_path)
+    live = (
+        spark.read.parquet(partials_path)
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+    )
+    return ks_from_counts(ref, live)

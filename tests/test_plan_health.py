@@ -64,6 +64,7 @@ NESTED_LOOP_OK = {
     "q169_daily_autocorrelation",  # 7-row lag-spine literal broadcast
     "q172_dsir_importance",  # 1-row corpus-totals (R, T) broadcast
     "q180_pmi_collocations",  # 1-row corpus-totals (N, M) broadcast
+    "q182_psi_drift",  # 9-row quantile-cut + 10-row bin-spine broadcasts
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

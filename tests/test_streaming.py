@@ -1624,3 +1624,64 @@ def test_streaming_dsir_serve_replay_and_unseen_buckets(spark, tmp_path, sf_dir)
         tuple(r) for r in spark.read.parquet(scores_path).collect()
     )
     assert second == first
+
+
+def test_streaming_ks_drift_matches_batch(spark, tmp_path, sf_dir):
+    """Streamed value-count partials -> KS snapshot equals the batch
+    q177 statistic on the same rows (shared ks kernel), under any
+    micro-batch slicing; a replayed partial batch changes nothing."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.drift import value_counts
+    from cr_data_pipeline_project_spark.plans import all_queries
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        ks_drift_snapshot,
+        streaming_value_count_partials,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    # freeze the reference side: src0's value counts
+    ref_path = os.path.join(str(tmp_path), "ks_ref")
+    value_counts(
+        docs.where(F.col("source") == "src0"), "n_chars"
+    ).write.parquet(ref_path)
+
+    # stream the live side: src1 documents
+    src = os.path.join(str(tmp_path), "ks_src")
+    docs.where(F.col("source") == "src1").select(
+        "doc_id", "n_chars"
+    ).repartition(3).write.parquet(src)
+    partials = os.path.join(str(tmp_path), "ks_partials")
+
+    with few_partitions(spark):
+        stream = (
+            spark.readStream.schema("doc_id long, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_value_count_partials(
+            stream, partials, os.path.join(str(tmp_path), "ks_ckpt"),
+            "n_chars",
+        )
+        q.awaitTermination(120)
+
+    batch_dirs = [d for d in os.listdir(partials) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+
+    got = [
+        tuple(r) for r in ks_drift_snapshot(spark, ref_path, partials).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in all_queries()["q177_ks_source_drift"](spark, sf_dir).collect()
+    ]
+    assert got == want and len(want) == 1
+
+    # replay: overwrite posture, not append
+    replay_dir = os.path.join(partials, batch_dirs[0])
+    stash = os.path.join(str(tmp_path), "ks_stash")
+    spark.read.parquet(replay_dir).write.mode("overwrite").parquet(stash)
+    spark.read.parquet(stash).write.mode("overwrite").parquet(replay_dir)
+    got2 = [
+        tuple(r) for r in ks_drift_snapshot(spark, ref_path, partials).collect()
+    ]
+    assert got2 == want

@@ -1,21 +1,60 @@
 """Distribution-drift statistics over value-count tables — ONE
-kernel shared by the batch report (plans/reference_queries.py:
-q177_ks_source_drift) and the streaming drift monitor
-(streaming/incremental.py: value-count partials + KS snapshot), the
-daily_count_anomaly / importance.py single-kernel discipline.
+kernel shared by the batch reports (plans/reference_queries.py:
+q177_ks_source_drift, q182_psi_drift) and the streaming drift
+monitor (streaming/incremental.py: value-count partials + KS
+snapshot), the daily_count_anomaly / importance.py single-kernel
+discipline.
 
 Everything operates on aggregated (value, count) tables, never raw
 rows: the corpus collapses once into per-value counts (additive, so
-streamed partials sum to the batch table), and the statistic is
-BIGINT-exact — sup|F1-F2| compares integer cross-products
-f1*n2 - f2*n1, with ONE IEEE division at the very end. That is what
-makes the streamed monitor's output bit-identical to the batch
-recompute regardless of micro-batch slicing.
+streamed partials sum to the batch table), and the statistics are
+exact — KS compares BIGINT cross-products f1*n2 - f2*n1 with ONE
+IEEE division at the very end; PSI's per-bin chain is fixed IEEE
+ops on exact integers with a pinned ln. That is what makes the
+streamed monitor's output bit-identical to the batch recompute
+regardless of micro-batch slicing.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def value_counts(
+    df: DataFrame, val_col: str, out_val: str = "v"
+) -> DataFrame:
+    """(v, c): the per-value count table every drift statistic
+    consumes. Additive across disjoint row slices — the property the
+    streaming partials rely on."""
+    return df.groupBy(F.col(val_col).alias(out_val)).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def merge_counts(
+    counts_a: DataFrame, counts_b: DataFrame, val_col: str = "v"
+) -> DataFrame:
+    """Merge two (v, c) tables into one (v, ca, cb) table via
+    union + re-aggregate — NOT a full-outer join, because join keys
+    are not null-safe: a nullable monitored column would produce two
+    separate NULL rows (one per side) and a phantom CDF step
+    (review-flagged); groupBy treats NULL as one group, matching the
+    one-scan conditional-count producers."""
+    a = counts_a.select(
+        F.col(val_col).alias("v"),
+        F.col("c").cast("bigint").alias("ca"),
+        F.lit(0).cast("bigint").alias("cb"),
+    )
+    b = counts_b.select(
+        F.col(val_col).alias("v"),
+        F.lit(0).cast("bigint").alias("ca"),
+        F.col("c").cast("bigint").alias("cb"),
+    )
+    return (
+        a.union(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
 
 
 def ks_from_counts(
@@ -28,23 +67,13 @@ def ks_from_counts(
     BIGINT cross-products; ks_stat is that max over n1*n2, rounded
     once.
 
-    Scale: the full-outer merge and cumulative window run over the
+    Scale: the null-safe merge and cumulative window run over the
     UNION of distinct values — bounded by value cardinality, not
     sample size; sample totals ride the same window pass (no second
     scan). The window is global but its input is the bounded value
     table (the q177 contract); swap in a sketch-CDF twin if value
     cardinality itself explodes."""
-    a = counts_a.select(F.col(val_col).alias("v"), F.col("c").alias("ca"))
-    b = counts_b.select(F.col(val_col).alias("v"), F.col("c").alias("cb"))
-    pts = (
-        a.join(b, "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
-            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
-        )
-    )
-    return ks_from_merged(pts)
+    return ks_from_merged(merge_counts(counts_a, counts_b, val_col))
 
 
 def ks_from_merged(pts: DataFrame) -> DataFrame:
@@ -74,56 +103,59 @@ def ks_from_merged(pts: DataFrame) -> DataFrame:
     )
 
 
-def value_counts(
-    df: DataFrame, val_col: str, out_val: str = "v"
-) -> DataFrame:
-    """(v, c): the per-value count table every drift statistic
-    consumes. Additive across disjoint row slices — the property the
-    streaming partials rely on."""
-    return df.groupBy(F.col(val_col).alias(out_val)).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-
-
 def psi_from_counts(
     ref_counts: DataFrame,
     live_counts: DataFrame,
     bins: int = 10,
     val_col: str = "v",
 ) -> DataFrame:
+    """Population Stability Index from two per-value count tables —
+    the two-table entry (streaming: frozen reference vs summed live
+    partials). See :func:`psi_from_merged` for the statistic."""
+    return psi_from_merged(
+        merge_counts(ref_counts, live_counts, val_col), bins
+    )
+
+
+def psi_from_merged(pts: DataFrame, bins: int = 10) -> DataFrame:
     """Population Stability Index over reference-quantile bins — the
     industry-standard drift score (PSI < 0.1 stable / 0.1-0.25
-    watch / > 0.25 shifted), from two per-value count tables.
+    watch / > 0.25 shifted) — from a merged (v, ca, cb) count table
+    (ca = reference side, cb = live side; a one-scan conditional
+    producer lands here directly, the ks_from_merged discipline).
 
     Binning: cut points are the EXACT reference quantiles — cut_i =
     min v with cumulative reference count >= ceil(i*n1/bins) — so
     both engines derive identical bins from integer rank arithmetic
-    (no percentile interpolation). Shares (p_hat, q_hat) add-1
-    smoothing with the DSIR lambda kernel so empty bins stay
-    finite. Determinism: each bin's term is a fixed chain of IEEE
-    ops on exact integers (two one-division proportions, one pinned
-    ratio ln), and the running psi accumulates in BIN ORDER via a
-    cumulative window — an unordered float SUM would be
-    shuffle-order dependent. Output: one row per bin (ref_n,
-    live_n, term, psi_cum); the last bin's psi_cum IS the PSI.
+    (no percentile interpolation); rows with ca = 0 contribute no
+    cumulative mass, so live-only values never move a cut. Bin
+    membership is assigned ONCE per distinct value and both sides
+    aggregate off that single pass. An EMPTY reference yields no
+    cuts and every value lands in bin 1 (left join, not a
+    cross-join that would annihilate the live side — review-
+    flagged), so the verdict is maximal drift, never a silent
+    'stable'. Add-1 smoothing keeps empty bins finite. Determinism:
+    each bin's term is a fixed chain of IEEE ops (two one-division
+    proportions, one pinned-to-1e-5 ratio ln whose cross-products
+    multiply as DOUBLES — BIGINT products would wrap at ~4e9-row
+    sides, the TextRank overflow class), and the running psi
+    accumulates in BIN ORDER via a cumulative window — an unordered
+    float SUM would be shuffle-order dependent. Output: one row per
+    bin (ref_n, live_n, term, psi_cum); the last bin's psi_cum IS
+    the PSI.
 
-    Scale: both inputs are value-count tables (corpus already
-    collapsed); the cut table is ``bins - 1`` rows and broadcasts;
-    the windows run over ``bins`` rows."""
-    ref = ref_counts.select(
-        F.col(val_col).alias("v"), F.col("c").cast("bigint").alias("c")
-    )
-    live = live_counts.select(
-        F.col(val_col).alias("v"), F.col("c").cast("bigint").alias("c")
-    )
+    Scale: everything runs over value-count / ``bins``-row tables;
+    the cut table is ``bins - 1`` rows and broadcasts."""
     wcum = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     wall = Window.partitionBy()
-    refc = ref.select(
-        "v", "c",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("n1"),
+    refc = pts.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wcum).alias("cum"),
+        F.sum("ca").over(wall).alias("n1"),
     )
     # cut_i = min v with cum >= ceil(i*n1/bins); ceil via (x+b-1) div b
     cuts = (
@@ -138,33 +170,28 @@ def psi_from_counts(
         .groupBy("i")
         .agg(F.min("v").alias("cut"))
     )
-
-    def binned(counts: DataFrame) -> DataFrame:
-        return (
-            counts.crossJoin(F.broadcast(cuts))
-            .groupBy("v")
-            .agg(
-                F.first("c").alias("c"),
-                (
-                    F.lit(1)
-                    + F.sum(
-                        F.when(F.col("v") > F.col("cut"), 1).otherwise(0)
-                    )
+    vb = (
+        pts.join(F.broadcast(cuts), F.lit(True), "left")
+        .groupBy("v")
+        .agg(
+            F.first("ca").alias("ca"),
+            F.first("cb").alias("cb"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(F.col("v") > F.col("cut"), 1).otherwise(0)
                 )
-                .cast("int")
-                .alias("bin"),
             )
-            .groupBy("bin")
-            .agg(F.sum("c").alias("n"))
+            .cast("int")
+            .alias("bin"),
         )
-
-    rb = binned(ref).select(F.col("bin"), F.col("n").alias("ref_n"))
-    lb = binned(live).select(F.col("bin"), F.col("n").alias("live_n"))
+        .groupBy("bin")
+        .agg(F.sum("ca").alias("ref_n"), F.sum("cb").alias("live_n"))
+    )
     allbins = (
-        refc.sparkSession.range(1, bins + 1)
+        pts.sparkSession.range(1, bins + 1)
         .select(F.col("id").cast("int").alias("bin"))
-        .join(rb, "bin", "left")
-        .join(lb, "bin", "left")
+        .join(vb, "bin", "left")
         .select(
             "bin",
             F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
@@ -172,7 +199,9 @@ def psi_from_counts(
         )
     )
     tot = allbins.select(
-        "bin", "ref_n", "live_n",
+        "bin",
+        "ref_n",
+        "live_n",
         F.sum("ref_n").over(wall).alias("n1"),
         F.sum("live_n").over(wall).alias("n2"),
     )
@@ -182,14 +211,18 @@ def psi_from_counts(
     q = (F.col("live_n") + 1).cast("double") / (
         F.col("n2") + F.lit(bins)
     ).cast("double")
-    # ln(p/q) from exact integer cross-products, pinned to 1e-5
+    # ln(p/q) from cross-products multiplied AS DOUBLES (exact to
+    # 2^53 per factor; a BIGINT product wraps at ~4e9-row sides),
+    # pinned to 1e-5
     lnr5 = F.round(
         F.log(
-            ((F.col("ref_n") + 1) * (F.col("n2") + F.lit(bins))).cast(
-                "double"
+            (
+                (F.col("ref_n") + 1).cast("double")
+                * (F.col("n2") + F.lit(bins)).cast("double")
             )
-            / ((F.col("live_n") + 1) * (F.col("n1") + F.lit(bins))).cast(
-                "double"
+            / (
+                (F.col("live_n") + 1).cast("double")
+                * (F.col("n1") + F.lit(bins)).cast("double")
             )
         )
         * 100000
@@ -198,12 +231,11 @@ def psi_from_counts(
     wbin = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    out = tot.select(
-        "bin", "ref_n", "live_n",
-        term.alias("__term"),
-    )
+    out = tot.select("bin", "ref_n", "live_n", term.alias("__term"))
     return out.select(
-        "bin", "ref_n", "live_n",
+        "bin",
+        "ref_n",
+        "live_n",
         F.round(F.col("__term"), 6).alias("term"),
         F.round(F.sum("__term").over(wbin), 6).alias("psi_cum"),
     ).orderBy("bin")

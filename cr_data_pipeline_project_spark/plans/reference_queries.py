@@ -3378,8 +3378,8 @@ def q177_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT bin, ref_n, live_n,
                  ((ref_n + 1)::DOUBLE / (n1 + 10)::DOUBLE
                   - (live_n + 1)::DOUBLE / (n2 + 10)::DOUBLE)
-                 * (ROUND(ln(((ref_n + 1) * (n2 + 10))::DOUBLE
-                            / ((live_n + 1) * (n1 + 10))::DOUBLE)
+                 * (ROUND(ln(((ref_n + 1)::DOUBLE * (n2 + 10)::DOUBLE)
+                            / ((live_n + 1)::DOUBLE * (n1 + 10)::DOUBLE))
                           * 100000)::BIGINT::DOUBLE / 100000.0) AS term
           FROM tot)
     SELECT bin, ref_n, live_n, ROUND(term, 6) AS term,
@@ -3402,11 +3402,24 @@ def q182_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer 1e-5 units; the running PSI accumulates in bin order
     via a cumulative window so the float sum has ONE order.
     Output: one row per bin; the last psi_cum is the PSI. Scale:
-    all windows and joins run over value-count / 10-row tables; the
-    corpus collapses once per side."""
-    from ..operators.drift import psi_from_counts, value_counts
+    the corpus collapses ONCE into the merged (v, ca, cb) table
+    (conditional counts — a value_counts call per side doubled the
+    scan, review-flagged; the two-table psi_from_counts entry stays
+    for the streaming ref-vs-partials case); all windows and joins
+    downstream run over value-count / 10-row tables."""
+    from ..operators.drift import psi_from_merged
 
     docs = table(spark, "documents", sf_dir)
-    ref = value_counts(docs.where(F.col("source") == "src0"), "n_chars")
-    live = value_counts(docs.where(F.col("source") == "src1"), "n_chars")
-    return psi_from_counts(ref, live, bins=10)
+    pts = (
+        docs.where(F.col("source").isin("src0", "src1"))
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("source") == "src0", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("source") == "src1", 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    return psi_from_merged(pts, bins=10)

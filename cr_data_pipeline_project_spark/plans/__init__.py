@@ -172,6 +172,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q180_pmi_collocations",
     "q181_lexical_entropy",
     "q182_psi_drift",
+    "q183_semantic_decontamination",
 )
 
 

@@ -4531,3 +4531,75 @@ def q181_lexical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ttr"),
         F.round(ent, 6).alias("entropy_nats"),
     ).orderBy("doc_id")
+
+
+@q(
+    "q183_semantic_decontamination",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, ve AS bv FROM v
+              WHERE vec_id % 97 = 0),
+    corpus AS (SELECT vec_id AS corpus_id, ve AS cv FROM v
+               WHERE vec_id % 97 <> 0),
+    hits AS (
+        SELECT corpus_id, bench_id,
+               list_cosine_similarity(cv, bv) AS sim
+        FROM corpus CROSS JOIN bench
+        WHERE list_cosine_similarity(cv, bv) >= 0.4),
+    best AS (
+        SELECT corpus_id, bench_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY corpus_id
+                                  ORDER BY sim DESC, bench_id) AS rn
+        FROM hits)
+    SELECT corpus_id, bench_id, ROUND(sim, 6) AS score
+    FROM best WHERE rn = 1
+    ORDER BY corpus_id
+    """,
+)
+def q183_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus vectors
+    whose cosine similarity to ANY benchmark-set vector reaches 0.4
+    — the SEMANTIC complement of q108's verbatim probe scan and
+    q88's n-gram overlap (paraphrased eval leakage carries no
+    shared 13-gram; it does carry a close embedding — the
+    SemDeDup-adjacent decontamination step modern pipelines run
+    last). Benchmark set: vec_id % 97 == 0, the fixture's stand-in
+    for an eval suite's embedded prompts. Each flagged corpus
+    vector reports its best-matching benchmark item (max sim,
+    bench-id tie-break) — the evidence row a removal audit wants.
+    Exactness: the zip_with/aggregate cosine fold is bit-identical
+    to DuckDB's list_cosine_similarity (the q36/q37 contract);
+    ROW_NUMBER ties break on bench_id. Scale: the benchmark side is
+    small by construction and BROADCASTS (the q108 posture — eval
+    suites are thousands of items); the corpus side streams
+    map-side through the broadcast loop with no shuffle until the
+    per-corpus-vector argmax, whose input is hits only. At 1e9+
+    corpus vectors, route corpus→cell via IVF (q42/q115) and probe
+    only the benchmark vectors' cells."""
+    emb = table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", similarity.as_double_vec("embedding").alias("ve"))
+    bench = v.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("ve").alias("bv")
+    )
+    corpus = v.where(F.col("vec_id") % 97 != 0).select(
+        F.col("vec_id").alias("corpus_id"), F.col("ve").alias("cv")
+    )
+    sim = similarity.cosine(F.col("cv"), F.col("bv"))
+    hits = (
+        corpus.join(F.broadcast(bench), F.lit(True), "inner")
+        .select("corpus_id", "bench_id", sim.alias("sim"))
+        .where(F.col("sim") >= 0.4)
+    )
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.desc("sim"), "bench_id"
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "corpus_id", "bench_id", F.round("sim", 6).alias("score")
+        )
+        .orderBy("corpus_id")
+    )

@@ -1281,3 +1281,27 @@ def ks_drift_snapshot(
         .agg(F.sum("c").alias("c"))
     )
     return ks_from_counts(ref, live)
+
+
+def psi_drift_snapshot(
+    spark: SparkSession,
+    reference_path: str,
+    partials_path: str,
+    bins: int = 10,
+) -> DataFrame:
+    """PSI verdict from the SAME streamed value-count partials the
+    KS snapshot reads (one partials lake serves every drift
+    statistic): sum the live (v, c) partials and run the shared
+    quantile-binned PSI kernel against the frozen reference counts.
+    Per-bin rows localize WHICH reference deciles gained or lost
+    mass; the last bin's psi_cum is the PSI (q182's batch
+    contract, bit-identical under any micro-batch slicing)."""
+    from ..operators.drift import psi_from_counts
+
+    ref = spark.read.parquet(reference_path)
+    live = (
+        spark.read.parquet(partials_path)
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+    )
+    return psi_from_counts(ref, live, bins)

@@ -65,6 +65,7 @@ NESTED_LOOP_OK = {
     "q172_dsir_importance",  # 1-row corpus-totals (R, T) broadcast
     "q180_pmi_collocations",  # 1-row corpus-totals (N, M) broadcast
     "q182_psi_drift",  # 9-row quantile-cut + 10-row bin-spine broadcasts
+    "q183_semantic_decontamination",  # benchmark probe-set broadcast (q108 posture)
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

@@ -1685,3 +1685,27 @@ def test_streaming_ks_drift_matches_batch(spark, tmp_path, sf_dir):
         tuple(r) for r in ks_drift_snapshot(spark, ref_path, partials).collect()
     ]
     assert got2 == want
+
+    # the SAME partials lake serves the PSI verdict: snapshot equals
+    # a batch psi_from_counts over the same count tables
+    from cr_data_pipeline_project_spark.operators.drift import (
+        psi_from_counts,
+    )
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        psi_drift_snapshot,
+    )
+
+    live_batch = value_counts(
+        docs.where(F.col("source") == "src1"), "n_chars"
+    )
+    want_psi = [
+        tuple(r)
+        for r in psi_from_counts(
+            spark.read.parquet(ref_path), live_batch
+        ).collect()
+    ]
+    got_psi = [
+        tuple(r)
+        for r in psi_drift_snapshot(spark, ref_path, partials).collect()
+    ]
+    assert got_psi == want_psi and len(want_psi) == 10

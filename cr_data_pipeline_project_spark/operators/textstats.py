@@ -460,6 +460,88 @@ def bpe_encode(
     return df.withColumn(out_col, enc(F.col(text_col)))
 
 
+def _bigram_model(
+    train: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The add-one-smoothing bigram LM's count model — (unigram
+    counts (__t, __cu), bigram counts (__a, __b, __cb)) — ONE
+    builder shared by the float scorer (:func:`bigram_logprob`,
+    rows-only by contract) and the pinned-integer surprisal twin
+    (:func:`bigram_surprisal_pinned`, oracled), so the two scoring
+    paths cannot train on diverging statistics."""
+    tr_tok = train.select(F.explode(tokens(text_col)).alias("__t"))
+    uni = tr_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__cu"))
+    n = F.size(tokens(text_col))
+    tr_pairs = (
+        train.where(n >= 2)
+        .select(F.explode(adjacent_pairs(tokens(text_col))).alias("p"))
+        .groupBy(F.col("p.a").alias("__a"), F.col("p.b").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    return uni, tr_pairs
+
+
+def bigram_surprisal_pinned(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-exact twin of :func:`bigram_logprob`: per-bigram
+    surprisal -ln((c(a,b)+1)/(c(a)+V)) pinned to integer 1e-5 nat
+    units (the q172/q178 ln discipline), so the per-doc total is a
+    BIGINT sum — combine-order independent — and the mean is ONE
+    IEEE division, rounded once. Same model, same smoothing, same
+    NULL-for-pairless-docs contract; what the float scorer gives up
+    for exact exp()-based perplexity, this gives back as a
+    cross-engine-checkable quality signal. Returns (id_col,
+    n_pairs, mean_surprisal)."""
+    uni, tr_pairs = _bigram_model(train, text_col)
+    v = uni.count()  # vocab size: one bounded scalar, fit-time only
+
+    n = F.size(tokens(text_col))
+    sc_pairs = score.where(n >= 2).select(
+        F.col(id_col),
+        F.explode(adjacent_pairs(tokens(text_col))).alias("p"),
+    )
+    s5 = (
+        F.round(
+            -F.log(
+                (F.coalesce(F.col("__cb"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(v)).cast(
+                    "double"
+                )
+            )
+            * 100000
+        )
+        .cast("bigint")
+        .alias("__s5")
+    )
+    joined = (
+        sc_pairs.join(
+            tr_pairs,
+            (F.col("p.a") == F.col("__a")) & (F.col("p.b") == F.col("__b")),
+            "left",
+        )
+        .join(uni, F.col("p.a") == F.col("__t"), "left")
+        .select(F.col(id_col), s5)
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__s5").alias("__sum5"),
+    )
+    base = score.select(F.col(id_col)).distinct()
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.round(
+            F.col("__sum5").cast("double")
+            / (F.col("n_pairs").cast("double") * F.lit(100000.0)),
+            6,
+        ).alias("mean_surprisal"),
+    )
+
+
 def bigram_logprob(
     train: DataFrame,
     score: DataFrame,
@@ -488,17 +570,10 @@ def bigram_logprob(
     of lns is combine-order dependent in the last ulps, so this is a
     rows-only operator by contract (tests pin parity against a
     pure-Python reference at 1e-9)."""
-    tr_tok = train.select(F.explode(tokens(text_col)).alias("__t"))
-    uni = tr_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__cu"))
-    n = F.size(tokens(text_col))
-    tr_pairs = (
-        train.where(n >= 2)
-        .select(F.explode(adjacent_pairs(tokens(text_col))).alias("p"))
-        .groupBy(F.col("p.a").alias("__a"), F.col("p.b").alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__cb"))
-    )
+    uni, tr_pairs = _bigram_model(train, text_col)
     v = uni.count()  # vocab size: one bounded scalar, fit-time only
 
+    n = F.size(tokens(text_col))
     sc_pairs = score.where(n >= 2).select(
         F.col(id_col),
         F.explode(adjacent_pairs(tokens(text_col))).alias("p"),

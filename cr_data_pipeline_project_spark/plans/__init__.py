@@ -173,6 +173,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q181_lexical_entropy",
     "q182_psi_drift",
     "q183_semantic_decontamination",
+    "q184_bigram_surprisal",
 )
 
 

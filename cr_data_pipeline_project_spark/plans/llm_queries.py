@@ -4603,3 +4603,62 @@ def q183_semantic_decontamination(
         )
         .orderBy("corpus_id")
     )
+
+
+@q(
+    "q184_bigram_surprisal",
+    """
+    WITH train AS (SELECT text FROM documents WHERE source <> 'src6'),
+    uni AS (SELECT word, COUNT(*)::BIGINT AS cu
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM train)
+            GROUP BY word),
+    vsz AS (SELECT COUNT(*)::BIGINT AS v FROM uni),
+    bi AS (SELECT words[i] AS a, words[i+1] AS b, COUNT(*)::BIGINT AS cb
+           FROM (SELECT string_split(text, ' ') AS words FROM train),
+                LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) t
+           WHERE len(words) >= 2 GROUP BY 1, 2),
+    sp AS (SELECT doc_id, words[i] AS a, words[i+1] AS b
+           FROM (SELECT doc_id, string_split(text, ' ') AS words
+                 FROM documents WHERE source = 'src6'),
+                LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i) t
+           WHERE len(words) >= 2),
+    scored AS (
+        SELECT doc_id,
+               ROUND(-ln((COALESCE(cb, 0) + 1)::DOUBLE
+                         / (COALESCE(cu, 0) + v)::DOUBLE)
+                     * 100000)::BIGINT AS s5
+        FROM sp
+        LEFT JOIN uni ON uni.word = sp.a
+        LEFT JOIN bi ON bi.a = sp.a AND bi.b = sp.b
+        CROSS JOIN vsz),
+    agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_pairs,
+                   SUM(s5)::BIGINT AS sum5
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(n_pairs, 0)::BIGINT AS n_pairs,
+           ROUND(sum5::DOUBLE / (n_pairs::DOUBLE * 100000.0), 6)
+               AS mean_surprisal
+    FROM (SELECT doc_id FROM documents WHERE source = 'src6') d
+    LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q184_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity quality filter, made cross-engine checkable
+    (operators/textstats.py:bigram_surprisal_pinned): the same
+    add-one bigram LM as q143 (same _bigram_model counts, train =
+    everything but src6, score = src6) but scoring per-bigram
+    surprisal in pinned integer 1e-5 nat units, so the per-doc sum
+    is BIGINT and the mean is one rounded IEEE division —
+    hash-exact where q143's float Σln is rows-only by contract.
+    Together they split the contract: q143 carries the
+    human-facing ppl = exp(-avg), this carries the machine-checked
+    ranking signal (monotone in ppl, so a filter thresholding
+    either selects the same documents). Scale: identical to q143 —
+    vocab-bounded model, two left equi-joins, one per-doc
+    aggregate."""
+    docs = table(spark, "documents", sf_dir)
+    train = docs.where(F.col("source") != "src6")
+    test = docs.where(F.col("source") == "src6")
+    return textstats.bigram_surprisal_pinned(
+        train, test, "text", "doc_id"
+    ).orderBy("doc_id")

@@ -342,3 +342,37 @@ def test_bigram_logprob_fixture_matches_python(spark, sf_dir):
     cu = Counter(" ".join(train_texts).split(" "))
     floor = math.log(1.0 / (max(cu.values()) + len(cu)))
     assert all(lp > floor for _, lp in got.values())
+
+
+def test_surprisal_pinned_tracks_float_logprob(spark, sf_dir):
+    """q184's pinned-integer mean surprisal must equal q143's float
+    -avg_logprob to within the 1e-5 pinning grid (same model, same
+    smoothing) — the twin contract that lets a threshold filter on
+    either column select the same documents."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        bigram_logprob,
+        bigram_surprisal_pinned,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    train = docs.where(F.col("source") != "src6")
+    test = docs.where(F.col("source") == "src6")
+    flt = {
+        r["doc_id"]: r
+        for r in bigram_logprob(train, test).collect()
+    }
+    pin = {
+        r["doc_id"]: r
+        for r in bigram_surprisal_pinned(train, test).collect()
+    }
+    assert set(flt) == set(pin) and len(pin) > 0
+    for doc_id, p in pin.items():
+        f = flt[doc_id]
+        assert p["n_pairs"] == f["n_pairs"]
+        if f["avg_logprob"] is None:
+            assert p["mean_surprisal"] is None
+        else:
+            assert abs(p["mean_surprisal"] - (-f["avg_logprob"])) < 1e-5

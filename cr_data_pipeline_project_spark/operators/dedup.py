@@ -341,6 +341,81 @@ def ngram_jaccard_pairs(
         sh.unpersist(blocking=False)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Directional n-gram containment pairs: (src, sup, containment)
+    where C(src→sup) = |S(src) ∩ S(sup)| / |S(src)| ≥ ``threshold``
+    over word n-gram shingle sets — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`. Jaccard misses near-SUPERSETS (a
+    short document quoted inside a much longer one scores |A|/|B|
+    ≈ 0 on Jaccard but 1.0 on containment), and containment is the
+    signal quote/expansion dedup and wrapper-page removal key on
+    (Broder's resemblance-vs-containment split, STOC'97 framing).
+
+    Both directions of every candidate pair are evaluated; a row is
+    emitted per qualifying DIRECTION, so a mutual near-dup yields
+    two rows and a strict quote yields one (src = the contained
+    side).
+
+    Scale: candidate generation, skew guard, and the fold-to-array
+    verification join are shared verbatim with the Jaccard path
+    (one shingle explode, one bucket shuffle, df-capped inverted
+    index); the direction split is in-row arithmetic on the same
+    intersection count — no extra shuffle vs Jaccard."""
+    sh = shingle_set(df, text_col, id_col, n).persist()
+    try:
+        cand = ngram_candidate_pairs(sh, id_col, max_doc_freq)
+        sets_ = sh.groupBy(id_col).agg(
+            F.collect_set(F.xxhash64("shingle")).alias("__sh")
+        )
+        a = sets_.select(
+            F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a")
+        )
+        b = sets_.select(
+            F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b")
+        )
+        both = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn(
+                "__c",
+                F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("doc_a").alias("src"),
+                            F.col("doc_b").alias("sup"),
+                            (
+                                F.col("__c") / F.size("__sh_a")
+                            ).alias("containment"),
+                        ),
+                        F.struct(
+                            F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("sup"),
+                            (
+                                F.col("__c") / F.size("__sh_b")
+                            ).alias("containment"),
+                        ),
+                    )
+                ).alias("__d")
+            )
+            .select("__d.src", "__d.sup", "__d.containment")
+        )
+        return both.where(
+            F.col("containment") >= threshold
+        ).localCheckpoint()
+    finally:
+        sh.unpersist(blocking=False)
+
+
 # ------------------------------------------------------------------ #
 # MinHash + LSH                                                       #
 # ------------------------------------------------------------------ #

@@ -174,6 +174,9 @@ GATE_PENDING: tuple[str, ...] = (
     "q182_psi_drift",
     "q183_semantic_decontamination",
     "q184_bigram_surprisal",
+    "q185_min_cost_supplier",
+    "q186_important_part_values",
+    "q187_containment_pairs",
 )
 
 

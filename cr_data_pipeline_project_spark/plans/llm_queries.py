@@ -4662,3 +4662,49 @@ def q184_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_surprisal_pinned(
         train, test, "text", "doc_id"
     ).orderBy("doc_id")
+
+
+@q(
+    "q187_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    dir AS (
+        SELECT doc_a AS src, doc_b AS sup, c * 1.0 / sa.n AS containment
+        FROM common JOIN sizes sa ON sa.doc_id = doc_a
+        UNION ALL
+        SELECT doc_b, doc_a, c * 1.0 / sb.n
+        FROM common JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT src, sup, ROUND(containment, 4) AS containment
+    FROM dir WHERE containment >= 0.8
+    ORDER BY src, sup
+    """,
+)
+def q187_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment near-dup pairs
+    (operators/dedup.py:containment_pairs): C(src→sup) =
+    |S(src)∩S(sup)|/|S(src)| ≥ 0.8 over 5-gram shingle sets — the
+    asymmetric complement of q33's Jaccard that catches
+    quote-inside-a-longer-page and wrapper/boilerplate supersets
+    (|A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0). Exactness: the
+    score is one IEEE division of two integers (intersection count
+    / set size), rounded once; shingle sets fold as xxhash64 values
+    (distinct strings → distinct hashes at ~2⁻⁶⁴), so counts are
+    preserved. Candidate recall is provable at the threshold: a
+    0.8-contained src shares ≥1 shingle by pigeonhole, and the
+    df-cap only skips shingles in >1000 docs (which at fixture
+    scale is none; at corpus scale those are boilerplate the
+    verification join still counts). Scale: shares the q33 path —
+    one shingle explode, one df-capped bucket shuffle, fold-to-
+    array verification join; the direction split is in-row."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.containment_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8
+    )
+    return pairs.select(
+        "src", "sup", F.round("containment", 4).alias("containment")
+    ).orderBy("src", "sup")

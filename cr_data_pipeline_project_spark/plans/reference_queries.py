@@ -3423,3 +3423,156 @@ def q182_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return psi_from_merged(pts, bins=10)
+
+
+@q(
+    "q185_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    best AS (
+        SELECT l_partkey, MIN(unit_cost) AS best_cost
+        FROM cost JOIN eu ON l_suppkey = s_suppkey
+        GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, nation, p_partkey, p_type, unit_cost
+    FROM cost
+    JOIN eu ON cost.l_suppkey = eu.s_suppkey
+    JOIN best ON cost.l_partkey = best.l_partkey
+            AND cost.unit_cost = best.best_cost
+    JOIN part ON cost.l_partkey = p_partkey
+    WHERE p_size <= 25 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q185_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each qualifying
+    part, the European supplier(s) offering it at the lowest unit
+    cost, top-100 by account balance — Q2's signature correlated
+    MIN subquery (WHERE cost = (SELECT MIN(cost) ... same part)),
+    reshaped to observed lineitem pricing since the fixture has no
+    partsupp: unit_cost := MIN(l_extendedprice) per (part,
+    supplier). Completes the TPC-H join-shape family (Q1,Q3-Q22
+    already landed); the correlated scalar decorrelates into a
+    per-part MIN aggregate re-joined on (part, cost) — the same
+    plan Catalyst/DuckDB both pick, so the shape is tested, not
+    hand-scheduled. Exactness: MIN over doubles is combine-order
+    free; ties on best cost return ALL witnesses in both engines
+    (the join keeps every supplier at the min, exactly Q2's
+    semantics); the ORDER BY key set is total (acctbal, nation,
+    name, partkey). Scale: the (part, supplier) cost table
+    partial-combines map-side; the region-filtered supplier dim
+    broadcasts into both the cost and best probes, so the only big
+    shuffle is the per-part MIN keyed by l_partkey; the p_size/
+    p_type filter pushes to the part scan and prunes before the
+    final join; LIMIT 100 is a top-k sort, not a global sort."""
+    li = table(spark, "lineitem", sf_dir)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("unit_cost")
+    )
+    na = table(spark, "nation", sf_dir)
+    re = table(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    eu = (
+        table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(
+                na.join(re, na["n_regionkey"] == re["r_regionkey"])
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation")
+        )
+    )
+    eu_cost = cost.join(
+        F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"]
+    )
+    best = eu_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    pa = (
+        table(spark, "part", sf_dir)
+        .where((F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        eu_cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == pa["p_partkey"])
+        .select(
+            "s_acctbal", "s_name", "nation", "p_partkey", "p_type", "unit_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "q186_important_part_values",
+    """
+    WITH nval AS (
+        SELECT l_partkey,
+               SUM((l_extendedprice * (1 - l_discount))::DECIMAL(28,6))
+                   AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey),
+    tot AS (SELECT SUM(value) AS total FROM nval)
+    SELECT l_partkey, ROUND(value, 2)::DOUBLE AS part_value
+    FROM nval CROSS JOIN tot
+    WHERE value > total * 0.001
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q186_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock identification: parts whose
+    shipped value through one nation's suppliers exceeds a fixed
+    fraction of that nation's total — Q11's HAVING-against-a-
+    global-scalar shape (the one TPC-H pattern the q148-q160 family
+    didn't cover), reshaped to lineitem revenue since the fixture
+    has no partsupp (value := sum extendedprice*(1-discount)).
+    Exactness: both the per-part values and the global total
+    accumulate as DECIMAL(28,6) so combine order can't flip the
+    0.001 boundary; the comparison is decimal*decimal; output
+    rounds once for display. Scale: the nation's supplier keys
+    broadcast into the lineitem scan (one nation = 1/N of
+    suppliers); the per-part aggregate partial-combines on
+    l_partkey; the global total is ONE extra reduce over the
+    already-aggregated nval (part-cardinality rows, not lineitem
+    rows) and broadcasts back as a 1-row cross join — the scalar
+    never forces a second corpus scan."""
+    li = table(spark, "lineitem", sf_dir)
+    na = table(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_3")
+    su = table(spark, "supplier", sf_dir).join(
+        F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    nval = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    tot = nval.agg(F.sum("value").alias("total"))
+    return (
+        nval.join(F.broadcast(tot), F.lit(True), "inner")
+        .where(F.col("value") > F.col("total") * F.lit(0.001))
+        .select(
+            "l_partkey",
+            F.round("value", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )

@@ -374,3 +374,38 @@ def test_fuzzy_blocked_pairs_typos_and_hot_block_guard(spark):
         max_block=1000,
     ).collect()
     assert any(r["doc_a"] >= 100 for r in ungated)
+
+
+def test_containment_directional_quote(spark):
+    """A short document quoted verbatim inside a much longer one:
+    containment flags the contained→container direction at ~1.0
+    while Jaccard stays far below any useful threshold (the
+    asymmetry that motivates the operator), and the container→
+    contained direction does NOT qualify."""
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"pad{i}" for i in range(80))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote),
+        (3, "completely different words that share nothing at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    got = containment_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8
+    ).collect()
+    directions = {(r["src"], r["sup"]): r["containment"] for r in got}
+    assert (1, 2) in directions and directions[(1, 2)] == 1.0
+    assert (2, 1) not in directions  # container is not contained
+    assert not any(3 in d for d in directions)
+
+    # the same pair is invisible to symmetric Jaccard at 0.7
+    jac = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.7
+    ).collect()
+    assert not jac

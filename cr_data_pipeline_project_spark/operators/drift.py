@@ -239,3 +239,88 @@ def psi_from_merged(pts: DataFrame, bins: int = 10) -> DataFrame:
         F.round(F.col("__term"), 6).alias("term"),
         F.round(F.sum("__term").over(wbin), 6).alias("psi_cum"),
     ).orderBy("bin")
+
+
+def _ln5(c) -> F.Column:
+    """Pinned natural log in integer 1e-5 nat units — the module's
+    exactness convention (see ks/psi kernels): one libm ln, scaled,
+    rounded ONCE to BIGINT, so every downstream sum is integer."""
+    return F.round(F.log(c.cast("double")) * 100000).cast("bigint")
+
+
+def unigram_kl(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group unigram KL divergence from the corpus mixture:
+    KL(P_g ‖ P_corpus) over whitespace unigrams with add-1
+    smoothing on the corpus vocabulary — the distribution-shift
+    score data-mixing pipelines watch per source/domain (a source
+    whose token distribution drifts far from the mixture is either
+    contaminated, mis-crawled, or a genuinely novel domain worth
+    re-weighting; DoReMi-adjacent diagnostics key on exactly this).
+
+    P_g(w) = (c_g(w)+1)/(n_g+V), P_c(w) = (c(w)+1)/(n_c+V); the sum
+    runs over the FULL corpus vocab V, but only (group, present-
+    word) pairs ever materialize: the absent-word mass folds into
+    closed form via ln-factor separation —
+
+        Σ_{w: c_g(w)=0} 1·[ln(n_c+V) − ln(n_s+V) − ln(c(w)+1)]
+        = (V−m_g)(ln(n_c+V) − ln(n_g+V)) − (S₀ − Σ_present ln(c+1))
+
+    with S₀ = Σ_vocab ln(c(w)+1) ONE global scalar. Every ln is
+    pinned to integer 1e-5 nat units (_ln5) so both partial sums
+    are BIGINT; the only float op is the final division — exact
+    cross-engine, same contract as the PSI/surprisal family.
+
+    Returns (group_col, n_tokens, distinct_tokens, kl_nats).
+
+    Scale: one explode into a (group, word) partial-combining
+    count; the corpus word table is its re-aggregate (same keys,
+    no second scan); per-group present-term sums ride the same
+    clustering; the vocab scalars are two 1-row aggregates that
+    broadcast back. Nothing materializes group×vocab."""
+    words = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    gw = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("cg"))
+    corpus = gw.groupBy("w").agg(F.sum("cg").alias("c"))
+    vocab = corpus.agg(
+        F.count(F.lit(1)).alias("V"),
+        F.sum("c").alias("n_c"),
+        F.sum(_ln5(F.col("c") + 1)).alias("S0"),
+    )
+    # per-group totals + present-term partial sums (joined with the
+    # corpus count per word — same (w) key, broadcast-sized right
+    # side only when vocab is small; Catalyst picks)
+    per = (
+        gw.join(corpus, "w")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.count(F.lit(1)).alias("m_g"),
+            F.sum(
+                (F.col("cg") + 1)
+                * (_ln5(F.col("cg") + 1) - _ln5(F.col("c") + 1))
+            ).alias("present_core5"),
+            F.sum(_ln5(F.col("c") + 1)).alias("present_lnc5"),
+        )
+    )
+    j = per.join(F.broadcast(vocab), F.lit(True), "inner")
+    ln_nc = _ln5(F.col("n_c") + F.col("V"))
+    ln_ng = _ln5(F.col("n_g") + F.col("V"))
+    present5 = F.col("present_core5") + (
+        F.col("n_g") + F.col("m_g")
+    ) * (ln_nc - ln_ng)
+    absent5 = (F.col("V") - F.col("m_g")) * (ln_nc - ln_ng) - (
+        F.col("S0") - F.col("present_lnc5")
+    )
+    kl = (present5 + absent5).cast("double") / (
+        (F.col("n_g") + F.col("V")).cast("double") * F.lit(100000.0)
+    )
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n_g").alias("n_tokens"),
+        F.col("m_g").alias("distinct_tokens"),
+        F.round(kl, 6).alias("kl_nats"),
+    )

@@ -17,6 +17,7 @@ the scan pipeline.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def _md5_u32(c: Column) -> Column:
@@ -229,4 +230,69 @@ def pps_sample(
         .withColumn("sample_key", key)
         .orderBy("sample_key", id_col)
         .limit(k)
+    )
+
+
+def seeded_lottery(id_col: str | Column, seed: int) -> Column:
+    """Seeded variant of the module lottery: first 8 md5 hex chars
+    of ``seed ~ ':' ~ id`` as BIGINT in [0, 2³²). Different seeds
+    give independent permutations of the same corpus; the DuckDB
+    twin is ('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT,
+    so training-order shuffles stay reproducible outside Spark."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def seeded_shuffle(df: DataFrame, id_col: str, seed: int) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shuffle_key`` that is a pure function of (seed, id), and the
+    result is totally ordered by (shuffle_key, id). Re-running —
+    on a different partitioning, a different cluster, or a
+    different ENGINE — reproduces byte-identical order, which
+    ``orderBy(rand(seed))`` cannot promise (Spark's rand is
+    partition-indexed). Epoch k = seed + k: independent
+    permutations with zero state.
+
+    Scale: the orderBy is a range-partitioned sort (sampled
+    boundaries, no single-task window); writers consume it as
+    repartitionByRange(shuffle_key) + sortWithinPartitions, so
+    shards come out in globally sorted order. A contiguous global
+    position, when a consumer genuinely needs one, is the q58
+    dense-id two-phase path over shuffle_key — deliberately NOT
+    computed here (a global row_number window would serialize the
+    corpus through one task)."""
+    return df.select(
+        seeded_lottery(id_col, seed).alias("shuffle_key"), "*"
+    ).orderBy("shuffle_key", id_col)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Per-group cap: the first ``k`` rows of each group under a
+    TOTAL order (pass tie-breaking id columns — a non-total order
+    makes the kept set partition-dependent). The RefinedWeb-style
+    domain-cap primitive: cap documents per registered domain /
+    source so one crawl host cannot dominate the training mix.
+
+    Returns the input columns plus the 1-based ``rk`` rank.
+
+    Scale: one hash-partitioned window on the group keys — rows
+    stream through WindowExec's spillable buffer. Group skew (one
+    domain holding 10⁸ docs) bounds at the sort, not memory; for
+    pathological single-group skew pre-filter with an approximate
+    per-group threshold (the q90 two-phase posture) before the
+    exact window."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
     )

@@ -177,6 +177,9 @@ GATE_PENDING: tuple[str, ...] = (
     "q185_min_cost_supplier",
     "q186_important_part_values",
     "q187_containment_pairs",
+    "q188_per_source_quality_cap",
+    "q189_source_kl_divergence",
+    "q190_seeded_shuffle_order",
 )
 
 

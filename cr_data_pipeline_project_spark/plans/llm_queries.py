@@ -4708,3 +4708,146 @@ def q187_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "src", "sup", F.round("containment", 4).alias("containment")
     ).orderBy("src", "sup")
+
+
+@q(
+    "q188_per_source_quality_cap",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               __QUALITY_SCORE__ AS quality_score
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, source, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id)
+                   AS rk
+        FROM scored)
+    SELECT doc_id, source, quality_score, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+)
+def q188_per_source_quality_cap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source document cap (operators/sampling.py:
+    top_k_per_group): keep only the 10 highest-quality documents of
+    each source — the RefinedWeb/C4-style domain-cap curation step
+    that stops one crawl host from dominating the training mix,
+    applied by the q38 rule-based quality score with doc_id as the
+    deterministic tie-break (a non-total order would make the kept
+    set partition-dependent — the exact bug hash-split exists to
+    kill). Exactness: the score is the shared _QUALITY_SCORE_SQL
+    splice (ONE formula definition across engines); ROW_NUMBER
+    under a total order is engine-independent. Scale: one
+    hash-partitioned window on source with a spillable sort; for a
+    pathologically skewed single source, pre-filter with an approx
+    per-source score threshold (q90's two-phase posture) before
+    the exact window."""
+    from ..operators import sampling
+
+    docs = textstats.quality_score(table(spark, "documents", sf_dir))
+    capped = sampling.top_k_per_group(
+        docs.select("doc_id", "source", "quality_score"),
+        ["source"],
+        [F.desc("quality_score"), F.col("doc_id")],
+        10,
+    )
+    return capped.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.col("rk").cast("bigint").alias("rk"),
+    ).orderBy("source", "rk")
+
+
+@q(
+    "q189_source_kl_divergence",
+    """
+    WITH words AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+    gw AS (SELECT g, w, COUNT(*)::BIGINT AS cg FROM words GROUP BY 1, 2),
+    corpus AS (SELECT w, SUM(cg)::BIGINT AS c FROM gw GROUP BY w),
+    vocab AS (SELECT COUNT(*)::BIGINT AS V, SUM(c)::BIGINT AS n_c,
+                     SUM(ROUND(ln((c + 1)::DOUBLE) * 100000)::BIGINT)::BIGINT
+                         AS S0
+              FROM corpus),
+    per AS (SELECT g, SUM(cg)::BIGINT AS n_g, COUNT(*)::BIGINT AS m_g,
+                   SUM((cg + 1) * (ROUND(ln((cg + 1)::DOUBLE) * 100000)::BIGINT
+                       - ROUND(ln((c + 1)::DOUBLE) * 100000)::BIGINT))::BIGINT
+                       AS present_core5,
+                   SUM(ROUND(ln((c + 1)::DOUBLE) * 100000)::BIGINT)::BIGINT
+                       AS present_lnc5
+            FROM gw JOIN corpus USING (w) GROUP BY g),
+    f AS (SELECT g, n_g, m_g, present_core5, present_lnc5, V, S0,
+                 ROUND(ln((n_c + V)::DOUBLE) * 100000)::BIGINT AS lnc5,
+                 ROUND(ln((n_g + V)::DOUBLE) * 100000)::BIGINT AS lng5
+          FROM per CROSS JOIN vocab)
+    SELECT g AS source, n_g AS n_tokens, m_g AS distinct_tokens,
+           ROUND((present_core5 + (n_g + m_g) * (lnc5 - lng5)
+                  + (V - m_g) * (lnc5 - lng5)
+                  - (S0 - present_lnc5))::DOUBLE
+                 / ((n_g + V)::DOUBLE * 100000.0), 6) AS kl_nats
+    FROM f ORDER BY source
+    """,
+)
+def q189_source_kl_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus mixture
+    (operators/drift.py:unigram_kl): KL(P_source ‖ P_corpus) with
+    add-1 smoothing over the corpus vocabulary — the
+    distribution-shift diagnostic a mixing pipeline runs per
+    source/domain before setting sampling weights (DoReMi-adjacent:
+    a source far from the mixture is contaminated, mis-crawled, or
+    novel enough to re-weight). Complements q177/q182, which watch
+    a NUMERIC column's distribution; this watches the token
+    distribution itself. Exactness: every ln is pinned to integer
+    1e-5 nat units, both partial sums are BIGINT, and the
+    absent-word mass folds into closed form via ln-factor
+    separation — only (source, present-word) pairs materialize, yet
+    the sum is over the FULL vocab (see the kernel docstring for
+    the identity). One IEEE division at the end. Scale: one explode
+    into a (source, word) partial-combining count; the corpus table
+    is its re-aggregate; two 1-row scalars broadcast back — nothing
+    materializes source×vocab."""
+    from ..operators.drift import unigram_kl
+
+    docs = table(spark, "documents", sf_dir)
+    return unigram_kl(docs, "text", "source").orderBy("source")
+
+
+@q(
+    "q190_seeded_shuffle_order",
+    """
+    SELECT ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT
+               AS shuffle_key,
+           doc_id, source
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    """,
+)
+def q190_seeded_shuffle_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic global training-order shuffle (operators/
+    sampling.py:seeded_shuffle): every document keyed by the seeded
+    md5 lottery (seed 7) and totally ordered by (shuffle_key,
+    doc_id) — the reproducible-epoch-order primitive. orderBy(
+    rand(seed)) cannot provide this (Spark's rand streams per
+    partition index, so a repartition reshuffles the 'shuffle');
+    the md5 key is a pure row function, byte-identical across
+    runs, partitionings, and engines (the hash_split portability
+    contract), and epoch k just uses seed+k. Exactness: same
+    first-8-hex-chars md5 convention as the split/PPS lotteries —
+    ONE cross-engine definition. Scale: the orderBy compiles to a
+    range-partitioned sort (sampled boundaries, no single task);
+    shard writers consume it as repartitionByRange +
+    sortWithinPartitions; a contiguous global position, when
+    genuinely needed, is the q58 dense-id two-phase path — never a
+    global window."""
+    from ..operators import sampling
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "source")
+    return sampling.seeded_shuffle(docs, "doc_id", 7)

@@ -80,3 +80,65 @@ def test_psi_detects_shift(spark):
     rows = drift.psi_from_counts(ref, live).collect()
     psi = {r["bin"]: r for r in rows}[10]["psi_cum"]
     assert psi > 0.25, psi
+
+
+def test_unigram_kl_zero_for_identical_groups(spark):
+    """Two groups with identical token distributions sit at KL ≈ 0
+    (up to the ln-pinning quantum); a
+    group spamming one token scores strictly higher."""
+    from cr_data_pipeline_project_spark.operators.drift import unigram_kl
+
+    same = "alpha beta gamma delta"
+    rows = [("g1", same), ("g2", same)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in unigram_kl(df, "text", "source").collect()}
+    # both groups EQUAL the mixture → 0 up to the 1e-5 ln pinning
+    # quantum (each pinned ln rounds independently, so the four
+    # factors leave a ±quantum residue instead of cancelling)
+    assert abs(got["g1"]["kl_nats"]) < 1e-4
+    assert got["g1"]["kl_nats"] == got["g2"]["kl_nats"]
+    assert got["g1"]["n_tokens"] == 4 and got["g1"]["distinct_tokens"] == 4
+
+    # a group that skews the shared vocab diverges from the mixture
+    rows2 = rows + [("g3", "alpha alpha alpha alpha alpha alpha")]
+    df2 = spark.createDataFrame(rows2, "source string, text string")
+    got2 = {
+        r["source"]: r["kl_nats"]
+        for r in unigram_kl(df2, "text", "source").collect()
+    }
+    assert got2["g1"] == got2["g2"]
+    assert got2["g3"] > 0.0 and got2["g1"] > 0.0
+
+
+def test_unigram_kl_matches_direct_formula(spark):
+    """The sparse closed-form absent-mass identity equals the naive
+    full-vocab smoothed KL computed in Python (up to the 1e-5 ln
+    pinning)."""
+    import math
+
+    from collections import Counter
+
+    from cr_data_pipeline_project_spark.operators.drift import unigram_kl
+
+    rows = [
+        ("a", "x x y z"),
+        ("a", "x w"),
+        ("b", "y y y q q z"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r["kl_nats"] for r in unigram_kl(df, "text", "source").collect()}
+
+    groups = {}
+    for g, t in rows:
+        groups.setdefault(g, []).extend(t.split(" "))
+    corpus = Counter(w for ws in groups.values() for w in ws)
+    V, n_c = len(corpus), sum(corpus.values())
+    for g, ws in groups.items():
+        cg = Counter(ws)
+        n_g = len(ws)
+        kl = 0.0
+        for w in corpus:
+            pg = (cg[w] + 1) / (n_g + V)
+            pc = (corpus[w] + 1) / (n_c + V)
+            kl += pg * math.log(pg / pc)
+        assert abs(got[g] - kl) < 1e-4, (g, got[g], kl)

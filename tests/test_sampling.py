@@ -158,3 +158,51 @@ def test_pps_sample_exact_k_deterministic_positive_weights(spark):
     assert loser in {
         r["id"] for r in pps_sample(boosted, "id", "w", 50).collect()
     }
+
+
+def test_seeded_shuffle_deterministic_and_seed_independent(spark):
+    """The shuffle order is a pure function of (seed, id): stable
+    across repartitionings, different across seeds, and the key
+    matches the portable md5 formula."""
+    import hashlib
+
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        seeded_shuffle,
+    )
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in seeded_shuffle(df, "doc_id", 7).collect()]
+    b = [
+        r["doc_id"]
+        for r in seeded_shuffle(df.repartition(13), "doc_id", 7).collect()
+    ]
+    c = [r["doc_id"] for r in seeded_shuffle(df, "doc_id", 8).collect()]
+    assert a == b  # partitioning-independent
+    assert a != c  # seed changes the permutation
+    assert sorted(a) == list(range(50))  # it IS a permutation
+
+    # the key matches the documented md5 convention
+    row = seeded_shuffle(df, "doc_id", 7).where("doc_id = 3").first()
+    expect = int(hashlib.md5(b"7:3").hexdigest()[:8], 16)
+    assert row["shuffle_key"] == expect
+
+
+def test_top_k_per_group_total_order(spark):
+    """Per-group cap keeps exactly k rows under the total order and
+    breaks score ties on the id column."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        top_k_per_group,
+    )
+
+    rows = [
+        ("a", 1, 0.9), ("a", 2, 0.9), ("a", 3, 0.5), ("a", 4, 0.1),
+        ("b", 5, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "src string, id int, score double")
+    got = top_k_per_group(
+        df, ["src"], [F.desc("score"), F.col("id")], 2
+    ).collect()
+    kept = {(r["src"], r["id"]): r["rk"] for r in got}
+    assert kept == {("a", 1): 1, ("a", 2): 2, ("b", 5): 1}

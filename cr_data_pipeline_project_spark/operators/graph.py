@@ -213,6 +213,7 @@ def textrank_scores(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    small_graph_max: int = 2_000_000,
 ) -> DataFrame:
     """Weighted TextRank (Mihalcea & Tarau 2004) node scores via
     ``n_iter`` integer power iterations:
@@ -266,6 +267,38 @@ def textrank_scores(
         )
         .persist()
     )
+
+    # Small-graph fast path (the connected_components posture): a
+    # word co-occurrence graph is vocab-bounded, and ten sequential
+    # Spark iterations over a sub-driver-heap edge table are pure
+    # stage-scheduling overhead (~0.5 s/iteration at fixture scale).
+    # One count job decides; at or under the bound the normalized
+    # edge list collects (budget ~100 B/Row of driver heap when
+    # raising it) and the SAME integer recurrence runs in Python —
+    # unbounded ints replicate BIGINT floor division on positives
+    # exactly, so scores are hash-identical to the distributed loop
+    # and the SQL oracle either way.
+    if e.count() <= small_graph_max:
+        local = e.collect()
+        r: dict = {}
+        for row in local:
+            r[row["src"]] = TEXTRANK_SCALE
+        for _ in range(n_iter):
+            acc = dict.fromkeys(r, 0)
+            for row in local:
+                acc[row["dst"]] += (
+                    r[row["src"]] * row["p"]
+                ) // TEXTRANK_PROB_SCALE
+            r = {
+                tok: TEXTRANK_BASE + (TEXTRANK_DAMP_NUM * s) // 100
+                for tok, s in acc.items()
+            }
+        spark = weighted_edges.sparkSession
+        ranks = spark.createDataFrame(
+            list(r.items()), "token string, r bigint"
+        )
+        return ranks, [e]
+
     ranks = e.select("src").distinct().select(
         F.col("src").alias("token"),
         F.lit(TEXTRANK_SCALE).cast("bigint").alias("r"),

@@ -4355,11 +4355,15 @@ def q179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere (Spark ``div`` == DuckDB ``//``), so ten ITERATIONS
     of a numeric fixed-point algorithm still hash-match a SQL
     oracle (unrolled pr0..pr10 CTEs) — float PageRank could only
-    ever be rows-only. Scale: each iteration is one edges-ranks
-    shuffle join + one partial-combining dst-sum over the
-    vocab-bounded edge table (the connected-components cost model);
-    generations persist so the single action computes each once;
-    the final collect is k=50 rows by contract (TakeOrdered)."""
+    ever be rows-only. Scale: the edge table is vocab-bounded, so
+    at or under the 2M-edge bound the normalized edge list collects
+    once and the integer recurrence runs driver-local (the
+    connected-components small-graph posture — ten sequential Spark
+    stages over a tiny table are pure scheduling overhead); past
+    the bound each iteration is one edges-ranks shuffle join + one
+    partial-combining dst-sum (generations persist so the single
+    action computes each once). Scores are hash-identical on either
+    path; the final collect is k=50 rows by contract."""
     from ..operators.graph import textrank_topk
 
     docs = table(spark, "documents", sf_dir)

@@ -148,3 +148,21 @@ def test_textrank_releases_persisted_generations(spark):
     graph.textrank_topk(edf, k=5, n_iter=3)
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
+
+
+def test_textrank_fast_path_equals_distributed(spark):
+    """The driver-local small-graph path and the distributed
+    iteration produce identical scores (same BIGINT recurrence —
+    the connected_components fast-path contract applied to
+    TextRank)."""
+    edges = [
+        ("a", "b", 3), ("b", "c", 2), ("c", "a", 1),
+        ("c", "d", 5), ("d", "e", 1), ("a", "e", 2),
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    fast = {r["token"]: r["r"] for r in graph.textrank_topk(edf, k=10)}
+    dist = {
+        r["token"]: r["r"]
+        for r in graph.textrank_topk(edf, k=10, small_graph_max=0)
+    }
+    assert fast == dist and len(fast) == 5

@@ -283,7 +283,16 @@ def unigram_kl(
         F.col(group_col).alias("g"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     )
-    gw = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("cg"))
+    # Materialize the (group, word) counts — vocab×groups-bounded —
+    # before the three consumers (corpus re-agg, vocab scalars, the
+    # present-term join) each re-run the corpus explode: Catalyst
+    # does not share common subplans, so without this one query
+    # scans the 100 TB text column three times.
+    gw = (
+        words.groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .localCheckpoint()
+    )
     corpus = gw.groupBy("w").agg(F.sum("cg").alias("c"))
     vocab = corpus.agg(
         F.count(F.lit(1)).alias("V"),

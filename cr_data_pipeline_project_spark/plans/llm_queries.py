@@ -4855,3 +4855,31 @@ def q190_seeded_shuffle_order(
 
     docs = table(spark, "documents", sf_dir).select("doc_id", "source")
     return sampling.seeded_shuffle(docs, "doc_id", 7)
+
+
+@q("q191_cms_heavy_hitters")  # rows-only: sketch estimates by design
+def q191_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.py): the
+    top-20 users by ESTIMATED event count from a fixed-size 5×16384
+    cell sketch — the sub-linear scale twin of q116's exact windowed
+    heavy hitters, for the 100 TB regime where one row per distinct
+    key is itself the bottleneck (10⁹⁺ keys vs 80 K counters). The
+    sketch is mergeable by cell-wise addition (disjoint row slices'
+    partials sum to the union's sketch — the drift-monitor
+    additivity contract), so per-day/per-batch partials roll up
+    without reprocessing. Estimates are one-sided (est ≥ true), so
+    the true heavy hitters are always present in the candidate
+    ranking; near-ties may reorder vs exact counts — rows-only by
+    design, with the recovery/merge/exactness-at-width guarantees
+    pinned in tests/test_sketches.py. Scale: one in-row posexplode
+    (depth cells per event) + ONE partial-combining sum keyed by
+    cell id — shuffle volume bounded by sketch size × partitions,
+    independent of row count; candidate estimation joins bounded
+    key sets against the cell table."""
+    from ..operators.sketches import cms_topk
+
+    ev = table(spark, "events", sf_dir)
+    return cms_topk(ev, "user_id", k=20).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("est").cast("bigint").alias("est_events"),
+    )

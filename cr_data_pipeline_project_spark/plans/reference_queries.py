@@ -3461,18 +3461,17 @@ def q185_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp: unit_cost := MIN(l_extendedprice) per (part,
     supplier). Completes the TPC-H join-shape family (Q1,Q3-Q22
     already landed); the correlated scalar decorrelates into a
-    per-part MIN aggregate re-joined on (part, cost) — the same
-    plan Catalyst/DuckDB both pick, so the shape is tested, not
-    hand-scheduled. Exactness: MIN over doubles is combine-order
-    free; ties on best cost return ALL witnesses in both engines
-    (the join keeps every supplier at the min, exactly Q2's
-    semantics); the ORDER BY key set is total (acctbal, nation,
-    name, partkey). Scale: the (part, supplier) cost table
-    partial-combines map-side; the region-filtered supplier dim
-    broadcasts into both the cost and best probes, so the only big
-    shuffle is the per-part MIN keyed by l_partkey; the p_size/
-    p_type filter pushes to the part scan and prunes before the
-    final join; LIMIT 100 is a top-k sort, not a global sort."""
+    per-part window MIN over the ALREADY-AGGREGATED cost table —
+    ONE lineitem scan where the classic aggregate-and-rejoin plan
+    (the oracle SQL's shape) scans it twice. Exactness: MIN over
+    doubles is combine-order free; ties on best cost return ALL
+    witnesses in both engines (exactly Q2's semantics); the ORDER
+    BY key set is total (acctbal, nation, name, partkey). Scale:
+    the (part, supplier) cost table partial-combines map-side; the
+    region-filtered supplier dim broadcasts; the window partitions
+    on the same l_partkey the aggregate hashed on (no extra
+    exchange); the p_size/p_type filter pushes to the part scan;
+    LIMIT 100 is a top-k sort, not a global sort."""
     li = table(spark, "lineitem", sf_dir)
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("unit_cost")
@@ -3494,20 +3493,22 @@ def q185_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_cost = cost.join(
         F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"]
     )
-    best = eu_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_cost").alias("best_cost")
-    )
+    # The correlated MIN decorrelates as a per-part window min over
+    # the ALREADY-AGGREGATED (part, supplier, cost) table — one
+    # lineitem scan total, where the aggregate-and-rejoin shape
+    # (DuckDB's plan, and this oracle's SQL) scans it twice. The
+    # window partitions on the same key the cost aggregate hashed
+    # on, so no extra exchange; ties keep every witness row,
+    # exactly Q2's semantics.
+    wbest = Window.partitionBy("l_partkey")
     pa = (
         table(spark, "part", sf_dir)
         .where((F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
         .select("p_partkey", "p_type")
     )
     return (
-        eu_cost.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_cost") == F.col("best_cost")),
-        )
+        eu_cost.withColumn("__best", F.min("unit_cost").over(wbest))
+        .where(F.col("unit_cost") == F.col("__best"))
         .join(F.broadcast(pa), F.col("l_partkey") == pa["p_partkey"])
         .select(
             "s_acctbal", "s_name", "nation", "p_partkey", "p_type", "unit_cost"
@@ -3561,10 +3562,15 @@ def q186_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,6)"
     )
+    # Materialize the per-part aggregate (part-cardinality rows)
+    # before deriving both the global total and the filter from it:
+    # without this, each consumer re-runs the lineitem scan — the
+    # 100 TB table read twice for one query.
     nval = (
         li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("value"))
+        .localCheckpoint()
     )
     tot = nval.agg(F.sum("value").alias("total"))
     return (

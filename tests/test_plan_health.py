@@ -66,6 +66,8 @@ NESTED_LOOP_OK = {
     "q180_pmi_collocations",  # 1-row corpus-totals (N, M) broadcast
     "q182_psi_drift",  # 9-row quantile-cut + 10-row bin-spine broadcasts
     "q183_semantic_decontamination",  # benchmark probe-set broadcast (q108 posture)
+    "q186_important_part_values",  # 1-row nation-total broadcast
+    "q189_source_kl_divergence",  # 1-row vocab-scalars broadcast
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

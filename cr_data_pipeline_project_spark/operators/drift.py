@@ -333,3 +333,59 @@ def unigram_kl(
         F.col("m_g").alias("distinct_tokens"),
         F.round(kl, 6).alias("kl_nats"),
     )
+
+
+def kl_from_merged(pts: DataFrame) -> DataFrame:
+    """KL(live ‖ ref) from ONE merged (v, ca, cb) count table
+    (ca = reference, cb = live) with add-1 smoothing over the union
+    vocabulary — the drift statistic for CATEGORICAL/token
+    distributions, complementing KS (ordered values) and PSI
+    (binned numerics): no ordering or binning, mass-weighted by the
+    live side, so a category the live side spams dominates the
+    score even when its rank order is unchanged.
+
+    KL = Σ_v (cb+1)/(n_b+V) · ln((cb+1)(n_a+V) / ((ca+1)(n_b+V)))
+
+    Every v of the union appears as a merged row (merge_counts'
+    contract), so the sum needs no absent-mass closed form (unlike
+    unigram_kl's group-vs-mixture case, where a group misses most
+    of the vocab). Pinned-integer exactness, same as the KS/PSI
+    kernels: each ln rounds ONCE to BIGINT 1e-5 nat units, the
+    numerator accumulates as BIGINT, one IEEE division at the end —
+    bit-identical across engines, row orders, and micro-batch
+    slicings (what lets the streaming snapshot equal the batch
+    recompute exactly). Returns one row:
+    (n_ref, n_live, vocab, kl_nats). Scale: one partial-combining
+    aggregate over the value-count table — cardinality-bounded, not
+    row-bounded."""
+    agg = pts.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("V"),
+        F.sum(
+            (F.col("cb") + 1)
+            * (_ln5(F.col("cb") + 1) - _ln5(F.col("ca") + 1))
+        ).alias("core5"),
+    )
+    ln_na = _ln5(F.col("n_a") + F.col("V"))
+    ln_nb = _ln5(F.col("n_b") + F.col("V"))
+    num5 = F.col("core5") + (F.col("n_b") + F.col("V")) * (ln_na - ln_nb)
+    kl = num5.cast("double") / (
+        (F.col("n_b") + F.col("V")).cast("double") * F.lit(100000.0)
+    )
+    return agg.select(
+        F.col("n_a").alias("n_ref"),
+        F.col("n_b").alias("n_live"),
+        F.col("V").alias("vocab"),
+        F.round(kl, 6).alias("kl_nats"),
+    )
+
+
+def kl_from_counts(
+    ref_counts: DataFrame, live_counts: DataFrame
+) -> DataFrame:
+    """KL(live ‖ ref) from two separate (v, c) tables — the
+    streaming-consumer entry (frozen reference vs summed live
+    partials); batch producers that already hold both sides in one
+    scan use :func:`kl_from_merged` directly."""
+    return kl_from_merged(merge_counts(ref_counts, live_counts))

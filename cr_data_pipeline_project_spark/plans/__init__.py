@@ -180,6 +180,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q188_per_source_quality_cap",
     "q189_source_kl_divergence",
     "q190_seeded_shuffle_order",
+    "q192_token_kl_drift",
 )
 
 

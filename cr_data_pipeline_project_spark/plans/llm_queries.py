@@ -4883,3 +4883,69 @@ def q191_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("est").cast("bigint").alias("est_events"),
     )
+
+
+@q(
+    "q192_token_kl_drift",
+    """
+    WITH pts AS (
+        SELECT w AS v, SUM(ca)::BIGINT AS ca, SUM(cb)::BIGINT AS cb
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS w,
+                   CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ca,
+                   CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS cb
+            FROM documents WHERE source IN ('src0', 'src1'))
+        GROUP BY w),
+    agg AS (
+        SELECT SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b,
+               COUNT(*)::BIGINT AS V,
+               SUM((cb + 1) * (ROUND(ln((cb + 1)::DOUBLE) * 100000)::BIGINT
+                   - ROUND(ln((ca + 1)::DOUBLE) * 100000)::BIGINT))::BIGINT
+                   AS core5
+        FROM pts)
+    SELECT n_a AS n_ref, n_b AS n_live, V AS vocab,
+           ROUND((core5 + (n_b + V)
+                  * (ROUND(ln((n_a + V)::DOUBLE) * 100000)::BIGINT
+                     - ROUND(ln((n_b + V)::DOUBLE) * 100000)::BIGINT)
+                 )::DOUBLE / ((n_b + V)::DOUBLE * 100000.0), 6) AS kl_nats
+    FROM agg
+    """,
+)
+def q192_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution KL drift between a reference source (src0)
+    and a live source (src1) — KL(live ‖ ref) with add-1 smoothing
+    over the union vocabulary (operators/drift.py:kl_from_merged),
+    completing the drift triad: KS for ordered values (q177), PSI
+    for binned numerics (q182), KL for categorical/token
+    distributions where no ordering or binning exists. This is the
+    statistic the STREAMING monitor serves from the same (v, c)
+    partials lake as KS/PSI (streaming/incremental.py:
+    kl_drift_snapshot — a token monitor streams explode(split(
+    text)) through the existing value-count partials writer; the
+    slicing-invariance test pins snapshot == this kernel).
+    Exactness: the one-scan conditional-count producer (q182's
+    posture) collapses the corpus once into (word, ca, cb); every
+    ln pins to integer 1e-5 nat units; the numerator is BIGINT; ONE
+    IEEE division at the end. Scale: one explode + one partial-
+    combining aggregate, then a 1-row reduce — vocab-bounded, no
+    windows, no joins."""
+    from ..operators.drift import kl_from_merged
+
+    docs = table(spark, "documents", sf_dir)
+    pts = (
+        docs.where(F.col("source").isin("src0", "src1"))
+        .select(
+            F.col("source"),
+            F.explode(F.split("text", " ")).alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == "src0", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("source") == "src1", 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    return kl_from_merged(pts)

@@ -1305,3 +1305,27 @@ def psi_drift_snapshot(
         .agg(F.sum("c").alias("c"))
     )
     return psi_from_counts(ref, live, bins)
+
+
+def kl_drift_snapshot(
+    spark: SparkSession, reference_path: str, partials_path: str
+) -> DataFrame:
+    """KL(live ‖ ref) served from the SAME streamed (v, c) partials
+    lake the KS/PSI snapshots read (one partials lake, every drift
+    statistic): sum the live partials and run the shared pinned-
+    integer KL kernel against the frozen reference counts — the
+    categorical/token-distribution verdict (q192's batch contract;
+    for a token monitor the producer simply streams
+    explode(split(text)) through streaming_value_count_partials).
+    Bit-identical to the batch recompute under any micro-batch
+    slicing — additive counts into a kernel whose only float op is
+    one final division."""
+    from ..operators.drift import kl_from_counts
+
+    ref = spark.read.parquet(reference_path)
+    live = (
+        spark.read.parquet(partials_path)
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+    )
+    return kl_from_counts(ref, live)

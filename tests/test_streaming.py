@@ -1709,3 +1709,62 @@ def test_streaming_ks_drift_matches_batch(spark, tmp_path, sf_dir):
         for r in psi_drift_snapshot(spark, ref_path, partials).collect()
     ]
     assert got_psi == want_psi and len(want_psi) == 10
+
+
+def test_streaming_token_kl_matches_batch(spark, tmp_path, sf_dir):
+    """Token drift: a stream of src1 documents exploded into words
+    feeds the SAME value-count partials writer the KS/PSI monitor
+    uses; the KL snapshot against frozen src0 word counts equals
+    the batch q192 kernel on the same rows, under any micro-batch
+    slicing."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.drift import value_counts
+    from cr_data_pipeline_project_spark.plans import all_queries
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        kl_drift_snapshot,
+        streaming_value_count_partials,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    word = lambda df: df.select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    ref_path = os.path.join(str(tmp_path), "kl_ref")
+    value_counts(
+        word(docs.where(F.col("source") == "src0")), "w"
+    ).write.parquet(ref_path)
+
+    src = os.path.join(str(tmp_path), "kl_src")
+    docs.where(F.col("source") == "src1").select(
+        "doc_id", "text"
+    ).repartition(3).write.parquet(src)
+    partials = os.path.join(str(tmp_path), "kl_partials")
+
+    with few_partitions(spark):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_value_count_partials(
+            word(stream),
+            partials,
+            os.path.join(str(tmp_path), "kl_ckpt"),
+            "w",
+        )
+        q.awaitTermination(120)
+
+    assert (
+        len([d for d in os.listdir(partials) if d.startswith("batch=")])
+        >= 2
+    ), "expected multiple micro-batches"
+
+    got = [
+        tuple(r)
+        for r in kl_drift_snapshot(spark, ref_path, partials).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in all_queries()["q192_token_kl_drift"](spark, sf_dir).collect()
+    ]
+    assert got == want and len(want) == 1

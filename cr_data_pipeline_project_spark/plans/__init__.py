@@ -181,6 +181,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q189_source_kl_divergence",
     "q190_seeded_shuffle_order",
     "q192_token_kl_drift",
+    "q193_semantic_dedup_export",
 )
 
 

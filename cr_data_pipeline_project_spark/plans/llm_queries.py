@@ -4949,3 +4949,78 @@ def q192_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kl_from_merged(pts)
+
+
+@q(
+    "q193_semantic_dedup_export",
+    """
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.ve, b.ve) >= 0.45),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY node),
+    scored AS (SELECT doc_id, __QUALITY_SCORE__ AS quality_score
+               FROM documents),
+    ranked AS (
+        SELECT comp.doc_id, component_id, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY component_id
+                                  ORDER BY quality_score DESC,
+                                           comp.doc_id) AS rn
+        FROM comp JOIN scored ON scored.doc_id = comp.doc_id)
+    SELECT doc_id, component_id, quality_score
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q193_semantic_dedup_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup-style applied export (Abbas et al. 2023 composed
+    end-to-end): exact cosine near-dup pairs over the embedding
+    space (the q37 kernel, threshold 0.45) → connected components
+    (the q66 transitive closure — embedding similarity is no more
+    transitive than n-gram Jaccard) → keep ONE representative per
+    semantic cluster, the q92 quality-argmax (q38 score, doc_id
+    tie-break). The embedding-space sibling of q112's n-gram
+    near-dup export: paraphrased duplicates share no shingles but
+    do share a neighborhood. Exactness: the cosine fold is
+    bit-identical to DuckDB's list_cosine_similarity (q36/q37
+    contract), components are order-independent min-labels, the
+    representative window is a total order — fully oracled
+    (recursive CTE) even though three operators compose. Scale:
+    pairs come from the block-combo equi-join (never all-pairs —
+    swap in q105's two-level routing past 10⁸ vectors); components
+    run union-find under the 1M-edge bound, distributed min-label
+    past it; bodies never shuffle — ids, scores, and labels only."""
+    from ..operators import graph
+
+    emb = table(spark, "embeddings", sf_dir)
+    docs = textstats.quality_score(table(spark, "documents", sf_dir))
+    pairs = similarity.cosine_neardup_pairs(emb, threshold=0.45).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = graph.dedup_clusters(
+        docs.select("doc_id"), pairs
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return (
+        comp.join(
+            docs.select("doc_id", "quality_score"), "doc_id"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "component_id", "quality_score")
+        .orderBy("doc_id")
+    )

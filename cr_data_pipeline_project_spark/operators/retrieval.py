@@ -35,6 +35,7 @@ from __future__ import annotations
 from collections import Counter
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def postings(
@@ -151,4 +152,124 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
+    )
+
+
+def lexical_overlap_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact-arithmetic lexical ranker: score(q, d) = Σ over the
+    DISTINCT query terms present in d of idf5(t), where idf5 =
+    round(ln((N+1)/(df_t+1)) · 1e5) as BIGINT — the idf-weighted
+    term-overlap retrieval model (BM25 minus the float tf/length
+    saturation). The BIGINT score sum is combine-order free, so the
+    ranking — unlike BM25's float sum (rows-only by contract) — is
+    bit-reproducible cross-engine, which is what lets the RRF
+    fusion built on top stay fully oracled. Ranks tie-break on
+    doc_id; a query never matches itself.
+
+    Returns (query_id, doc_id, rank) with rank ≤ k.
+
+    Scale: the postings build is the standing-index artifact (see
+    module header); query terms semi-join-filter the postings
+    BEFORE any aggregate, so only candidate (query, doc) pairs with
+    ≥1 shared term ever shuffle; idf needs one |terms|-bounded df
+    aggregate and a 1-row N; the per-query window is over candidate
+    docs only."""
+    n_docs = docs.count()
+    post = postings(docs, id_col=id_col, text_col=text_col).select(
+        "term", "doc_id"
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), " "),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    df_t = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf5 = F.round(
+        F.log(
+            (F.lit(n_docs).cast("double") + 1.0)
+            / (F.col("df").cast("double") + 1.0)
+        )
+        * 100000
+    ).cast("bigint")
+    scored = (
+        qterms.join(post, "term")
+        .join(df_t, "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf5).alias("score5"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score5"), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    *,
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings (Cormack,
+    Clarke & Buettcher, SIGIR 2009): rrf(d) = Σ_lists 1/(k + rank_d)
+    — the standard hybrid-retrieval combiner (lexical ∪ semantic
+    lists surface different candidates; RRF needs only RANKS, no
+    score calibration between incommensurable scorers). Candidates
+    missing from one list contribute only their present term
+    (classic RRF over the union).
+
+    Inputs are (query_id, doc_id, rank) with deterministic ranks;
+    the fused score is a FIXED two-term IEEE chain (coalesce each
+    side, one addition, round once), so fusion of exact rankers
+    stays exact cross-engine. Ties break on doc_id.
+
+    Returns (query_id, doc_id, rrf_score) with the top ``topk``
+    rows per query.
+
+    Scale: one full-outer equi-join on (query_id, doc_id) between
+    two k-bounded lists (≤ k rows per query each) and a per-query
+    window over ≤ 2k candidates — negligible next to the rankers
+    themselves."""
+    a = ranked_a.select("query_id", "doc_id", F.col("rank").alias("ra"))
+    b = ranked_b.select("query_id", "doc_id", F.col("rank").alias("rb"))
+    term = lambda r: F.when(
+        r.isNotNull(), 1.0 / (F.lit(k_rrf) + r.cast("double"))
+    ).otherwise(F.lit(0.0))
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(term(F.col("ra")) + term(F.col("rb")), 9).alias(
+            "rrf_score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), "doc_id"
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("query_id", "doc_id", "rrf_score")
     )

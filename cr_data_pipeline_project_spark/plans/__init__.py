@@ -182,6 +182,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q190_seeded_shuffle_order",
     "q192_token_kl_drift",
     "q193_semantic_dedup_export",
+    "q194_hybrid_rrf_topk",
 )
 
 

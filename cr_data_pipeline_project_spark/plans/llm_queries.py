@@ -5024,3 +5024,107 @@ def q193_semantic_dedup_export(
         .select("doc_id", "component_id", "quality_score")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q194_hybrid_rrf_topk",
+    """
+    WITH q AS (SELECT doc_id AS query_id, text FROM documents
+               WHERE doc_id % 97 = 0),
+    post AS (SELECT DISTINCT t.term, d.doc_id
+             FROM (SELECT doc_id,
+                          unnest(list_filter(string_split(lower(text), ' '),
+                                             x -> x <> '')) AS term
+                   FROM documents) AS t(doc_id, term),
+                  (SELECT doc_id FROM documents) d
+             WHERE d.doc_id = t.doc_id),
+    nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    dft AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
+    qt AS (SELECT query_id,
+                  unnest(list_distinct(list_filter(
+                      string_split(lower(text), ' '), x -> x <> '')))
+                      AS term
+           FROM q),
+    lex_scored AS (
+        SELECT qt.query_id, post.doc_id,
+               SUM(ROUND(ln((n + 1)::DOUBLE / (df + 1)::DOUBLE)
+                         * 100000)::BIGINT)::BIGINT AS score5
+        FROM qt JOIN post USING (term) JOIN dft USING (term)
+        CROSS JOIN nd
+        WHERE post.doc_id <> qt.query_id
+        GROUP BY qt.query_id, post.doc_id),
+    lex AS (
+        SELECT query_id, doc_id, rn AS ra FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score5 DESC, doc_id) AS rn
+            FROM lex_scored) t WHERE rn <= 20),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    sem_scored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS doc_id,
+               list_cosine_similarity(qv.ve, cv.ve) AS cos
+        FROM (SELECT * FROM v WHERE vec_id % 97 = 0) qv
+        CROSS JOIN v cv
+        WHERE cv.vec_id <> qv.vec_id),
+    sem AS (
+        SELECT query_id, doc_id, rn AS rb FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, doc_id) AS rn
+            FROM sem_scored) t WHERE rn <= 20),
+    fused AS (
+        SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+               COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               ROUND(
+                   (CASE WHEN ra IS NOT NULL
+                         THEN 1.0 / (60 + ra::DOUBLE) ELSE 0.0 END)
+                   + (CASE WHEN rb IS NOT NULL
+                           THEN 1.0 / (60 + rb::DOUBLE) ELSE 0.0 END),
+                   9) AS rrf_score
+        FROM lex FULL OUTER JOIN sem
+             ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+    SELECT query_id, doc_id, rrf_score FROM (
+        SELECT query_id, doc_id, rrf_score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused) t
+    WHERE rn <= 10
+    ORDER BY query_id, rrf_score DESC, doc_id
+    """,
+)
+def q194_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (operators/
+    retrieval.py:lexical_overlap_topk + rrf_fuse; Cormack et al.
+    SIGIR'09): each probe document (doc_id % 97 == 0, the q183
+    eval-probe convention) retrieves top-20 candidates TWICE —
+    lexically (idf-weighted distinct-term overlap with BIGINT
+    pinned-idf scores, the exact-arithmetic sibling of q154's
+    float BM25) and semantically (q36's exact cosine over the
+    aligned embeddings) — and RRF fuses the two rank lists:
+    rrf = 1/(60+r_lex) + 1/(60+r_sem) over the candidate union,
+    top-10 per query. The modern retrieval-serving default
+    (lexical catches exact terms, embeddings catch paraphrase; RRF
+    needs no score calibration). Exactness: BOTH rankers are
+    combine-order free (BIGINT idf sum; the bit-pinned cosine
+    fold), ranks are total orders, and the fused score is a fixed
+    two-term IEEE chain rounded once — a fully-oracled hybrid
+    pipeline. Scale: query terms semi-join-filter the postings
+    before any aggregate (candidates = docs sharing ≥1 term);
+    queries broadcast on the semantic side (q108 posture — swap in
+    IVF routing past 10⁸ vectors); the fusion join touches ≤ 2·20
+    rows per query."""
+    from ..operators import retrieval
+
+    docs = table(spark, "documents", sf_dir)
+    emb = table(spark, "embeddings", sf_dir)
+    q_docs = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = retrieval.lexical_overlap_topk(
+        docs, q_docs, query_id_col="query_id", k=20
+    )
+    sem = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") % 97 == 0), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = retrieval.rrf_fuse(lex, sem, k_rrf=60, topk=10)
+    return fused.orderBy("query_id", F.desc("rrf_score"), "doc_id")

@@ -68,6 +68,7 @@ NESTED_LOOP_OK = {
     "q183_semantic_decontamination",  # benchmark probe-set broadcast (q108 posture)
     "q186_important_part_values",  # 1-row nation-total broadcast
     "q189_source_kl_divergence",  # 1-row vocab-scalars broadcast
+    "q194_hybrid_rrf_topk",  # broadcast query set by contract (q36 posture)
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

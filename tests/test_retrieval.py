@@ -111,3 +111,52 @@ def test_postings_tf_totals_match_doc_lengths(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_rrf_fuse_union_and_missing_side(spark):
+    """RRF sums only the present lists' terms: a doc in both lists
+    beats docs in one list at comparable ranks; union candidates
+    from either side all appear; ties break on doc_id."""
+    from cr_data_pipeline_project_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 13, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    got = rrf_fuse(a, b, k_rrf=60, topk=10).collect()
+    scores = {r["doc_id"]: r["rrf_score"] for r in got}
+    assert set(scores) == {10, 11, 12, 13}
+    assert scores[10] == round(1 / 61 + 1 / 62, 9)  # both lists
+    assert scores[13] == round(1 / 61, 9)  # sem-only candidate
+    assert scores[10] > scores[13] > scores[11] > scores[12]
+
+
+def test_lexical_overlap_ranks_by_idf_not_raw_overlap(spark):
+    """A doc sharing one RARE query term outranks a doc sharing one
+    CORPUS-WIDE term (idf weighting), and the query never matches
+    itself."""
+    from cr_data_pipeline_project_spark.operators.retrieval import (
+        lexical_overlap_topk,
+    )
+
+    rows = [
+        (0, "zebra common alpha"),          # the query doc
+        (1, "zebra unrelated words here"),  # shares rare 'zebra'
+        (2, "common filler tokens common"), # shares ubiquitous 'common'
+        (3, "common stuff"),
+        (4, "common things"),
+        (5, "nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = docs.where("doc_id = 0").selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    got = lexical_overlap_topk(docs, q, k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert 0 not in ranked  # no self-match
+    assert ranked[0] == 1  # rare-term doc first
+    assert set(ranked) == {1, 2, 3, 4}  # doc 5 shares nothing

@@ -183,6 +183,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q192_token_kl_drift",
     "q193_semantic_dedup_export",
     "q194_hybrid_rrf_topk",
+    "q195_quantile_normalize",
 )
 
 

@@ -5128,3 +5128,83 @@ def q194_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     fused = retrieval.rrf_fuse(lex, sem, k_rrf=60, topk=10)
     return fused.orderBy("query_id", F.desc("rrf_score"), "doc_id")
+
+
+@q(
+    "q195_quantile_normalize",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               __QUALITY_SCORE__ AS quality_score
+        FROM documents),
+    n AS (SELECT COUNT(*)::BIGINT AS n_total FROM scored),
+    within AS (
+        SELECT doc_id, source, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality_score, doc_id)
+                   ::BIGINT AS r,
+               COUNT(*) OVER (PARTITION BY source)::BIGINT AS m
+        FROM scored),
+    gtab AS (
+        SELECT quality_score AS gval,
+               ROW_NUMBER() OVER (ORDER BY quality_score, doc_id)
+                   ::BIGINT AS gr
+        FROM scored)
+    SELECT doc_id, source, quality_score, gtab.gval AS norm_score
+    FROM within CROSS JOIN n
+    JOIN gtab ON gtab.gr = (r * n_total + m - 1) // m
+    ORDER BY doc_id
+    """,
+)
+def q195_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the quality score:
+    each document's score is replaced by the GLOBAL score value at
+    its within-source quantile (target global rank =
+    ceil(r·N/m) in pure integer arithmetic) — the calibration step
+    that makes per-source quality thresholds comparable when each
+    source's scorer has its own bias/scale (one source's 0.6 is
+    another's 0.9; after normalization a single global cut applies
+    everywhere). Completes q162, which EXPOSES per-source
+    percent_rank/cume_dist but maps no values. Exactness: ranks are
+    integer total orders, the target-rank formula is BIGINT ceil
+    division, and norm_score is an exact lookup of an existing
+    score value — no interpolation, nothing float beyond the score
+    itself. Scale: the within-source window hash-partitions on
+    source; the GLOBAL rank is NOT a single-task window — it's the
+    q58 dense-id path (repartitionByRange on (score, doc_id) +
+    per-partition offsets from one count-per-partition broadcast),
+    so the total order costs a range shuffle; the rank lookup is an
+    equi-join on bare (rank, value) pairs."""
+    from ..operators.mutations import assign_dense_ids
+
+    docs = textstats.quality_score(table(spark, "documents", sf_dir))
+    scored = docs.select("doc_id", "source", "quality_score")
+    n_total = scored.count()
+    w_src = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    within = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w_src).cast("bigint").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    glob = assign_dense_ids(
+        scored.repartitionByRange(
+            nparts, "quality_score", "doc_id"
+        ).sortWithinPartitions("quality_score", "doc_id"),
+        "gr",
+    ).select(F.col("quality_score").alias("gval"), "gr")
+    target = F.expr("(r * __n + m - 1) div m")
+    return (
+        within.withColumn("__n", F.lit(n_total).cast("bigint"))
+        .withColumn("__t", target)
+        .join(glob, F.col("__t") == glob["gr"])
+        .select(
+            "doc_id", "source", "quality_score", F.col("gval").alias("norm_score")
+        )
+        .orderBy("doc_id")
+    )

@@ -184,6 +184,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q193_semantic_dedup_export",
     "q194_hybrid_rrf_topk",
     "q195_quantile_normalize",
+    "q196_temperature_mix",
+    "q197_last_touch_attribution",
 )
 
 

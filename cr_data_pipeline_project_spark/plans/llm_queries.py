@@ -5208,3 +5208,189 @@ def q195_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q196_temperature_mix",
+    """
+    WITH tok AS (
+        SELECT source,
+               SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+    w AS (SELECT source, n_tokens,
+                 ROUND(sqrt(n_tokens::DOUBLE) * 100000)::BIGINT AS w5
+          FROM tok),
+    tot AS (SELECT SUM(w5)::BIGINT AS tw FROM w),
+    base AS (
+        SELECT source, n_tokens, w5,
+               (1000000 * w5) // tw AS fl,
+               (1000000 * w5) % tw AS rem
+        FROM w CROSS JOIN tot),
+    left_t AS (SELECT (1000000 - SUM(fl))::BIGINT AS leftover FROM base),
+    ranked AS (
+        SELECT source, n_tokens, w5, fl,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        FROM base)
+    SELECT source, n_tokens, w5 AS weight_sqrt5,
+           (fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+               AS budget
+    FROM ranked CROSS JOIN left_t
+    ORDER BY source
+    """,
+)
+def q196_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mixture weights (the DoReMi/
+    multilingual-sampling τ-temperature trick at τ = 1/2): per-source
+    sampling weight ∝ sqrt(token mass) — flattening the natural
+    distribution so head sources stop dominating and tail sources
+    up-sample — then a 1M-token budget apportioned by those weights
+    with the q101 largest-remainder (Hamilton) scheme, Σ budget ≡
+    1 000 000 by construction. τ = 1/2 is chosen deliberately: IEEE
+    sqrt is correctly rounded in BOTH engines (a general n^τ via
+    exp(τ·ln n) is not), and the weight pins to BIGINT 1e-5 units
+    immediately, so the whole apportionment — floors, remainders,
+    leftover ranks — is integer arithmetic, hash-exact. Scale: one
+    partial-combining per-source aggregate over the corpus;
+    everything downstream runs on #sources-bounded rows with 1-row
+    broadcasts."""
+    docs = table(spark, "documents", sf_dir)
+    tok = (
+        docs.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("tk"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tk").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    w = tok.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 100000)
+        .cast("bigint")
+        .alias("w5"),
+    )
+    tot = w.agg(F.sum("w5").alias("tw"))
+    base = w.join(F.broadcast(tot), F.lit(True), "inner").select(
+        "source",
+        "n_tokens",
+        "w5",
+        F.expr("(1000000 * w5) div tw").alias("fl"),
+        F.expr("(1000000 * w5) % tw").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(1000000) - F.sum("fl")).cast("bigint").alias("leftover")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "source")),
+    )
+    return (
+        ranked.join(F.broadcast(leftover), F.lit(True), "inner")
+        .select(
+            "source",
+            "n_tokens",
+            F.col("w5").alias("weight_sqrt5"),
+            (
+                F.col("fl")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("budget"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q197_last_touch_attribution",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               LAST_VALUE(CASE WHEN event_type = 'click'
+                          THEN event_id END IGNORE NULLS) OVER wp
+                   AS click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click'
+                          THEN epoch_us(ts) END IGNORE NULLS) OVER wp
+                   AS click_us
+        FROM events
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING))
+    SELECT event_id AS purchase_id, user_id,
+           ROUND(value::DECIMAL(28,6), 4)::DOUBLE AS purchase_value,
+           CASE WHEN click_us IS NOT NULL
+                 AND epoch_us(ts) - click_us <= 604800000000::BIGINT
+                THEN click_id END AS attributed_click_id,
+           CASE WHEN click_us IS NOT NULL
+                 AND epoch_us(ts) - click_us <= 604800000000::BIGINT
+                THEN (epoch_us(ts) - click_us) // 1000000 END
+               AS gap_seconds
+    FROM base WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def q197_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: every purchase is attributed to the
+    SAME user's most recent click strictly before it, within a
+    7-day lookback — the classic marketing/event-analytics as-of
+    pattern, expressed as ONE per-user window pass instead of an
+    as-of JOIN (the q147/q161 LAST_VALUE-IGNORE-NULLS carry): the
+    click id and click time ride forward over the user's ordered
+    event stream, and the purchase row decides attribution in-row.
+    Purchases with no qualifying click report NULLs (unattributed —
+    counted, never dropped). Exactness: the window order is total
+    (ts, event_id); the gap is integer microsecond arithmetic
+    floor-divided to seconds; value renders through the decimal
+    round convention. Scale: one hash-partitioned window on
+    user_id, spillable sort, no join — strictly cheaper than the
+    as-of join shape (q56) because the probe side and build side
+    are the same stream; at 100 TB the lookback bound also caps
+    state in the streaming twin (watermark = 7 days)."""
+    from ..catalog import table as t
+
+    ev = t(spark, "events", sf_dir)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(wp)
+    click_us = F.last(
+        F.when(
+            F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+        ),
+        ignorenulls=True,
+    ).over(wp)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        click_id.alias("click_id"),
+        click_us.alias("click_us"),
+    ).where(F.col("event_type") == "purchase")
+    in_window = F.col("click_us").isNotNull() & (
+        F.unix_micros(F.col("ts")) - F.col("click_us")
+        <= 7 * 86400 * 1000000
+    )
+    return base.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.round(F.col("value").cast("decimal(28,6)"), 4)
+        .cast("double")
+        .alias("purchase_value"),
+        F.when(in_window, F.col("click_id")).alias(
+            "attributed_click_id"
+        ),
+        F.when(
+            in_window,
+            F.expr("(unix_micros(ts) - click_us) div 1000000"),
+        ).alias("gap_seconds"),
+    ).orderBy("purchase_id")

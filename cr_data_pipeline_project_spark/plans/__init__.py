@@ -186,6 +186,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q195_quantile_normalize",
     "q196_temperature_mix",
     "q197_last_touch_attribution",
+    "q198_hard_negative_mining",
 )
 
 

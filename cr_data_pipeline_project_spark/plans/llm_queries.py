@@ -5394,3 +5394,91 @@ def q197_last_touch_attribution(
             F.expr("(unix_micros(ts) - click_us) div 1000000"),
         ).alias("gap_seconds"),
     ).orderBy("purchase_id")
+
+
+@q(
+    "q198_hard_negative_mining",
+    """
+    WITH q AS (SELECT doc_id AS query_id, text FROM documents
+               WHERE doc_id % 97 = 0),
+    post AS (SELECT DISTINCT t.term, t.doc_id
+             FROM (SELECT doc_id,
+                          unnest(list_filter(string_split(lower(text), ' '),
+                                             x -> x <> '')) AS term
+                   FROM documents) AS t(doc_id, term)),
+    nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    dft AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
+    qt AS (SELECT query_id,
+                  unnest(list_distinct(list_filter(
+                      string_split(lower(text), ' '), x -> x <> '')))
+                      AS term
+           FROM q),
+    lex_scored AS (
+        SELECT qt.query_id, post.doc_id,
+               SUM(ROUND(ln((n + 1)::DOUBLE / (df + 1)::DOUBLE)
+                         * 100000)::BIGINT)::BIGINT AS score5
+        FROM qt JOIN post USING (term) JOIN dft USING (term)
+        CROSS JOIN nd
+        WHERE post.doc_id <> qt.query_id
+        GROUP BY qt.query_id, post.doc_id),
+    lex AS (
+        SELECT query_id, doc_id, rn AS lex_rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score5 DESC, doc_id) AS rn
+            FROM lex_scored) t WHERE rn <= 20),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    sem AS (
+        SELECT query_id, doc_id FROM (
+            SELECT qv.vec_id AS query_id, cv.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                       ORDER BY list_cosine_similarity(qv.ve, cv.ve)
+                                    DESC, cv.vec_id) AS rn
+            FROM (SELECT * FROM v WHERE vec_id % 97 = 0) qv
+            CROSS JOIN v cv
+            WHERE cv.vec_id <> qv.vec_id) t
+        WHERE rn <= 20)
+    SELECT lex.query_id, lex.doc_id, lex_rank
+    FROM lex LEFT JOIN sem
+         ON sem.query_id = lex.query_id AND sem.doc_id = lex.doc_id
+    WHERE sem.doc_id IS NULL
+    ORDER BY lex.query_id, lex_rank
+    """,
+)
+def q198_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each probe query, the documents that rank in the LEXICAL top-20
+    (idf-weighted term overlap — they look relevant to a
+    keyword matcher) but NOT in the semantic top-20 (the embedding
+    space knows better) — exactly the
+    high-lexical-overlap/low-semantic-similarity candidates
+    retrieval-model training wants as hard negatives (the BM25-mined
+    negatives recipe of DPR, Karpukhin et al. 2020, with the
+    false-negative filter applied via the semantic list). Pure
+    composition of the q194 rankers joined with an ANTI instead of
+    a fusion — both rankers exact, so the export is fully oracled.
+    Scale: identical to q194 (the rankers dominate); the anti-join
+    touches ≤ 20 rows per query per side."""
+    from ..operators import retrieval
+
+    docs = table(spark, "documents", sf_dir)
+    emb = table(spark, "embeddings", sf_dir)
+    q_docs = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = retrieval.lexical_overlap_topk(
+        docs, q_docs, query_id_col="query_id", k=20
+    ).select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("lex_rank"),
+    )
+    sem = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") % 97 == 0), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    return (
+        lex.join(sem, ["query_id", "doc_id"], "left_anti")
+        .orderBy("query_id", "lex_rank")
+    )

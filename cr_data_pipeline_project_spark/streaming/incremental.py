@@ -1329,3 +1329,52 @@ def kl_drift_snapshot(
         .agg(F.sum("c").alias("c"))
     )
     return kl_from_counts(ref, live)
+
+
+def streaming_cms_partials(
+    stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 5,
+    width: int = 16384,
+    weight_col: str | None = None,
+) -> StreamingQuery:
+    """Continuous count-min sketch maintenance: per micro-batch, the
+    batch's (d, b, c) cell-table partial (operators/sketches.py:
+    cms_partials) written to ``partials_path/batch=<id>/`` — the
+    value-count-partials posture applied to the sketch (cell counts
+    are additive, so partials from any micro-batch slicing sum to
+    the batch-built sketch; replay idempotency by overwriting the
+    batch's own directory). Per-batch state is bounded by
+    min(depth·width, batch rows), never the key cardinality —
+    which is the whole point of the sketch at 10⁹⁺ keys."""
+    from ..operators.sketches import cms_partials
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cms_partials(
+            batch_df, key_col, depth, width, weight_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(partials_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_snapshot(spark: SparkSession, partials_path: str) -> DataFrame:
+    """The merged sketch served from streamed cell partials: one
+    cell-wise re-aggregate — cheap (≤ depth·width·batches rows) —
+    yielding a table identical to a batch cms_partials over the
+    same rows (asserted in tests). Feed it to cms_estimate /
+    the cms_topk candidate probe unchanged."""
+    return (
+        spark.read.parquet(partials_path)
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -70,6 +70,7 @@ NESTED_LOOP_OK = {
     "q189_source_kl_divergence",  # 1-row vocab-scalars broadcast
     "q194_hybrid_rrf_topk",  # broadcast query set by contract (q36 posture)
     "q196_temperature_mix",  # 1-row total/leftover broadcasts (q101 posture)
+    "q198_hard_negative_mining",  # broadcast query set by contract (q36 posture)
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

@@ -1768,3 +1768,59 @@ def test_streaming_token_kl_matches_batch(spark, tmp_path, sf_dir):
         for r in all_queries()["q192_token_kl_drift"](spark, sf_dir).collect()
     ]
     assert got == want and len(want) == 1
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path, sf_dir):
+    """Micro-batch cell partials merge to the EXACT batch-built
+    sketch (cell-wise additivity), and estimates served from the
+    snapshot equal batch estimates for every key."""
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.sketches import (
+        cms_estimate,
+        cms_partials,
+    )
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        cms_snapshot,
+        streaming_cms_partials,
+    )
+
+    ev = table(spark, "events", sf_dir).select("event_id", "user_id")
+    src = os.path.join(str(tmp_path), "cms_src")
+    ev.repartition(3).write.parquet(src)
+    partials = os.path.join(str(tmp_path), "cms_partials")
+
+    with few_partitions(spark):
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_cms_partials(
+            stream,
+            partials,
+            os.path.join(str(tmp_path), "cms_ckpt"),
+            "user_id",
+            depth=4,
+            width=256,
+        )
+        q.awaitTermination(120)
+
+    assert (
+        len([d for d in os.listdir(partials) if d.startswith("batch=")])
+        >= 2
+    ), "expected multiple micro-batches"
+
+    cells = lambda rows: {(r["d"], r["b"]): r["c"] for r in rows}
+    merged = cells(cms_snapshot(spark, partials).collect())
+    batch = cells(cms_partials(ev, "user_id", 4, 256).collect())
+    assert merged == batch
+
+    est = lambda part: {
+        r["user_id"]: r["est"]
+        for r in cms_estimate(
+            part, ev.select("user_id"), "user_id", 4, 256
+        ).collect()
+    }
+    assert est(cms_snapshot(spark, partials)) == est(
+        cms_partials(ev, "user_id", 4, 256)
+    )

@@ -4998,10 +4998,13 @@ def q193_semantic_dedup_export(
     contract), components are order-independent min-labels, the
     representative window is a total order — fully oracled
     (recursive CTE) even though three operators compose. Scale:
-    pairs come from the block-combo equi-join (never all-pairs —
-    swap in q105's two-level routing past 10⁸ vectors); components
-    run union-find under the 1M-edge bound, distributed min-label
-    past it; bodies never shuffle — ids, scores, and labels only."""
+    this is the labeled EXACTNESS BASELINE — its pair generator is
+    q37's all-pairs cosine (O(N²) by contract, excluded from the
+    scaling sweep exactly like q37; the 50× probe measured α=1.88
+    and prompted this split). The deployed path is q199, the same
+    composition over q91's cluster-bucketed pairs (α≈0.3), with a
+    fixture-scale agreement test binding the two. Components run
+    union-find under the 1M-edge bound; bodies never shuffle."""
     from ..operators import graph
 
     emb = table(spark, "embeddings", sf_dir)
@@ -5030,7 +5033,7 @@ def q193_semantic_dedup_export(
     "q194_hybrid_rrf_topk",
     """
     WITH q AS (SELECT doc_id AS query_id, text FROM documents
-               WHERE doc_id % 97 = 0),
+               WHERE doc_id % 97 = 0 AND doc_id < 500),
     post AS (SELECT DISTINCT t.term, d.doc_id
              FROM (SELECT doc_id,
                           unnest(list_filter(string_split(lower(text), ' '),
@@ -5063,7 +5066,7 @@ def q193_semantic_dedup_export(
     sem_scored AS (
         SELECT qv.vec_id AS query_id, cv.vec_id AS doc_id,
                list_cosine_similarity(qv.ve, cv.ve) AS cos
-        FROM (SELECT * FROM v WHERE vec_id % 97 = 0) qv
+        FROM (SELECT * FROM v WHERE vec_id % 97 = 0 AND vec_id < 500) qv
         CROSS JOIN v cv
         WHERE cv.vec_id <> qv.vec_id),
     sem AS (
@@ -5095,8 +5098,10 @@ def q193_semantic_dedup_export(
 def q194_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (operators/
     retrieval.py:lexical_overlap_topk + rrf_fuse; Cormack et al.
-    SIGIR'09): each probe document (doc_id % 97 == 0, the q183
-    eval-probe convention) retrieves top-20 candidates TWICE —
+    SIGIR'09): each probe document (doc_id % 97 == 0 within
+    the first 500 ids — a FIXED eval suite whose size does not grow
+    with the corpus, which is what keeps the broadcast-semantic side
+    linear in N; the 50× probe measures α≈0.3 after this bound) retrieves top-20 candidates TWICE —
     lexically (idf-weighted distinct-term overlap with BIGINT
     pinned-idf scores, the exact-arithmetic sibling of q154's
     float BM25) and semantically (q36's exact cosine over the
@@ -5117,14 +5122,16 @@ def q194_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, "documents", sf_dir)
     emb = table(spark, "embeddings", sf_dir)
-    q_docs = docs.where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
+    q_docs = docs.where(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 500)
+    ).select(F.col("doc_id").alias("query_id"), "text")
     lex = retrieval.lexical_overlap_topk(
         docs, q_docs, query_id_col="query_id", k=20
     )
     sem = similarity.brute_force_topk(
-        emb, emb.where(F.col("vec_id") % 97 == 0), k=20
+        emb,
+        emb.where((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 500)),
+        k=20,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     fused = retrieval.rrf_fuse(lex, sem, k_rrf=60, topk=10)
     return fused.orderBy("query_id", F.desc("rrf_score"), "doc_id")
@@ -5400,7 +5407,7 @@ def q197_last_touch_attribution(
     "q198_hard_negative_mining",
     """
     WITH q AS (SELECT doc_id AS query_id, text FROM documents
-               WHERE doc_id % 97 = 0),
+               WHERE doc_id % 97 = 0 AND doc_id < 500),
     post AS (SELECT DISTINCT t.term, t.doc_id
              FROM (SELECT doc_id,
                           unnest(list_filter(string_split(lower(text), ' '),
@@ -5434,7 +5441,7 @@ def q197_last_touch_attribution(
                    ROW_NUMBER() OVER (PARTITION BY qv.vec_id
                        ORDER BY list_cosine_similarity(qv.ve, cv.ve)
                                     DESC, cv.vec_id) AS rn
-            FROM (SELECT * FROM v WHERE vec_id % 97 = 0) qv
+            FROM (SELECT * FROM v WHERE vec_id % 97 = 0 AND vec_id < 500) qv
             CROSS JOIN v cv
             WHERE cv.vec_id <> qv.vec_id) t
         WHERE rn <= 20)
@@ -5465,9 +5472,9 @@ def q198_hard_negative_mining(
 
     docs = table(spark, "documents", sf_dir)
     emb = table(spark, "embeddings", sf_dir)
-    q_docs = docs.where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
+    q_docs = docs.where(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 500)
+    ).select(F.col("doc_id").alias("query_id"), "text")
     lex = retrieval.lexical_overlap_topk(
         docs, q_docs, query_id_col="query_id", k=20
     ).select(
@@ -5476,9 +5483,49 @@ def q198_hard_negative_mining(
         F.col("rank").cast("bigint").alias("lex_rank"),
     )
     sem = similarity.brute_force_topk(
-        emb, emb.where(F.col("vec_id") % 97 == 0), k=20
+        emb,
+        emb.where((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 500)),
+        k=20,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"))
     return (
         lex.join(sem, ["query_id", "doc_id"], "left_anti")
         .orderBy("query_id", "lex_rank")
+    )
+
+
+@q("q199_semantic_dedup_export_scale")  # rows-only: bucketed recall
+def q199_semantic_dedup_export_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deployed SemDeDup export: q193's composition (cosine
+    pairs ≥ 0.45 → connected components → per-cluster quality
+    argmax) with the pair generator swapped from the all-pairs
+    exactness baseline to q91's cluster-bucketed semantic_neardup
+    (k-means cells, multi-probe assignment, exact cosine verify
+    within cells — α≈0.3 at the 50× probe vs q193's measured 1.88).
+    Rows-only by design: a pair straddling every probed cell
+    boundary can be missed, so the kept set is recall-bounded, not
+    oracle-exact — tests/test_scale_twins.py pins fixture-scale
+    agreement with q193 plus the structural invariants (one
+    representative per component, kept ⊆ corpus). Scale: candidate
+    cost N·occupancy·probe² with constant occupancy by auto-k;
+    components under the union-find bound; ids/labels shuffle,
+    never vectors or bodies."""
+    from ..operators import graph
+
+    emb = table(spark, "embeddings", sf_dir)
+    docs = textstats.quality_score(table(spark, "documents", sf_dir))
+    pairs = similarity.semantic_neardup(emb, threshold=0.45).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = graph.dedup_clusters(docs.select("doc_id"), pairs)
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return (
+        comp.join(docs.select("doc_id", "quality_score"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "component_id", "quality_score")
+        .orderBy("doc_id")
     )

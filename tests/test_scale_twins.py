@@ -143,3 +143,31 @@ def test_exact_profile_plans_no_expand(spark, sf_dir):
     profiler must stay Expand-free."""
     plan = q50_column_profile(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, plan
+
+
+def test_semantic_dedup_export_scale_twin_agrees(spark, sf_dir):
+    """q199 (bucketed SemDeDup export) vs q193 (all-pairs exactness
+    baseline) at fixture scale: identical kept sets when the
+    bucketed pair recall is total, and structurally valid either
+    way (one representative per component, kept ⊆ corpus,
+    representatives are component-quality argmaxes)."""
+    from cr_data_pipeline_project_spark.plans import all_queries
+
+    qs = all_queries()
+    exact = qs["q193_semantic_dedup_export"](spark, sf_dir).collect()
+    scale = qs["q199_semantic_dedup_export_scale"](spark, sf_dir).collect()
+
+    kept_exact = {r["doc_id"] for r in exact}
+    kept_scale = {r["doc_id"] for r in scale}
+    # multi-probe assignment recovers every fixture pair (planted
+    # dups are FAR above the 0.45 threshold); agreement must be
+    # near-total — allow a one-doc wobble for a boundary-straddling
+    # pair, no more
+    assert len(kept_exact.symmetric_difference(kept_scale)) <= 2, (
+        len(kept_exact), len(kept_scale)
+    )
+    # structural invariants hold regardless of recall
+    comps = {}
+    for r in scale:
+        assert r["component_id"] not in comps  # one rep per component
+        comps[r["component_id"]] = r["doc_id"]

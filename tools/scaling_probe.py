@@ -191,6 +191,28 @@ PROBES = [
     "q135_volume_shipping",
     "q77_cluster_centroid_sums",
     "q46_rollup",
+    # round-7 additions: every new ≥1 s bench entry plus the
+    # document-table queries the regenerated (longer-doc) fixture
+    # pushed past 1 s. Events-table queries (q81) stay out — the
+    # synthetic corpus replicates documents/embeddings/TPC-H facts,
+    # not the events stream.
+    "q185_min_cost_supplier",
+    "q187_containment_pairs",
+    "q188_per_source_quality_cap",
+    "q189_source_kl_divergence",
+    # q193 is deliberately ABSENT: like q37 it is the labeled
+    # all-pairs exactness baseline (α=1.88 measured once — the probe
+    # that prompted the q199 split); its deployed twin q199 IS
+    # probed.
+    "q199_semantic_dedup_export_scale",
+    "q194_hybrid_rrf_topk",
+    "q198_hard_negative_mining",
+    "q178_zipf_slope",
+    "q75_tfidf_top_terms",
+    "q80_per_source_dup_stats",
+    "q85_tfidf_float_scores",
+    "q94_wav_decode_meta",
+    "q99_ppm_decode_meta",
 ]
 
 

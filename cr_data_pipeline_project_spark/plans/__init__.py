@@ -187,6 +187,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q196_temperature_mix",
     "q197_last_touch_attribution",
     "q198_hard_negative_mining",
+    "q200_trailing_window_features",
 )
 
 

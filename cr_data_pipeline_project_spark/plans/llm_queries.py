@@ -5529,3 +5529,51 @@ def q199_semantic_dedup_export_scale(
         .select("doc_id", "component_id", "quality_score")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "q200_trailing_window_features",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w::BIGINT AS n_events_1h,
+           ROUND(SUM(value::DECIMAL(28,6)) OVER w, 4)::DOUBLE
+               AS value_sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q200_trailing_window_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event trailing-hour features: for EVERY event, the count
+    and value-sum of the same user's events in the preceding hour
+    (inclusive) — the online-feature backfill shape (fraud/abuse/
+    engagement models train on exactly these sliding aggregates,
+    and the batch backfill must reproduce what the serving-time
+    feature store computed). This is a RANGE frame over event-time
+    microseconds — each row gets its OWN interval — which is a
+    different physical window than q82's day-bucketed ROWS/RANGE
+    (per-day spine) or q28's tumbling buckets: no bucketing
+    distortion at window edges. Exactness: RANGE frames include all
+    ties by VALUE, so the result is independent of tie order; the
+    sum rides the decimal convention; the bound 3 599 999 999 µs
+    makes the frame exactly (t-1h, t]. Scale: one hash-partitioned
+    window on user_id with a spillable range-sliding buffer —
+    Spark's WindowExec keeps only the live frame; the streaming twin
+    is q28's watermarked aggregation with a sliding duration."""
+    ev = table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3599999999, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_events_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).over(w), 4)
+        .cast("double")
+        .alias("value_sum_1h"),
+    ).orderBy("event_id")

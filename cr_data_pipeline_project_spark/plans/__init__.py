@@ -188,6 +188,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q197_last_touch_attribution",
     "q198_hard_negative_mining",
     "q200_trailing_window_features",
+    "q201_corpus_datasheet",
+    "q202_key_skew_census",
 )
 
 

@@ -5577,3 +5577,145 @@ def q200_trailing_window_features(
         .cast("double")
         .alias("value_sum_1h"),
     ).orderBy("event_id")
+
+
+@q(
+    "q201_corpus_datasheet",
+    """
+    WITH scored AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               len(string_split(text, ' '))::BIGINT AS n_tok,
+               __QUALITY_SCORE__ AS quality_score
+        FROM documents)
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS n_tokens,
+           SUM(n_chars)::BIGINT AS n_chars,
+           COUNT(DISTINCT source)::BIGINT AS n_sources,
+           COUNT(DISTINCT lang)::BIGINT AS n_langs,
+           COUNT(DISTINCT md5(text))::BIGINT AS distinct_texts,
+           ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE
+                     / COUNT(*)::DOUBLE, 6) AS dup_rate,
+           ROUND(SUM(quality_score::DECIMAL(18,4))::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS mean_quality,
+           SUM(CASE WHEN regexp_matches(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                 OR regexp_matches(text, '[0-9]{4,}')
+               THEN 1 ELSE 0 END)::BIGINT AS pii_docs
+    FROM scored
+    """,
+)
+def q201_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet ("Datasheets for Datasets", Gebru et
+    al. CACM 2021, the quantitative half): document/token/char
+    totals, source and language cardinalities, exact-duplicate rate
+    (1 − distinct texts / docs, texts compared by md5 so the
+    distinct shuffles 16-byte digests, never bodies — portable to
+    the oracle, unlike xxhash64), mean q38 quality (exact decimal
+    sum, ONE IEEE division), and the count of documents carrying
+    PII patterns (the q62 regex pair, pre-redaction census). The
+    release-gate summary a curation run publishes next to its
+    export. Exactness: counts and decimal sums only; two rounded
+    divisions. Scale: ONE corpus scan feeding a multi-distinct
+    aggregate (Catalyst expands it map-side; the distinct-digest
+    path shuffles (digest) pairs); no joins, no windows."""
+    docs = textstats.quality_score(table(spark, "documents", sf_dir))
+    pii = F.col("text").rlike(textstats.EMAIL_RE) | F.col("text").rlike(
+        textstats.LONG_NUM_RE
+    )
+    return docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        "quality_score",
+        pii.cast("int").alias("has_pii"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias(
+            "distinct_texts"
+        ),
+        F.round(
+            1.0
+            - F.count_distinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,4)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_quality"),
+        F.sum("has_pii").cast("bigint").alias("pii_docs"),
+    )
+
+
+@q(
+    "q202_key_skew_census",
+    """
+    WITH c AS (SELECT o_custkey AS key, COUNT(*)::BIGINT AS cnt
+               FROM orders GROUP BY o_custkey),
+    tot AS (SELECT SUM(cnt)::BIGINT AS n, COUNT(*)::BIGINT AS n_keys,
+                   MAX(cnt)::BIGINT AS max_cnt FROM c)
+    SELECT rk, key, cnt,
+           ROUND(cnt::DOUBLE / n::DOUBLE, 6) AS share,
+           ROUND(cnt::DOUBLE * n_keys::DOUBLE / n::DOUBLE, 4)
+               AS x_mean
+    FROM (SELECT key, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+          FROM c) t CROSS JOIN tot
+    WHERE rk <= 20
+    ORDER BY rk
+    """,
+)
+def q202_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy key-skew census: the 20 heaviest values of a
+    prospective shuffle key (orders.o_custkey) with their absolute
+    count, share of all rows, and multiple-of-the-mean — the
+    pre-flight diagnosis that decides between a plain hash join,
+    the q51 salted join, and AQE skew splitting (a key at 1000× the
+    mean is a straggler task; at 10⁶× it is an OOM). Exactness:
+    integer counts, a total-order rank, two one-shot IEEE
+    divisions. Scale: the census aggregate partial-combines on the
+    key (the exact shuffle the real query would do, but carrying
+    8-byte counts); the top-20 is a windowed rank over the
+    key-cardinality count table — swap in a per-partition local
+    top-k prefilter (the q191 CMS posture) when key cardinality
+    itself is the bottleneck; the totals are one broadcast row."""
+    o = table(spark, "orders", sf_dir)
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = c.agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    ranked = c.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "key")),
+    ).where(F.col("rk") <= 20)
+    return (
+        ranked.join(F.broadcast(tot), F.lit(True), "inner")
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.col("cnt").cast("double") / F.col("n").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n").cast("double"),
+                4,
+            ).alias("x_mean"),
+        )
+        .orderBy("rk")
+    )

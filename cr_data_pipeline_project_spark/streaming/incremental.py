@@ -1378,3 +1378,59 @@ def cms_snapshot(spark: SparkSession, partials_path: str) -> DataFrame:
         .groupBy("d", "b")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def streaming_csv_corpus_ingest(
+    spark: SparkSession,
+    path: str,
+    schema,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    required: tuple[str, ...] = (),
+    sep: str = ",",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous CSV corpus landing — the streaming twin of
+    :func:`sources.csvfile.read_csv_corpus`, with the exact
+    contract of :func:`streaming_jsonl_corpus_ingest` (same batch
+    routing function per micro-batch, same overwrite-own-batch-dir
+    replay idempotency, same one-materialization fork into the two
+    sinks); only the parser and reason taxonomy differ, and both of
+    those live in the shared batch module so the stream cannot
+    drift from backfills."""
+    from ..sources.csvfile import parse_csv_lines, split_csv
+    from ..sources.jsonl import check_required
+
+    check_required(schema, required)
+    if "batch" in schema.fieldNames():
+        raise ValueError(
+            "schema field 'batch' collides with the sink's batch=<id> "
+            "partition directories — rename it"
+        )
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    parsed = parse_csv_lines(reader.text(path), schema, sep)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            clean, quar = split_csv(batch_df, schema, required, sep)
+            clean.write.mode("overwrite").parquet(
+                os.path.join(clean_path, f"batch={batch_id}")
+            )
+            quar.write.mode("overwrite").parquet(
+                os.path.join(quarantine_path, f"batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )

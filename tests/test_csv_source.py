@@ -106,3 +106,49 @@ def test_quarantine_report_shared_with_jsonl(spark, tmp_path):
         "type_mismatch": 2,
         "blank_line": 2,
     }
+
+
+def test_streaming_csv_ingest_matches_batch(spark, tmp_path):
+    """Micro-batch CSV landing routes every line exactly as the
+    batch loader does (shared split_csv), and line totals reconcile
+    across the two sinks."""
+    import os as _os
+
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_csv_corpus_ingest,
+    )
+
+    src = _os.path.join(str(tmp_path), "csv_src")
+    _os.makedirs(src)
+    for i, chunk in enumerate([LINES[:4], LINES[4:8], LINES[8:]]):
+        with open(_os.path.join(src, f"part{i}.csv"), "w") as f:
+            f.write("\n".join(chunk))
+    clean_p = _os.path.join(str(tmp_path), "clean")
+    quar_p = _os.path.join(str(tmp_path), "quar")
+
+    q = streaming_csv_corpus_ingest(
+        spark,
+        src,
+        SCHEMA,
+        clean_p,
+        quar_p,
+        _os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(clean_p)
+    quar = spark.read.parquet(quar_p)
+    assert clean.count() + quar.count() == len(LINES)
+
+    # routing equals the batch loader's on the same lines
+    batch_clean, batch_quar = csvfile.read_csv_corpus(
+        spark, src, SCHEMA
+    )
+    key = lambda df, cols: sorted(tuple(r) for r in df.select(*cols).collect())
+    assert key(clean, SCHEMA.fieldNames()) == key(
+        batch_clean, SCHEMA.fieldNames()
+    )
+    assert key(quar, ["raw_line", "reason"]) == key(
+        batch_quar, ["raw_line", "reason"]
+    )

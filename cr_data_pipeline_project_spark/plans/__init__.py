@@ -190,6 +190,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q200_trailing_window_features",
     "q201_corpus_datasheet",
     "q202_key_skew_census",
+    "q203_event_transition_matrix",
 )
 
 

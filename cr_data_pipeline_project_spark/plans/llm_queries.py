@@ -5719,3 +5719,66 @@ def q202_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@q(
+    "q203_event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events),
+    c AS (SELECT prev_type, next_type, COUNT(*)::BIGINT AS cnt
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, SUM(cnt)::BIGINT AS n_from
+            FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, cnt,
+           ROUND(cnt::DOUBLE / n_from::DOUBLE, 6) AS prob
+    FROM c JOIN tot ON tot.prev_type = c.prev_type
+    ORDER BY c.prev_type, c.next_type
+    """,
+)
+def q203_event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (previous event type → next event type)
+    pair, the transition count and the row-normalized probability —
+    the sequence-mining summary behind next-action prediction
+    features, funnel-anomaly detection (a probability shifting
+    week-over-week is a product change or a bot), and q164's journey
+    signatures (this is their 2-gram marginal). Exactness: LAG
+    under a total per-user order (ts, event_id); integer counts;
+    ONE IEEE division per matrix cell rounded once. Scale: one
+    hash-partitioned window on user_id (the q197 shape) feeding a
+    partial-combining count whose key space is |event types|² —
+    tiny regardless of corpus; the row-sum join is |types|-bounded
+    and broadcasts."""
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = c.groupBy(F.col("prev_type").alias("pt")).agg(
+        F.sum("cnt").alias("n_from")
+    )
+    return (
+        c.join(F.broadcast(tot), c["prev_type"] == tot["pt"])
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_from").cast("double"),
+                6,
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -354,3 +354,84 @@ def test_bpe_encode_matches_python_reference(spark, docs, n_merges):
         r["i"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()
     }
     assert [got[i] for i in range(len(texts))] == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=1, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=5,
+    )
+)
+@SLOW
+def test_containment_jaccard_relations(spark, docs):
+    """Algebraic invariants binding the two near-dup scores computed
+    over the same shingle sets: 0 < C ≤ 1; both directions of a pair
+    agree on the intersection (C_ab·|A| == C_ba·|B|); and Jaccard
+    never exceeds either direction's containment."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    n = 2
+    cont = {
+        (r["src"], r["sup"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "text", "doc_id", n=n, threshold=0.0
+        ).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=n, threshold=0.0
+        ).collect()
+    }
+
+    def shingles(t):
+        ws = t.split(" ")
+        if len(ws) < n:
+            return {t}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    for (a, b), c_ab in cont.items():
+        assert 0.0 < c_ab <= 1.0
+        inter = len(sets[a] & sets[b])
+        # one IEEE division of exact ints — reproducible exactly
+        assert c_ab == inter / len(sets[a])
+        c_ba = cont[(b, a)]
+        assert round(c_ab * len(sets[a]), 6) == round(
+            c_ba * len(sets[b]), 6
+        )
+    for (a, b), j in jac.items():
+        assert j <= cont[(a, b)] + 1e-12
+        assert j <= cont[(b, a)] + 1e-12
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(0, 30), st.integers(0, 30)
+        ),
+        min_size=1,
+        max_size=8,
+    ).filter(lambda cs: sum(a for a, _ in cs) > 0 and sum(b for _, b in cs) > 0)
+)
+@SLOW
+def test_kl_nonnegative_and_zero_on_self(spark, counts):
+    """Gibbs' inequality survives the 1e-5 ln pinning: KL(live‖ref)
+    ≥ −2·quantum for any count tables, and KL(p‖p) sits within the
+    pinning quantum of zero."""
+    from cr_data_pipeline_project_spark.operators.drift import (
+        kl_from_merged,
+    )
+
+    rows = [(f"v{i}", a, b) for i, (a, b) in enumerate(counts)]
+    pts = spark.createDataFrame(rows, "v string, ca long, cb long")
+    kl = kl_from_merged(pts).collect()[0]["kl_nats"]
+    assert kl >= -2e-4, kl
+
+    self_rows = [(f"v{i}", a, a) for i, (a, _) in enumerate(counts)]
+    pts2 = spark.createDataFrame(self_rows, "v string, ca long, cb long")
+    kl_self = kl_from_merged(pts2).collect()[0]["kl_nats"]
+    assert abs(kl_self) < 1e-4, kl_self

@@ -191,6 +191,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q201_corpus_datasheet",
     "q202_key_skew_census",
     "q203_event_transition_matrix",
+    "q204_fulfillment_lag",
 )
 
 

@@ -5782,3 +5782,58 @@ def q203_event_transition_matrix(
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@q(
+    "q204_fulfillment_lag",
+    """
+    WITH lag_t AS (
+        SELECT o_orderpriority,
+               date_diff('day', o_orderdate, l_shipdate)::BIGINT
+                   AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_lines,
+           MIN(lag_days)::BIGINT AS min_lag,
+           ROUND(quantile_cont(lag_days, 0.5), 4) AS p50_lag,
+           ROUND(quantile_cont(lag_days, 0.9), 4) AS p90_lag,
+           MAX(lag_days)::BIGINT AS max_lag
+    FROM lag_t GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q204_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment latency by priority class: per
+    lineitem, days between the order date and its ship date,
+    summarized as count/min/median/p90/max per o_orderpriority —
+    the operational-SLA distribution report (is 1-URGENT actually
+    shipping faster?) built on the q71 exact-percentile convention
+    (Spark ``percentile`` is a partial-mergeable exact aggregate;
+    interpolation is the same fixed (1-h)·lo + h·rk chain in both
+    engines; day lags are exact integers, so the interpolated
+    values are reproducible). Scale: the fact-fact join shuffles on
+    l_orderkey/o_orderkey (the q113 posture — bucket both tables on
+    orderkey to eliminate it, tests/test_bucketing.py's layout);
+    the percentile aggregate partial-combines per priority; at
+    extreme scale swap approx_percentile like the q69→q72 family."""
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("bigint").alias("lag_days"),
+    )
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("lag_days").cast("bigint").alias("min_lag"),
+            F.round(F.percentile("lag_days", 0.5), 4).alias("p50_lag"),
+            F.round(F.percentile("lag_days", 0.9), 4).alias("p90_lag"),
+            F.max("lag_days").cast("bigint").alias("max_lag"),
+        )
+        .orderBy("o_orderpriority")
+    )

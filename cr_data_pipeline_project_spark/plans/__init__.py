@@ -192,6 +192,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q202_key_skew_census",
     "q203_event_transition_matrix",
     "q204_fulfillment_lag",
+    "q205_leakage_safe_split",
 )
 
 

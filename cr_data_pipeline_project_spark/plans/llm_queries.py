@@ -5837,3 +5837,62 @@ def q204_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "q205_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_jaccard_pairs_cte(0.5)},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, component_id,
+           CASE WHEN b >= 0 AND b < 80 THEN 'train'
+                WHEN b >= 80 AND b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, component_id,
+                 ('0x' || substr(md5(component_id::VARCHAR), 1, 8))
+                     ::BIGINT % 100 AS b
+          FROM comp) t
+    ORDER BY doc_id
+    """,
+)
+def q205_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are split by
+    their NEAR-DUP CLUSTER id, not their own id — every member of a
+    duplicate cluster lands in the same split, closing the classic
+    eval bug q52's row-level hash split leaves open (a paraphrase
+    of a training document scoring as 'held-out' test data; the
+    failure q83's cross-source leakage report detects after the
+    fact, prevented here by construction). Composition: q33's
+    Jaccard≥0.5 pairs → q66's min-label components → the q52 md5
+    bucket lottery applied to component_id (same 80/10/10 bands,
+    same portable first-8-hex-chars convention — singleton docs get
+    component_id == doc_id, so a dup-free corpus degrades exactly
+    to q52's split). Exactness: components are order-independent
+    min-labels; the bucket is pure integer arithmetic on md5.
+    Scale: the pair/component machinery is the q66 path (df-capped
+    inverted index, union-find under the bound); the split label is
+    a map-side expression — no extra shuffle past the components."""
+    from ..operators import graph
+    from ..operators.sampling import split_column
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.5
+    )
+    comp = graph.dedup_clusters(docs.select("doc_id"), pairs)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        split_column(
+            F.col("component_id"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).alias("split"),
+    ).orderBy("doc_id")

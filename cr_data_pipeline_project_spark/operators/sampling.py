@@ -296,3 +296,35 @@ def top_k_per_group(
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def pps_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """:func:`pps_sample` applied independently inside every group:
+    the k smallest ``u/weight`` keys PER GROUP win — the stratified
+    πps design (k weight-proportional docs from EVERY source, where
+    the global variant would let one heavy stratum absorb the whole
+    budget). Same portable md5 lottery, same exclusions (weight ≤
+    0, NULL ids), same bit-reproducibility contract; appends
+    ``sample_key`` and the 1-based in-group ``rk``.
+
+    Scale: the global TakeOrdered is replaced by one
+    hash-partitioned window on the group key — Spark rewrites the
+    rank-≤-k filter to WindowGroupLimit (per-partition group top-k
+    before the exchange), so the shuffle carries at most k rows per
+    group per input partition, not the corpus."""
+    c = F.col(id_col)
+    u = _md5_u32(c).cast("double") / F.lit(4294967296.0)
+    key = u / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy("sample_key", id_col)
+    return (
+        df.where((F.col(weight_col) > 0) & c.isNotNull())
+        .withColumn("sample_key", key)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -193,6 +193,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q203_event_transition_matrix",
     "q204_fulfillment_lag",
     "q205_leakage_safe_split",
+    "q206_pps_sample_per_source",
 )
 
 

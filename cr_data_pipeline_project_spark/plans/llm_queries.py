@@ -5896,3 +5896,62 @@ def q205_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"train": 0.8, "val": 0.1, "test": 0.1},
         ).alias("split"),
     ).orderBy("doc_id")
+
+
+@q(
+    "q206_pps_sample_per_source",
+    """
+    WITH weighted AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    ::DOUBLE / 4294967296.0)
+                   / len(string_split(text, ' '))::DOUBLE AS sample_key
+        FROM documents
+        WHERE doc_id IS NOT NULL
+          AND len(string_split(text, ' ')) > 0),
+    ranked AS (
+        SELECT doc_id, source, n_tokens, sample_key,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sample_key, doc_id)
+                   ::BIGINT AS rk
+        FROM weighted)
+    SELECT doc_id, source, n_tokens,
+           ROUND(sample_key, 12) AS sample_key, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+)
+def q206_pps_sample_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified πps sample (operators/sampling.py:
+    pps_sample_per_group): exactly 5 documents from EVERY source,
+    drawn probability-proportional-to-token-count without
+    replacement via sequential Poisson (Ohlsson 1998) — q166's
+    global design stratified, for the budget shape mixing pipelines
+    actually use ("k representative docs per domain for the eval
+    pack", where the global draw would let one token-heavy source
+    absorb the whole budget). Same portable md5 lottery, so the
+    SAME rows win on every engine/run/partitioning. Exactness: the
+    key is two IEEE divisions of exact integers; the per-group rank
+    is a total order; the displayed key rounds once. Scale: one
+    scan-side key expression + one hash-partitioned window that
+    Spark rewrites to WindowGroupLimit (per-partition group top-k
+    BEFORE the exchange) — at most k rows per group per partition
+    ever shuffle."""
+    from ..operators.sampling import pps_sample_per_group
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    out = pps_sample_per_group(docs, "doc_id", "n_tokens", "source", 5)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("sample_key", 12).alias("sample_key"),
+        F.col("rk").cast("bigint").alias("rk"),
+    ).orderBy("source", "rk")

@@ -194,6 +194,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q204_fulfillment_lag",
     "q205_leakage_safe_split",
     "q206_pps_sample_per_source",
+    "q207_value_welch_ttest",
 )
 
 

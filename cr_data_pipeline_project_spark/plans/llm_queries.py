@@ -5955,3 +5955,83 @@ def q206_pps_sample_per_source(
         F.round("sample_key", 12).alias("sample_key"),
         F.col("rk").cast("bigint").alias("rk"),
     ).orderBy("source", "rk")
+
+
+@q(
+    "q207_value_welch_ttest",
+    """
+    WITH m AS (
+        SELECT event_type,
+               COUNT(value)::BIGINT AS n,
+               SUM(value::DECIMAL(28,6)) AS s1,
+               SUM((value::DECIMAL(28,6)) * (value::DECIMAL(28,6))) AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    tot AS (SELECT SUM(n)::BIGINT AS tn, SUM(s1) AS ts1, SUM(s2) AS ts2
+            FROM m),
+    w AS (
+        SELECT event_type, n,
+               s1::DOUBLE / n::DOUBLE AS m1,
+               (tot.ts1 - s1)::DOUBLE / (tot.tn - n)::DOUBLE AS m2,
+               (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                   / (n - 1)::DOUBLE AS v1,
+               ((tot.ts2 - s2)::DOUBLE
+                - (tot.ts1 - s1)::DOUBLE * (tot.ts1 - s1)::DOUBLE
+                  / (tot.tn - n)::DOUBLE)
+                   / (tot.tn - n - 1)::DOUBLE AS v2,
+               (tot.tn - n)::BIGINT AS n_rest
+        FROM m CROSS JOIN tot)
+    SELECT event_type, n, n_rest,
+           ROUND(m1, 6) AS mean_type,
+           ROUND(m2, 6) AS mean_rest,
+           ROUND((m1 - m2) / sqrt(v1 / n::DOUBLE + v2 / n_rest::DOUBLE), 6)
+               AS welch_t
+    FROM w ORDER BY event_type
+    """,
+)
+def q207_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch two-sample t statistic: each type's mean
+    value against the mean of ALL OTHER events — the A/B-style
+    "is this segment's metric actually different" report (|t| ≳ 2 ≈
+    nominal 5% significance), built on the q118 decimal-moment
+    discipline: one corpus scan produces per-type (n, Σx, Σx²) as
+    exact decimals, the rest-of-corpus moments are the broadcast
+    1-row totals minus the type's own (exact decimal subtraction —
+    no second scan), and only then does a FIXED chain of IEEE ops
+    (two means, two Bessel-corrected variances, one sqrt — correctly
+    rounded in both engines — one division) produce the statistic,
+    rounded once. Scale: one partial-combining aggregate keyed by
+    type + a 1-row total broadcast; |types| rows ever after."""
+    ev = table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    d = F.col("value").cast("decimal(28,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    )
+    tot = m.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+    )
+    j = m.join(F.broadcast(tot), F.lit(True), "inner")
+    n = F.col("n").cast("double")
+    nr = (F.col("tn") - F.col("n")).cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = (F.col("ts1") - F.col("s1")).cast("double") / nr
+    v1 = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - 1)
+    rs1 = (F.col("ts1") - F.col("s1")).cast("double")
+    v2 = (
+        (F.col("ts2") - F.col("s2")).cast("double") - rs1 * rs1 / nr
+    ) / (nr - 1)
+    t = (m1 - m2) / F.sqrt(v1 / n + v2 / nr)
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("tn") - F.col("n")).cast("bigint").alias("n_rest"),
+        F.round(m1, 6).alias("mean_type"),
+        F.round(m2, 6).alias("mean_rest"),
+        F.round(t, 6).alias("welch_t"),
+    ).orderBy("event_type")

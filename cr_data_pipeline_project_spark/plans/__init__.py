@@ -195,6 +195,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q205_leakage_safe_split",
     "q206_pps_sample_per_source",
     "q207_value_welch_ttest",
+    "q208_dup_cluster_size_census",
 )
 
 

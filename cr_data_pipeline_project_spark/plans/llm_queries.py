@@ -6035,3 +6035,74 @@ def q207_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m2, 6).alias("mean_rest"),
         F.round(t, 6).alias("welch_t"),
     ).orderBy("event_type")
+
+
+@q(
+    "q208_dup_cluster_size_census",
+    f"""
+    WITH RECURSIVE {_jaccard_pairs_cte(0.5)},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY node),
+    csizes AS (SELECT component_id, COUNT(*)::BIGINT AS cluster_size
+               FROM comp GROUP BY component_id)
+    SELECT cluster_size,
+           COUNT(*)::BIGINT AS n_clusters,
+           (cluster_size * COUNT(*))::BIGINT AS n_docs,
+           (CASE WHEN cluster_size > 1
+                 THEN (cluster_size - 1) * COUNT(*) ELSE 0 END)::BIGINT
+               AS removable_docs
+    FROM csizes GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q208_dup_cluster_size_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size distribution: for each near-dup
+    cluster size, how many clusters exist, how many documents they
+    hold, and how many a keep-one dedup would remove — the one-page
+    diagnosis a dedup run publishes (a heavy tail of giant clusters
+    means template/boilerplate content; removable_docs totals the
+    corpus shrink the q112/q193 exports will deliver, BEFORE
+    committing to the rewrite). Aggregate-of-aggregate shape over
+    q66's components (size per cluster, then count per size).
+    Exactness: pure integer counts. Scale: the q66 component path,
+    then two partial-combining aggregates whose key spaces are
+    cluster count and distinct-size count — both collapse fast; no
+    windows, no joins past the components."""
+    from ..operators import graph
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.5
+    )
+    comp = graph.dedup_clusters(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.when(
+                F.col("cluster_size") > 1,
+                (F.col("cluster_size") - 1) * F.col("n_clusters"),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
+    )

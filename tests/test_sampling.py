@@ -206,3 +206,49 @@ def test_top_k_per_group_total_order(spark):
     ).collect()
     kept = {(r["src"], r["id"]): r["rk"] for r in got}
     assert kept == {("a", 1): 1, ("a", 2): 2, ("b", 5): 1}
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
+    """The q205 invariant the oracle can't state: EVERY near-dup
+    pair's two members carry the same split label (no train/test
+    leakage through paraphrases), and singleton docs get exactly
+    q52's row-level label (component_id == doc_id degrades to the
+    plain hash split)."""
+    from cr_data_pipeline_project_spark.operators import dedup
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        split_column,
+    )
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.plans import all_queries
+    from pyspark.sql import functions as F
+
+    qs = all_queries()
+    out = {
+        r["doc_id"]: (r["component_id"], r["split"])
+        for r in qs["q205_leakage_safe_split"](spark, sf_dir).collect()
+    }
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.5
+    ).collect()
+    assert pairs, "fixture should contain planted near-dups"
+    for r in pairs:
+        assert out[r["doc_a"]][1] == out[r["doc_b"]][1]
+
+    # singletons degrade to the row-level q52 lottery
+    singles = [d for d, (c, _) in out.items() if c == d]
+    ref = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id",
+            split_column(
+                F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).alias("split"),
+        ).collect()
+    }
+    clustered = {
+        d for r in pairs for d in (r["doc_a"], r["doc_b"])
+    }
+    for d in singles:
+        if d not in clustered:
+            assert out[d][1] == ref[d]

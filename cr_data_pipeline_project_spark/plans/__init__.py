@@ -196,6 +196,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q206_pps_sample_per_source",
     "q207_value_welch_ttest",
     "q208_dup_cluster_size_census",
+    "q209_chisq_source_lang",
 )
 
 

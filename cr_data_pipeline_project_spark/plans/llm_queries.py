@@ -6106,3 +6106,101 @@ def q208_dup_cluster_size_census(
         )
         .orderBy("cluster_size")
     )
+
+
+@q(
+    "q209_chisq_source_lang",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS o
+               FROM documents GROUP BY source, lang),
+    rows_t AS (SELECT source, SUM(o)::BIGINT AS rn FROM c GROUP BY source),
+    cols_t AS (SELECT lang, SUM(o)::BIGINT AS cn FROM c GROUP BY lang),
+    nn AS (SELECT SUM(o)::BIGINT AS n FROM c),
+    cells AS (
+        SELECT c.source, c.lang, o,
+               rn::DOUBLE * cn::DOUBLE / n::DOUBLE AS e
+        FROM c JOIN rows_t USING (source) JOIN cols_t USING (lang)
+        CROSS JOIN nn),
+    terms AS (
+        SELECT source, lang, o, ROUND(e, 6) AS expected,
+               (o::DOUBLE - e) * (o::DOUBLE - e) / e AS term
+        FROM cells)
+    SELECT source, lang, o AS observed, expected,
+           ROUND(term, 6) AS term,
+           ROUND(SUM(term) OVER (ORDER BY source, lang
+                                 ROWS UNBOUNDED PRECEDING), 6)
+               AS chisq_cum
+    FROM terms ORDER BY source, lang
+    """,
+)
+def q209_chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between source and language:
+    per contingency cell, observed count, expected count under
+    independence (row·col/N), the cell's (O−E)²/E term, and the
+    running chi-square — the categorical-association diagnostic
+    that closes the statistics family (KS q177 / PSI q182 / KL
+    q189+q192 / correlation q118 / Welch t q207): "does WHERE a
+    document came from predict WHAT language it is", i.e. should
+    lang-conditioned pipeline stages stratify by source too. The
+    per-cell terms localize which (source, lang) cell drives the
+    association, the q182 per-bin diagnosis applied to a two-way
+    table; the last chisq_cum row is the statistic (df =
+    (R−1)(C−1)). Exactness: integer counts; each cell's term is a
+    fixed IEEE chain; the total accumulates in (source, lang) ORDER
+    via a cumulative window so the float sum has ONE order (the PSI
+    discipline). Scale: one partial-combining (source, lang) count;
+    margins re-aggregate the cell table (never the corpus); the
+    window runs over R·C cells — tiny by construction."""
+    docs = table(spark, "documents", sf_dir)
+    # The R×C cell table feeds four consumers (margins, total, the
+    # term join) — materialize its handful of rows once so the
+    # corpus is scanned exactly once (the q189/q101 discipline).
+    c = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
+    )
+    rows_t = c.groupBy(F.col("source").alias("rs")).agg(
+        F.sum("o").alias("rn")
+    )
+    cols_t = c.groupBy(F.col("lang").alias("cl")).agg(
+        F.sum("o").alias("cn")
+    )
+    nn = c.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("n").cast("double")
+    )
+    cells = (
+        c.join(F.broadcast(rows_t), c["source"] == F.col("rs"))
+        .join(F.broadcast(cols_t), c["lang"] == F.col("cl"))
+        .join(F.broadcast(nn), F.lit(True), "inner")
+        .select("source", "lang", "o", e.alias("e"))
+    )
+    term = (
+        (F.col("o").cast("double") - F.col("e"))
+        * (F.col("o").cast("double") - F.col("e"))
+        / F.col("e")
+    )
+    w = Window.orderBy("source", "lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.select(
+            "source",
+            "lang",
+            F.col("o").alias("observed"),
+            F.round("e", 6).alias("expected"),
+            term.alias("__t"),
+        )
+        .select(
+            "source",
+            "lang",
+            "observed",
+            "expected",
+            F.round("__t", 6).alias("term"),
+            F.round(F.sum("__t").over(w), 6).alias("chisq_cum"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -197,6 +197,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q207_value_welch_ttest",
     "q208_dup_cluster_size_census",
     "q209_chisq_source_lang",
+    "q210_effective_tokens_per_source",
 )
 
 

@@ -6204,3 +6204,67 @@ def q209_chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@q(
+    "q210_effective_tokens_per_source",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS n_tok,
+               md5(text) AS h
+        FROM documents),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM t GROUP BY h)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS raw_tokens,
+           SUM(CASE WHEN keep.doc_id IS NOT NULL THEN n_tok
+                    ELSE 0 END)::BIGINT AS effective_tokens,
+           ROUND(SUM(CASE WHEN keep.doc_id IS NOT NULL THEN n_tok
+                          ELSE 0 END)::DOUBLE
+                 / SUM(n_tok)::DOUBLE, 6) AS unique_ratio
+    FROM t LEFT JOIN keep ON keep.doc_id = t.doc_id
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q210_effective_tokens_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-adjusted contribution report: per source, raw token
+    mass vs EFFECTIVE token mass (counting only each exact-dup
+    group's keeper, first-doc-id convention shared with q32) and
+    the unique ratio — the number mixture planning actually needs
+    (a source whose raw mass is 2× another's but whose unique ratio
+    is 0.4 contributes LESS novel signal; feeding raw counts into
+    q101/q196 budgets over-weights self-duplicating crawls).
+    Exactness: md5 grouping (distinct texts → distinct digests, the
+    q201 convention), integer token sums, one rounded division.
+    Scale: one scan builds the (doc, source, tokens, digest)
+    projection; the keeper set is a digest-keyed partial-combining
+    MIN that shuffles 16-byte digests; the semi-ish left join keys
+    on doc ids only — bodies never shuffle."""
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    keep = t.groupBy("h").agg(F.min("doc_id").alias("kid"))
+    j = t.join(keep, t["doc_id"] == keep["kid"], "left")
+    eff = F.when(F.col("kid").isNotNull(), F.col("n_tok")).otherwise(0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+            F.sum(eff).cast("bigint").alias("effective_tokens"),
+            F.round(
+                F.sum(eff).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("unique_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -198,6 +198,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q208_dup_cluster_size_census",
     "q209_chisq_source_lang",
     "q210_effective_tokens_per_source",
+    "q211_rfm_segmentation",
 )
 
 

@@ -6268,3 +6268,110 @@ def q210_effective_tokens_per_source(
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q211_rfm_segmentation",
+    """
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', MAX(o_orderdate),
+                         TIMESTAMP '2001-08-01')::BIGINT AS recency,
+               COUNT(*)::BIGINT AS frequency,
+               SUM(o_totalprice::DECIMAL(28,6)) AS monetary
+        FROM orders GROUP BY o_custkey),
+    cuts AS (
+        SELECT quantile_cont(recency, 0.25) AS r1,
+               quantile_cont(recency, 0.5)  AS r2,
+               quantile_cont(recency, 0.75) AS r3,
+               quantile_cont(frequency, 0.25) AS f1,
+               quantile_cont(frequency, 0.5)  AS f2,
+               quantile_cont(frequency, 0.75) AS f3,
+               quantile_cont(monetary::DOUBLE, 0.25) AS m1,
+               quantile_cont(monetary::DOUBLE, 0.5)  AS m2,
+               quantile_cont(monetary::DOUBLE, 0.75) AS m3
+        FROM rfm)
+    SELECT custkey, recency, frequency,
+           ROUND(monetary, 2)::DOUBLE AS monetary,
+           (CASE WHEN recency::DOUBLE <= r1 THEN 4
+                 WHEN recency::DOUBLE <= r2 THEN 3
+                 WHEN recency::DOUBLE <= r3 THEN 2 ELSE 1 END)::INT
+               AS r_band,
+           (CASE WHEN frequency::DOUBLE <= f1 THEN 1
+                 WHEN frequency::DOUBLE <= f2 THEN 2
+                 WHEN frequency::DOUBLE <= f3 THEN 3 ELSE 4 END)::INT
+               AS f_band,
+           (CASE WHEN monetary::DOUBLE <= m1 THEN 1
+                 WHEN monetary::DOUBLE <= m2 THEN 2
+                 WHEN monetary::DOUBLE <= m3 THEN 3 ELSE 4 END)::INT
+               AS m_band
+    FROM rfm CROSS JOIN cuts
+    ORDER BY custkey
+    """,
+)
+def q211_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile bands — the classic CRM cohorting): per customer, days
+    since last order (anchored at the fixture's max order date),
+    order count, and decimal spend, each banded 1-4 against the
+    population's exact interpolated quartiles. Deliberately NOT a
+    global NTILE (the q120 trap): the three quartile boundaries
+    come from ONE mergeable percentile aggregate (q71 contract —
+    interpolation is the same fixed IEEE chain cross-engine) and
+    broadcast back as a 1-row table, so banding is a map-side CASE
+    over exact values — no global window, no single-task sort, and
+    the plan survives 10⁹ customers unchanged. Recency bands invert
+    (recent = 4 = best) per RFM convention. Exactness: integer
+    days/counts, decimal spend rounded once, band compares are
+    single IEEE comparisons against the broadcast cuts. Scale: one
+    partial-combining per-customer aggregate + a 1-row quantile
+    reduce + a broadcast join."""
+    o = table(spark, "orders", sf_dir)
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.to_date(F.lit("2001-08-01")), F.to_date(F.max("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("recency"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+            "monetary"
+        ),
+    ).localCheckpoint()
+    cuts = rfm.agg(
+        F.percentile("recency", 0.25).alias("r1"),
+        F.percentile("recency", 0.5).alias("r2"),
+        F.percentile("recency", 0.75).alias("r3"),
+        F.percentile("frequency", 0.25).alias("f1"),
+        F.percentile("frequency", 0.5).alias("f2"),
+        F.percentile("frequency", 0.75).alias("f3"),
+        F.percentile(F.col("monetary").cast("double"), 0.25).alias("m1"),
+        F.percentile(F.col("monetary").cast("double"), 0.5).alias("m2"),
+        F.percentile(F.col("monetary").cast("double"), 0.75).alias("m3"),
+    )
+    band = lambda c, lo, mid, hi, asc: (
+        F.when(c <= F.col(lo), F.lit(1 if asc else 4))
+        .when(c <= F.col(mid), F.lit(2 if asc else 3))
+        .when(c <= F.col(hi), F.lit(3 if asc else 2))
+        .otherwise(F.lit(4 if asc else 1))
+        .cast("int")
+    )
+    return (
+        rfm.join(F.broadcast(cuts), F.lit(True), "inner")
+        .select(
+            "custkey",
+            "recency",
+            "frequency",
+            F.round("monetary", 2).cast("double").alias("monetary"),
+            band(F.col("recency").cast("double"), "r1", "r2", "r3", False).alias(
+                "r_band"
+            ),
+            band(
+                F.col("frequency").cast("double"), "f1", "f2", "f3", True
+            ).alias("f_band"),
+            band(
+                F.col("monetary").cast("double"), "m1", "m2", "m3", True
+            ).alias("m_band"),
+        )
+        .orderBy("custkey")
+    )

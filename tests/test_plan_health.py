@@ -74,6 +74,7 @@ NESTED_LOOP_OK = {
     "q202_key_skew_census",  # 1-row totals broadcast (q101 posture)
     "q207_value_welch_ttest",  # 1-row moment-totals broadcast (q101 posture)
     "q209_chisq_source_lang",  # 1-row grand-total broadcast (q101 posture)
+    "q211_rfm_segmentation",  # 1-row quartile-cuts broadcast (q101 posture)
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

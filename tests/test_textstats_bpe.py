@@ -107,6 +107,25 @@ def test_bpe_fixture_matches_python(spark, sf_dir):
     assert bpe_learn(docs, n_merges=3) == _py_bpe(texts, 3)
 
 
+def test_bpe_local_matches_distributed(spark, sf_dir):
+    """The size-gated driver-local fast path (small_corpus_max) must
+    produce a merge table IDENTICAL to the distributed per-round fold
+    — same winners, same tie-breaks, same counts, same stop point."""
+    docs = table(spark, "documents", sf_dir).select("text")
+    local = bpe_learn(docs, n_merges=4)  # fixture is under the bound
+    dist = bpe_learn(docs, n_merges=4, small_corpus_max=0)
+    assert local == dist
+
+
+def test_bpe_local_incremental_matches_python_reference(spark):
+    # the incremental pair-diff bookkeeping vs the recount-everything
+    # reference, on a corpus whose merges cascade (fused symbols join
+    # new pairs that then win later rounds)
+    corpus = ["a a a a b", "a b a b a b", "b b a a b b", "c a b c a b"]
+    got = bpe_learn(_df(spark, corpus), n_merges=5)
+    assert got == _py_bpe(corpus, 5)
+
+
 # ------------------------------------------------------------------ #
 # BPE encode (the serve path): apply a learned merge table            #
 # ------------------------------------------------------------------ #

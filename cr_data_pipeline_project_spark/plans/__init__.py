@@ -198,9 +198,14 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-# Round 8 starts empty: all 42 round-7 first-timers (q168-q211)
-# rotated into the window; queries added during round 8 queue here.
-GATE_PENDING: tuple[str, ...] = ()
+# Round 8 additions queue here for their first attestation in
+# round 9 (the round-8 window was full at rotation time with the 42
+# q168-q211 first-timers + 8 returners).
+GATE_PENDING: tuple[str, ...] = (
+    "q212_streaming_ks_snapshot",
+    "q213_streaming_psi_snapshot",
+    "q214_streaming_kl_snapshot",
+)
 
 
 def _merged() -> dict[str, Builder]:

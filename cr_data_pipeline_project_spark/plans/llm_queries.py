@@ -6413,3 +6413,150 @@ def q211_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ------------------------------------------------------------------ #
+# round-8 additions: driver-visible batch-equivalence for the         #
+# streaming drift snapshots (round-7 verdict #6) — the KS/PSI/KL      #
+# monitors were test-only; these queries run the REAL streaming       #
+# producer (micro-batched value-count partials) once per process and  #
+# serve each kernel's snapshot, oracled against the same SQL as the   #
+# batch twins q177/q182/q192: the partials-lake invariant (snapshot   #
+# == batch recompute under any micro-batch slicing) becomes a driver- #
+# attested row instead of a pytest assertion.                         #
+# ------------------------------------------------------------------ #
+
+_DRIFT_PARTIALS_PATHS: dict[str, dict[str, str]] = {}
+
+
+def _materialized_drift_partials(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, str]:
+    """Build (once per process per sf_dir) the drift monitor's lake:
+    frozen src0 reference count tables + STREAMED src1 value-count
+    partials, produced by the actual Structured Streaming writer
+    (streaming/incremental.py:streaming_value_count_partials) over a
+    3-file source with maxFilesPerTrigger=1 — ≥2 real micro-batches,
+    so the snapshot queries attest merge-across-batches, not a
+    degenerate single-batch copy."""
+    import os
+    import tempfile
+
+    from ..operators.drift import value_counts
+    from ..streaming.incremental import streaming_value_count_partials
+
+    paths = _DRIFT_PARTIALS_PATHS.get(sf_dir)
+    if paths is not None:
+        return paths
+    base = tempfile.mkdtemp(prefix="sg_drift_lake_")
+    docs = table(spark, "documents", sf_dir)
+    word = lambda df: df.select(  # noqa: E731
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    paths = {
+        "ref_nchars": os.path.join(base, "ref_nchars"),
+        "ref_words": os.path.join(base, "ref_words"),
+        "live_nchars": os.path.join(base, "live_nchars"),
+        "live_words": os.path.join(base, "live_words"),
+    }
+    value_counts(
+        docs.where(F.col("source") == "src0"), "n_chars"
+    ).write.parquet(paths["ref_nchars"])
+    value_counts(
+        word(docs.where(F.col("source") == "src0")), "w"
+    ).write.parquet(paths["ref_words"])
+
+    src = os.path.join(base, "src1_rows")
+    docs.where(F.col("source") == "src1").select(
+        "doc_id", "n_chars", "text"
+    ).repartition(3).write.parquet(src)
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("doc_id long, n_chars long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_value_count_partials(
+        stream().select("doc_id", "n_chars"),
+        paths["live_nchars"],
+        os.path.join(base, "ckpt_nchars"),
+        "n_chars",
+    ).awaitTermination(300)
+    streaming_value_count_partials(
+        word(stream()),
+        paths["live_words"],
+        os.path.join(base, "ckpt_words"),
+        "w",
+    ).awaitTermination(300)
+    _DRIFT_PARTIALS_PATHS[sf_dir] = paths
+    return paths
+
+
+def _ref_oracle(name: str) -> str:
+    from . import reference_queries
+
+    return reference_queries.ORACLES[name]
+
+
+@q("q212_streaming_ks_snapshot", None)
+def q212_streaming_ks_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The KS drift verdict SERVED FROM STREAMED PARTIALS
+    (streaming/incremental.py:ks_drift_snapshot): sum the live (v, c)
+    micro-batch partials the streaming writer landed and run the same
+    exact-BIGINT KS kernel as batch q177 against the frozen src0
+    reference counts. Oracled with q177's SQL verbatim — the driver
+    row attests that a monitor maintained incrementally by Structured
+    Streaming answers bit-identically to a from-scratch batch
+    recompute (the partials-lake invariant). Scale: partials are
+    per-batch value-count tables (bounded by value cardinality);
+    serve = one partial-combining sum + the vocab-bounded KS window."""
+    from ..streaming.incremental import ks_drift_snapshot
+
+    paths = _materialized_drift_partials(spark, sf_dir)
+    return ks_drift_snapshot(
+        spark, paths["ref_nchars"], paths["live_nchars"]
+    )
+
+
+@q("q213_streaming_psi_snapshot", None)
+def q213_streaming_psi_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PSI drift verdict served from the SAME streamed partials lake
+    as q212 (one lake, every statistic —
+    streaming/incremental.py:psi_drift_snapshot), oracled with q182's
+    SQL verbatim: reference-decile bins from the frozen src0 counts,
+    add-1 smoothing, pinned-integer ln, per-bin rows with cumulative
+    PSI. Same driver-visible invariant as q212 for the binned
+    kernel."""
+    from ..streaming.incremental import psi_drift_snapshot
+
+    paths = _materialized_drift_partials(spark, sf_dir)
+    return psi_drift_snapshot(
+        spark, paths["ref_nchars"], paths["live_nchars"], bins=10
+    )
+
+
+@q("q214_streaming_kl_snapshot", None)
+def q214_streaming_kl_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-distribution KL(live ‖ ref) served from streamed WORD
+    count partials (streaming/incremental.py:kl_drift_snapshot — the
+    producer streams explode(split(text)) through the same
+    value-count writer), oracled with q192's SQL verbatim. Completes
+    the driver-attested triad: KS (q212) for ordered values, PSI
+    (q213) for binned numerics, KL (this) for token/categorical
+    distributions, all off one partials lake."""
+    from ..streaming.incremental import kl_drift_snapshot
+
+    paths = _materialized_drift_partials(spark, sf_dir)
+    return kl_drift_snapshot(
+        spark, paths["ref_words"], paths["live_words"]
+    )
+
+
+ORACLES["q212_streaming_ks_snapshot"] = _ref_oracle("q177_ks_source_drift")
+ORACLES["q213_streaming_psi_snapshot"] = _ref_oracle("q182_psi_drift")
+ORACLES["q214_streaming_kl_snapshot"] = ORACLES["q192_token_kl_drift"]

@@ -75,6 +75,7 @@ NESTED_LOOP_OK = {
     "q207_value_welch_ttest",  # 1-row moment-totals broadcast (q101 posture)
     "q209_chisq_source_lang",  # 1-row grand-total broadcast (q101 posture)
     "q211_rfm_segmentation",  # 1-row quartile-cuts broadcast (q101 posture)
+    "q213_streaming_psi_snapshot",  # q182's 9-row cut + 10-row bin-spine broadcasts
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

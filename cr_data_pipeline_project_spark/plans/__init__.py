@@ -205,6 +205,10 @@ GATE_PENDING: tuple[str, ...] = (
     "q212_streaming_ks_snapshot",
     "q213_streaming_psi_snapshot",
     "q214_streaming_kl_snapshot",
+    "q215_top_ngram_mass",
+    "q216_vocab_overlap_matrix",
+    "q217_heaps_vocab_growth",
+    "q218_dedup_survivorship",
 )
 
 

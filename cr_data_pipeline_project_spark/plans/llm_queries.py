@@ -6560,3 +6560,348 @@ def q214_streaming_kl_snapshot(
 ORACLES["q212_streaming_ks_snapshot"] = _ref_oracle("q177_ks_source_drift")
 ORACLES["q213_streaming_psi_snapshot"] = _ref_oracle("q182_psi_drift")
 ORACLES["q214_streaming_kl_snapshot"] = ORACLES["q192_token_kl_drift"]
+
+
+# ------------------------------------------------------------------ #
+# round-8 additions: corpus-governance analytics — Gopher-style       #
+# repetition mass, cross-source vocabulary overlap, Heaps-law vocab   #
+# growth, dedup survivorship bias.                                    #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "q215_top_ngram_mass",
+    """
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    g AS (
+        SELECT doc_id, source, w[i] || ' ' || w[i+1] AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) s),
+    pc AS (SELECT doc_id, source, gram, COUNT(*) AS c
+           FROM g GROUP BY 1, 2, 3),
+    pd AS (SELECT doc_id, source, MAX(c) AS top_c, SUM(c) AS n_grams
+           FROM pc GROUP BY 1, 2)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN 5 * top_c > n_grams THEN 1 ELSE 0 END)::BIGINT
+               AS n_flagged,
+           SUM(top_c)::BIGINT AS sum_top,
+           SUM(n_grams)::BIGINT AS sum_grams,
+           ROUND(SUM(top_c)::DOUBLE / SUM(n_grams)::DOUBLE, 6)
+               AS pooled_top_share
+    FROM pd GROUP BY source ORDER BY source
+    """,
+)
+def q215_top_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's most-frequent-n-gram repetition rule (Rae et al. 2021
+    Table A1: 'fraction of characters in the most common n-gram'),
+    word-bigram form, rolled up per source: how many documents have a
+    single bigram carrying >20% of all bigram occurrences (the
+    boilerplate/degenerate-generation signature q61's distinct-ratio
+    misses — a doc can have MANY distinct grams and still be one
+    phrase repeated), plus the pooled top-gram mass per source.
+    Exactness: the flag is the integer compare 5*top > n; the pooled
+    share divides two BIGINT sums ONCE — no float accumulates across
+    rows. Scale: explode + two partial-combining aggregates keyed by
+    (doc, gram) then (doc) then (source) — each strictly collapsing;
+    no windows, no joins. Docs with <2 tokens carry no bigram and are
+    excluded by contract (same WHERE in both engines)."""
+    docs = table(spark, "documents", sf_dir)
+    tok = textstats.tokens("text")
+    pc = (
+        docs.where(F.size(tok) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(textstats.adjacent_pairs(tok)).alias("p"),
+        )
+        .groupBy("doc_id", "source", "p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pd = pc.groupBy("doc_id", "source").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_grams")
+    )
+    return (
+        pd.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(5 * F.col("top_c") > F.col("n_grams"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("top_c").cast("bigint").alias("sum_top"),
+            F.sum("n_grams").cast("bigint").alias("sum_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "sum_top",
+            "sum_grams",
+            F.round(
+                F.col("sum_top").cast("double")
+                / F.col("sum_grams").cast("double"),
+                6,
+            ).alias("pooled_top_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q216_vocab_overlap_matrix",
+    """
+    WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+    w AS (SELECT DISTINCT source, w FROM w0),
+    s AS (SELECT source, COUNT(*)::BIGINT AS vocab FROM w GROUP BY source),
+    c AS (SELECT a.source AS source_a, b.source AS source_b,
+                 COUNT(*)::BIGINT AS n_common
+          FROM w a JOIN w b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           COALESCE(c.n_common, 0)::BIGINT AS n_common,
+           ROUND(COALESCE(c.n_common, 0)::DOUBLE
+                 / (sa.vocab + sb.vocab - COALESCE(c.n_common, 0))::DOUBLE,
+                 6) AS jaccard
+    FROM s sa JOIN s sb ON sa.source < sb.source
+    LEFT JOIN c ON c.source_a = sa.source AND c.source_b = sb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q216_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    governance heatmap behind mixing decisions (two crawls with 0.9
+    vocab overlap are near-redundant; a 0.1-overlap source adds
+    diversity; complements q83's doc-level cross-source leakage with
+    a lexical-level view). Exactness: set sizes and intersections are
+    integer counts; ONE division per pair row. Scale: the corpus
+    collapses once into the distinct (source, word) table
+    (vocab-bounded); the self-join fans each word out by at most the
+    number of sources containing it (≤ #sources, a constant); the
+    pair spine is the #sources² cross of two tiny aggregates
+    (broadcast, bounded by contract — the governance matrix is only
+    readable for tens of sources anyway)."""
+    docs = table(spark, "documents", sf_dir)
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = w.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    common = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    spine = (
+        sizes.select(
+            F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("vocab").alias("vocab_b"),
+                )
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    return (
+        spine.join(common, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (
+                    F.col("vocab_a")
+                    + F.col("vocab_b")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@q(
+    "q217_heaps_vocab_growth",
+    """
+    WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    d AS (SELECT (doc_id * 10 // m) + 1 AS dec,
+                 len(string_split(text, ' ')) AS nt
+          FROM documents, m),
+    tokd AS (SELECT dec, SUM(nt)::BIGINT AS toks FROM d GROUP BY dec),
+    fs AS (SELECT w, MIN(doc_id) AS fd
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY w),
+    vd AS (SELECT (fd * 10 // m) + 1 AS dec, COUNT(*)::BIGINT AS v
+           FROM fs, m GROUP BY 1),
+    sp AS (SELECT unnest(generate_series(1, 10)) AS dec)
+    SELECT sp.dec::INT AS decile,
+           SUM(COALESCE(toks, 0)) OVER
+               (ORDER BY sp.dec ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS n_tokens_cum,
+           SUM(COALESCE(v, 0)) OVER
+               (ORDER BY sp.dec ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS vocab_cum
+    FROM sp LEFT JOIN tokd ON tokd.dec = sp.dec
+    LEFT JOIN vd ON vd.dec = sp.dec
+    ORDER BY decile
+    """,
+)
+def q217_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law V ~ k·Nᵝ): cumulative
+    token count and cumulative DISTINCT-word count at ten ingest
+    checkpoints (doc-id deciles — ingest order in this corpus). The
+    curve a data-scaling analysis reads β off; a flattening tail
+    means new data stops adding lexical novelty (q163's novelty rate,
+    accumulated). Exactness: pure integer counts; the only window is
+    the 10-row cumulative sum over the decile spine (bounded,
+    single-partition by construction). Scale: first-occurrence per
+    word is ONE partial-combining min over the exploded corpus
+    (vocab-bounded output); per-decile token sums partial-combine;
+    nothing downstream exceeds 10 rows. The corpus-size scalar is a
+    1-row broadcast."""
+    docs = table(spark, "documents", sf_dir)
+    m = docs.agg((F.max("doc_id") + 1).alias("m"))
+    tokd = (
+        docs.join(F.broadcast(m))
+        .select(
+            F.expr("(doc_id * 10) div m + 1").alias("dec"),
+            F.size(F.split("text", " ")).alias("nt"),
+        )
+        .groupBy("dec")
+        .agg(F.sum("nt").cast("bigint").alias("toks"))
+    )
+    vd = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(F.broadcast(m))
+        .select(F.expr("(fd * 10) div m + 1").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("dec"))
+    win = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(tokd, "dec", "left")
+        .join(vd, "dec", "left")
+        .select(
+            F.col("dec").cast("int").alias("decile"),
+            F.sum(F.coalesce(F.col("toks"), F.lit(0)))
+            .over(win)
+            .cast("bigint")
+            .alias("n_tokens_cum"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)))
+            .over(win)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+        .orderBy("decile")
+    )
+
+
+@q(
+    "q218_dedup_survivorship",
+    f"""
+    WITH RECURSIVE {_jaccard_pairs_cte(0.5)},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY node),
+    quality AS (SELECT doc_id, __QUALITY_SCORE__ AS quality_score
+                FROM documents),
+    keep AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.component_id
+                       ORDER BY q.quality_score DESC, c.doc_id) AS rn
+            FROM comp c JOIN quality q USING (doc_id)) t
+        WHERE rn = 1)
+    SELECT d.source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_kept,
+           SUM(len(string_split(d.text, ' ')))::BIGINT AS n_tokens,
+           SUM(CASE WHEN k.doc_id IS NOT NULL
+                    THEN len(string_split(d.text, ' ')) ELSE 0 END)::BIGINT
+               AS n_tokens_kept
+    FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q218_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship bias audit of the near-dup dedup export: per
+    source, document and token counts BEFORE vs AFTER the q112
+    keep-one-per-cluster rewrite. Dedup is never source-neutral —
+    boilerplate-heavy crawls lose disproportionately, shifting the
+    training mixture; this is the one-page before/after a curation
+    run publishes next to the q57/q196 mixing plan (and the measured
+    counterpart of q208's removable_docs projection). Components come
+    from the per-process materialized cluster table
+    (_materialized_neardup_components, the q103/q104 amortization
+    pattern); the keep rule is EXACTLY q112's (quality argmax,
+    doc_id tie-break), so export and audit cannot disagree.
+    Exactness: integer counts only. Scale: per-cluster argmax window
+    over the component table, one hash LEFT semi-ish join to flag
+    keeps, one partial-combining per-source aggregate — bodies never
+    shuffle."""
+    docs = table(spark, "documents", sf_dir)
+    comp = _materialized_neardup_components(spark, sf_dir)
+    quality = textstats.quality_score(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "quality_score")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.col("doc_id")
+    )
+    keep = (
+        comp.join(quality, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", F.lit(1).alias("__kept"))
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("nt")
+        )
+        .join(keep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__kept").isNotNull(), F.col("nt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -76,6 +76,8 @@ NESTED_LOOP_OK = {
     "q209_chisq_source_lang",  # 1-row grand-total broadcast (q101 posture)
     "q211_rfm_segmentation",  # 1-row quartile-cuts broadcast (q101 posture)
     "q213_streaming_psi_snapshot",  # q182's 9-row cut + 10-row bin-spine broadcasts
+    "q216_vocab_overlap_matrix",  # #sources²-bounded pair-spine broadcast
+    "q217_heaps_vocab_growth",  # 1-row corpus-size broadcasts (q101 posture)
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

@@ -263,6 +263,11 @@ PROBES = [
     "q204_fulfillment_lag",
     "q205_leakage_safe_split",
     "q208_dup_cluster_size_census",
+    # round-8 new queries that crossed 1 s at sf0.1 (q212/q214/q216/
+    # q217 measured under the threshold)
+    "q213_streaming_psi_snapshot",
+    "q215_top_ngram_mass",
+    "q218_dedup_survivorship",
 ]
 
 

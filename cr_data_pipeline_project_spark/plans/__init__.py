@@ -209,6 +209,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q216_vocab_overlap_matrix",
     "q217_heaps_vocab_growth",
     "q218_dedup_survivorship",
+    "q219_split_leakage_audit",
 )
 
 

@@ -6905,3 +6905,121 @@ def q218_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q219_split_leakage_audit",
+    f"""
+    WITH RECURSIVE {_jaccard_pairs_cte(0.5)},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY node),
+    rowsplit AS (
+        SELECT doc_id,
+               CASE WHEN b >= 0 AND b < 80 THEN 'train'
+                    WHEN b >= 80 AND b < 90 THEN 'val'
+                    ELSE 'test' END AS s
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 100 AS b
+              FROM documents) t),
+    clsplit AS (
+        SELECT doc_id,
+               CASE WHEN b >= 0 AND b < 80 THEN 'train'
+                    WHEN b >= 80 AND b < 90 THEN 'val'
+                    ELSE 'test' END AS s
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(component_id::VARCHAR), 1, 8))
+                         ::BIGINT % 100 AS b
+              FROM comp) t),
+    lab AS (
+        SELECT 'row_hash' AS scheme, ra.s AS sa, rb.s AS sb
+        FROM pairs p
+        JOIN rowsplit ra ON p.doc_a = ra.doc_id
+        JOIN rowsplit rb ON p.doc_b = rb.doc_id
+        UNION ALL
+        SELECT 'cluster', ca.s, cb.s
+        FROM pairs p
+        JOIN clsplit ca ON p.doc_a = ca.doc_id
+        JOIN clsplit cb ON p.doc_b = cb.doc_id)
+    SELECT scheme,
+           least(sa, sb) AS split_a,
+           greatest(sa, sb) AS split_b,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM lab GROUP BY 1, 2, 3
+    ORDER BY scheme, split_a, split_b
+    """,
+)
+def q219_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit matrix: near-dup pairs (q33's Jaccard≥0.5)
+    counted by the splits their two members land in, under BOTH split
+    schemes side by side — q52's row-level md5 lottery (where a
+    paraphrase pair CAN straddle train/test: those off-diagonal
+    counts ARE the leaked eval items) and q205's cluster-level
+    lottery (whose off-diagonal counts are zero BY CONSTRUCTION —
+    every near-dup cluster rides one lottery ticket). The pytest
+    invariant (test_sampling f1055a8) becomes a driver-attested row
+    set, and the row_hash-vs-cluster contrast quantifies exactly how
+    much leakage the cluster split removes. Exactness: pure integer
+    counts over portable md5 bucket arithmetic (the q52/q205
+    convention); pair orientation normalizes via least/greatest so
+    (train,test) and (test,train) are one cell. Scale: the pair
+    generator is the q33 bucketed path; splits are map-side
+    expressions; the only new shuffles are two hash joins from pairs
+    to their endpoints' labels and one tiny (scheme, 3×3) aggregate.
+    Components come from the per-process materialized table (q112's
+    seam)."""
+    from ..operators.sampling import split_column
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.5
+    )
+    comp = _materialized_neardup_components(spark, sf_dir)
+    rowsplit = docs.select(
+        "doc_id",
+        split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).alias("s"),
+    )
+    clsplit = comp.select(
+        "doc_id",
+        split_column(
+            F.col("component_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).alias("s"),
+    )
+
+    def labeled(split: DataFrame, scheme: str) -> DataFrame:
+        return (
+            pairs.join(
+                split.select(
+                    F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
+                ),
+                "doc_a",
+            )
+            .join(
+                split.select(
+                    F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
+                ),
+                "doc_b",
+            )
+            .select(
+                F.lit(scheme).alias("scheme"),
+                F.least("sa", "sb").alias("split_a"),
+                F.greatest("sa", "sb").alias("split_b"),
+            )
+        )
+
+    return (
+        labeled(rowsplit, "row_hash")
+        .unionByName(labeled(clsplit, "cluster"))
+        .groupBy("scheme", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("scheme", "split_a", "split_b")
+    )

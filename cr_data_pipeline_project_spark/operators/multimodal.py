@@ -5,11 +5,13 @@ stages.
 Two tiers of decode kernels:
 
 - REAL decoders for formats the standard library + numpy can parse:
-  WAV/PCM audio (:func:`decode_wav_features`, stdlib ``wave``) and
+  WAV/PCM audio (:func:`decode_wav_features`, stdlib ``wave``),
   binary PPM images (:func:`decode_ppm_features`, P6 header + numpy
-  ``frombuffer``). These run the genuine byte-level decode path —
-  container parse, sample/pixel extraction, feature reduction — and
-  are driver-attested end-to-end (q94).
+  ``frombuffer``) and uncompressed 24-bit BMP images
+  (:func:`decode_bmp_features`, little-endian BITMAPINFOHEADER, BGR
+  padded bottom-up rows). These run the genuine byte-level decode
+  path — container parse, sample/pixel extraction, feature
+  reduction — and are driver-attested end-to-end (q94/q99/q220).
 - STUBBED stand-ins for codec formats that need external libraries
   (JPEG/PNG/MP3/MP4 — no PIL/libav in this environment): replace
   ``_fake_decode_features`` with the real call; everything Spark-side
@@ -248,15 +250,17 @@ RESIZE_SCHEMA = MEDIA_SCHEMA + ", resize_error string"
 
 def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Arrow-batched image resize over a MEDIA_SCHEMA table:
-    ``image/ppm`` payloads are nearest-neighbor resampled to
-    (out_w × out_h) with width/height updated; every other media
-    type passes through untouched (a resize stage must not drop the
-    audio rows riding the same table). Corrupt payloads keep their
-    original bytes and carry the error per row — the same
+    ``image/ppm`` and ``image/bmp`` payloads are nearest-neighbor
+    resampled to (out_w × out_h) with width/height updated; every
+    other media type passes through untouched (a resize stage must
+    not drop the audio rows riding the same table). Corrupt payloads
+    keep their original bytes and carry the error per row — the same
     batch-survives posture as :func:`decode_media_features`. Payload
     bytes stay inside their partition: one narrow mapInPandas stage,
     nothing shuffles."""
     import pandas as pd
+
+    resizers = {"image/ppm": resize_ppm, "image/bmp": resize_bmp}
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -264,14 +268,15 @@ def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for p, mt, w, h in zip(
                 pdf["payload"], pdf["media_type"], pdf["width"], pdf["height"]
             ):
-                if mt != "image/ppm" or p is None:
+                kernel = resizers.get(mt)
+                if kernel is None or p is None:
                     payloads.append(p)
                     widths.append(w)
                     heights.append(h)
                     errs.append(None)
                     continue
                 try:
-                    payloads.append(resize_ppm(bytes(p), out_w, out_h))
+                    payloads.append(kernel(bytes(p), out_w, out_h))
                     widths.append(out_w)
                     heights.append(out_h)
                     errs.append(None)
@@ -308,7 +313,11 @@ def decode_media_features(df: DataFrame) -> DataFrame:
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        kernels = {"audio/wav": decode_wav_features, "image/ppm": decode_ppm_features}
+        kernels = {
+            "audio/wav": decode_wav_features,
+            "image/ppm": decode_ppm_features,
+            "image/bmp": decode_bmp_features,
+        }
         for pdf in batches:
             rows = []
             for mid, payload, mtype in zip(
@@ -375,6 +384,122 @@ def synth_ppm(width: int, height: int, value: int) -> bytes:
 
     px = np.full((height, width, 3), value, dtype=np.uint8)
     return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def _parse_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER-or-later) → (width, height, H×W×3 RGB uint8
+    grid, top row first). Real container semantics, pure
+    struct/numpy: little-endian headers, BGR byte order, rows padded
+    to 4 bytes, bottom-up storage (top-down when biHeight < 0).
+    Shared by the feature decoder and the resize kernel — the BMP
+    twin of :func:`_parse_ppm`."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12 bytes) lays out dims differently;
+        # reading it with the v3+ offsets would yield garbage dims
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP: {bpp}bpp compression={compression} "
+            "(24-bit uncompressed only)"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height_raw}")
+    stride = (3 * width + 3) & ~3
+    if data_off < 54 or len(payload) < data_off + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    bgr = rows[:, : 3 * width].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return width, height, bgr[..., ::-1]
+
+
+def decode_bmp_features(payload: bytes) -> dict:
+    """REAL 24-bit BMP decode: header parse + numpy pixel grid.
+    Same feature contract as :func:`decode_ppm_features` (per-channel
+    means + Rec.601 luma, all in [0, 1]) so image features are
+    comparable across container formats."""
+    import numpy as np
+
+    width, height, grid = _parse_bmp(payload)
+    img = grid.astype(np.float64) / 255.0
+    means = img.mean(axis=(0, 1))
+    luma = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+    return {
+        "width": width,
+        "height": height,
+        "feat": [float(means[0]), float(means[1]), float(means[2]), luma],
+    }
+
+
+def synth_bmp(width: int, height: int, value: int) -> bytes:
+    """Deterministic 24-bit BMP synthesizer — a genuine
+    header+padded-row container (bottom-up, BGR) filled with one
+    constant 8-bit value; :func:`synth_ppm`'s BMP twin."""
+    import struct
+
+    import numpy as np
+
+    stride = (3 * width + 3) & ~3
+    img_size = stride * height
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : 3 * width] = value
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + rows.tobytes()
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL BMP resize: decode, nearest-neighbor sample with the
+    SAME center rule as :func:`resize_ppm`, re-encode as bottom-up
+    24-bit BMP with row padding."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid target size {out_w}x{out_h}")
+    width, height, grid = _parse_bmp(payload)
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * height / out_h).astype(np.int64),
+        height - 1,
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * width / out_w).astype(np.int64),
+        width - 1,
+    )
+    out = grid[rows][:, cols]  # RGB, top row first
+    import struct
+
+    stride = (3 * out_w + 3) & ~3
+    padded = np.zeros((out_h, stride), dtype=np.uint8)
+    padded[:, : 3 * out_w] = out[::-1, :, ::-1].reshape(out_h, 3 * out_w)
+    img_size = stride * out_h
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + padded.tobytes()
 
 
 FRAME_SCHEMA = (

@@ -210,6 +210,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q217_heaps_vocab_growth",
     "q218_dedup_survivorship",
     "q219_split_leakage_audit",
+    "q220_bmp_decode_meta",
 )
 
 

@@ -2256,10 +2256,12 @@ def q98_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _synth_ppm_media(spark, sf_dir, dims):
-    """Per-document constant-fill P6 payload table (MEDIA_SCHEMA):
-    ``dims(doc_id) -> (width, height, value)``. Shared by the image
-    gate queries so the synth plumbing cannot drift between them."""
+def _synth_image_media(spark, sf_dir, dims, synth_fn, media_type):
+    """Per-document constant-fill image payload table (MEDIA_SCHEMA):
+    ``dims(doc_id) -> (width, height, value)`` rendered by
+    ``synth_fn`` into genuine ``media_type`` containers. Shared by
+    the image gate queries so the synth plumbing cannot drift
+    between formats."""
     import pandas as pd
 
     from ..operators.similarity import ensure_parallelism
@@ -2277,10 +2279,8 @@ def _synth_ppm_media(spark, sf_dir, dims):
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "payload": [
-                        multimodal.synth_ppm(*dims(i)) for i in ids
-                    ],
-                    "media_type": ["image/ppm"] * len(ids),
+                    "payload": [synth_fn(*dims(i)) for i in ids],
+                    "media_type": [media_type] * len(ids),
                     "width": pd.array([None] * len(ids), dtype="Int32"),
                     "height": pd.array([None] * len(ids), dtype="Int32"),
                     "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
@@ -2288,6 +2288,12 @@ def _synth_ppm_media(spark, sf_dir, dims):
             )
 
     return docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+
+
+def _synth_ppm_media(spark, sf_dir, dims):
+    return _synth_image_media(
+        spark, sf_dir, dims, multimodal.synth_ppm, "image/ppm"
+    )
 
 
 def _ppm_meta_projection(decoded):
@@ -7023,3 +7029,40 @@ def q219_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("scheme", "split_a", "split_b")
     )
+
+
+@q(
+    "q220_bmp_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           (54 + ((3 * (3 + doc_id % 6) + 3) // 4 * 4)
+                 * (2 + doc_id % 5))::BIGINT AS n_bytes,
+           (3 + doc_id % 6)::INTEGER AS width,
+           (2 + doc_id % 5)::INTEGER AS height,
+           (doc_id % 256)::INTEGER AS mean_val
+    FROM documents
+    """,
+)
+def q220_bmp_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, end to end — q99's PPM twin for the second
+    lib-free image container: per-document 24-bit BMP payloads are
+    synthesized as genuine bottom-up BGR containers with 4-byte row
+    padding (multimodal.synth_bmp), then decoded back by the REAL
+    little-endian header + padded-row parser
+    (multimodal.decode_bmp_features) via the same Arrow dispatch
+    decode_media_features routes WAV/PPM through. The oracle predicts
+    the EXACT container size including per-row padding
+    (54 + ceil4(3w)·h), parsed dimensions, and the constant fill
+    recovered from the channel means — a corruption anywhere in the
+    byte-level round trip (header offsets, stride arithmetic, BGR
+    order, bottom-up flip, normalization) hash-mismatches. Payload
+    bytes never shuffle — synth and decode fuse into one narrow
+    Arrow stage."""
+    media = _synth_image_media(
+        spark,
+        sf_dir,
+        lambda i: (3 + (i % 6), 2 + (i % 5), i % 256),
+        multimodal.synth_bmp,
+        "image/bmp",
+    )
+    return _ppm_meta_projection(multimodal.decode_media_features(media))

@@ -257,3 +257,147 @@ def test_wav_frames_error_capture(spark):
     assert all(r.frame_idx is None for r in out if r.frame_error is not None)
     ok = [r for r in out if r.media_id == 1]
     assert len(ok) == (400 - 200) // 80 + 1
+
+
+# ------------------------------------------------------------------ #
+# BMP (uncompressed 24-bit) — the second lib-free image container     #
+# ------------------------------------------------------------------ #
+
+
+def test_bmp_roundtrip_and_padding():
+    """synth_bmp -> decode_bmp_features recovers dims and fill;
+    container size includes the 4-byte row padding exactly."""
+    for w, h, v in [(3, 2, 0), (5, 4, 255), (1, 1, 128), (7, 3, 17)]:
+        payload = multimodal.synth_bmp(w, h, v)
+        assert len(payload) == 54 + ((3 * w + 3) // 4 * 4) * h
+        d = multimodal.decode_bmp_features(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["feat"][0] - v / 255.0) < 1e-12
+        assert abs(d["feat"][3] - v / 255.0) < 1e-9
+
+
+def test_bmp_bottom_up_and_top_down_orientation():
+    """Bottom-up (positive biHeight) and top-down (negative) storage
+    must parse to the SAME top-row-first RGB grid."""
+    import struct
+
+    import numpy as np
+
+    w, h = 2, 2
+    stride = (3 * w + 3) & ~3
+    # image: top row gray 10, 20; bottom row gray 30, 40
+    bottom_up = np.zeros((h, stride), np.uint8)
+    bottom_up[0, :6] = [30, 30, 30, 40, 40, 40]  # file row 0 = image bottom
+    bottom_up[1, :6] = [10, 10, 10, 20, 20, 20]
+    top_down = np.zeros((h, stride), np.uint8)
+    top_down[0, :6] = [10, 10, 10, 20, 20, 20]
+    top_down[1, :6] = [30, 30, 30, 40, 40, 40]
+    fh = b"BM" + struct.pack("<IHHI", 14 + 40 + stride * h, 0, 0, 54)
+
+    def info(height_field):
+        return struct.pack(
+            "<IiiHHIIiiII", 40, w, height_field, 1, 24, 0, stride * h,
+            2835, 2835, 0, 0,
+        )
+
+    _, _, g1 = multimodal._parse_bmp(fh + info(h) + bottom_up.tobytes())
+    _, _, g2 = multimodal._parse_bmp(fh + info(-h) + top_down.tobytes())
+    assert (g1 == g2).all()
+    assert g1[0, 0, 0] == 10 and g1[1, 1, 0] == 40
+
+
+def test_bmp_bgr_channel_order():
+    import struct
+
+    import numpy as np
+
+    w, h = 1, 1
+    stride = (3 * w + 3) & ~3
+    row = np.zeros((1, stride), np.uint8)
+    row[0, :3] = [255, 0, 0]  # BGR: pure BLUE
+    fh = b"BM" + struct.pack("<IHHI", 14 + 40 + stride, 0, 0, 54)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride, 2835, 2835, 0, 0
+    )
+    d = multimodal.decode_bmp_features(fh + ih + row.tobytes())
+    r, g, b, _ = d["feat"]
+    assert (r, g, b) == (0.0, 0.0, 1.0)
+
+
+def test_bmp_rejects_unsupported_variants():
+    import struct
+
+    import pytest as _pytest
+
+    good = multimodal.synth_bmp(2, 2, 5)
+    with _pytest.raises(ValueError, match="not a BMP"):
+        multimodal._parse_bmp(b"XX" + good[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal._parse_bmp(good[:40])
+    # 8bpp and RLE compression must be refused, not mis-decoded
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with _pytest.raises(ValueError, match="unsupported BMP"):
+        multimodal._parse_bmp(bytes(bad_bpp))
+    bad_comp = bytearray(good)
+    struct.pack_into("<I", bad_comp, 30, 1)
+    with _pytest.raises(ValueError, match="unsupported BMP"):
+        multimodal._parse_bmp(bytes(bad_comp))
+    trunc_px = good[:-1]
+    with _pytest.raises(ValueError, match="truncated BMP pixel"):
+        multimodal._parse_bmp(trunc_px)
+
+
+def test_bmp_resize_nearest_neighbor_matches_ppm_kernel():
+    """The BMP resize must pick the SAME nearest-neighbor samples as
+    the PPM kernel (shared center rule) — resize both renderings of
+    one gradient image and compare decoded grids."""
+    import numpy as np
+
+    w, h = 4, 2
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    ppm = b"P6\n4 2\n255\n" + px.tobytes()
+    # render the same RGB grid as a BMP via the parser's inverse
+    import struct
+
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)
+    fh = b"BM" + struct.pack("<IHHI", 14 + 40 + stride * h, 0, 0, 54)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    bmp = fh + ih + rows.tobytes()
+    _, _, g0 = multimodal._parse_bmp(bmp)
+    assert (g0 == px).all()  # rendering sanity
+    out_ppm = multimodal.resize_ppm(ppm, 2, 1)
+    out_bmp = multimodal.resize_bmp(bmp, 2, 1)
+    _, _, _, gp = multimodal._parse_ppm(out_ppm)
+    _, _, gb = multimodal._parse_bmp(out_bmp)
+    assert (gp == gb).all()
+
+
+def test_decode_dispatch_routes_bmp(spark):
+    rows = [
+        (1, multimodal.synth_bmp(3, 2, 200), "image/bmp", None, None, None),
+        (2, b"BM broken", "image/bmp", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.decode_media_features(df).collect()
+    }
+    assert out[1].decode_error is None
+    assert (out[1].width, out[1].height) == (3, 2)
+    assert abs(out[1].feat[0] - 200 / 255.0) < 1e-6
+    assert out[2].decode_error is not None
+
+
+def test_resize_media_routes_bmp(spark):
+    rows = [(1, multimodal.synth_bmp(6, 5, 42), "image/bmp", None, None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_media(df, 3, 2).collect()[0]
+    assert (out.width, out.height) == (3, 2) and out.resize_error is None
+    d = multimodal.decode_bmp_features(bytes(out.payload))
+    assert (d["width"], d["height"]) == (3, 2)
+    assert abs(d["feat"][3] - 42 / 255.0) < 1e-9

@@ -5921,17 +5921,15 @@ def q205_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     component_id == doc_id, so a dup-free corpus degrades exactly
     to q52's split). Exactness: components are order-independent
     min-labels; the bucket is pure integer arithmetic on md5.
-    Scale: the pair/component machinery is the q66 path (df-capped
-    inverted index, union-find under the bound); the split label is
-    a map-side expression — no extra shuffle past the components."""
-    from ..operators import graph
+    Scale: components come from the per-process materialized cluster
+    table (_materialized_neardup_components — q112's seam: a
+    deployed pipeline maintains its cluster table and derives splits
+    FROM it; q66 still attests the live closure build); the split
+    label is a map-side expression — no extra shuffle past the
+    components."""
     from ..operators.sampling import split_column
 
-    docs = table(spark, "documents", sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.5
-    )
-    comp = graph.dedup_clusters(docs.select("doc_id"), pairs)
+    comp = _materialized_neardup_components(spark, sf_dir)
     return comp.select(
         "doc_id",
         "component_id",
@@ -6117,17 +6115,14 @@ def q208_dup_cluster_size_census(
     corpus shrink the q112/q193 exports will deliver, BEFORE
     committing to the rewrite). Aggregate-of-aggregate shape over
     q66's components (size per cluster, then count per size).
-    Exactness: pure integer counts. Scale: the q66 component path,
-    then two partial-combining aggregates whose key spaces are
-    cluster count and distinct-size count — both collapse fast; no
-    windows, no joins past the components."""
-    from ..operators import graph
-
-    docs = table(spark, "documents", sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.5
-    )
-    comp = graph.dedup_clusters(docs.select("doc_id"), pairs)
+    Exactness: pure integer counts. Scale: components come from the
+    per-process materialized cluster table
+    (_materialized_neardup_components — q112's seam; q66 still
+    attests the live closure build), then two partial-combining
+    aggregates whose key spaces are cluster count and distinct-size
+    count — both collapse fast; no windows, no joins past the
+    components."""
+    comp = _materialized_neardup_components(spark, sf_dir)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -4586,9 +4586,9 @@ def q181_lexical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
     bench AS (SELECT vec_id AS bench_id, ve AS bv FROM v
-              WHERE vec_id % 97 = 0),
+              WHERE vec_id % 97 = 0 AND vec_id < 5000),
     corpus AS (SELECT vec_id AS corpus_id, ve AS cv FROM v
-               WHERE vec_id % 97 <> 0),
+               WHERE NOT (vec_id % 97 = 0 AND vec_id < 5000)),
     hits AS (
         SELECT corpus_id, bench_id,
                list_cosine_similarity(cv, bv) AS sim
@@ -4613,25 +4613,29 @@ def q183_semantic_decontamination(
     q88's n-gram overlap (paraphrased eval leakage carries no
     shared 13-gram; it does carry a close embedding — the
     SemDeDup-adjacent decontamination step modern pipelines run
-    last). Benchmark set: vec_id % 97 == 0, the fixture's stand-in
-    for an eval suite's embedded prompts. Each flagged corpus
-    vector reports its best-matching benchmark item (max sim,
-    bench-id tie-break) — the evidence row a removal audit wants.
+    last). Benchmark set: vec_id % 97 == 0 AND vec_id < 5000 — a
+    FIXED eval suite by contract (the q194/q198 bound: an unbounded
+    %-convention grows WITH the corpus and turns the broadcast loop
+    quadratic — the round-8 50× sweep measured exactly that,
+    alpha 1.148, before this bound). Each flagged corpus vector
+    reports its best-matching benchmark item (max sim, bench-id
+    tie-break) — the evidence row a removal audit wants.
     Exactness: the zip_with/aggregate cosine fold is bit-identical
     to DuckDB's list_cosine_similarity (the q36/q37 contract);
     ROW_NUMBER ties break on bench_id. Scale: the benchmark side is
-    small by construction and BROADCASTS (the q108 posture — eval
-    suites are thousands of items); the corpus side streams
-    map-side through the broadcast loop with no shuffle until the
-    per-corpus-vector argmax, whose input is hits only. At 1e9+
-    corpus vectors, route corpus→cell via IVF (q42/q115) and probe
-    only the benchmark vectors' cells."""
+    fixed-size and BROADCASTS (the q108 posture — eval suites are
+    thousands of items); the corpus side streams map-side through
+    the broadcast loop with no shuffle until the per-corpus-vector
+    argmax, whose input is hits only. At 1e9+ corpus vectors, route
+    corpus→cell via IVF (q42/q115) and probe only the benchmark
+    vectors' cells."""
     emb = table(spark, "embeddings", sf_dir)
     v = emb.select("vec_id", similarity.as_double_vec("embedding").alias("ve"))
-    bench = v.where(F.col("vec_id") % 97 == 0).select(
+    is_bench = (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 5000)
+    bench = v.where(is_bench).select(
         F.col("vec_id").alias("bench_id"), F.col("ve").alias("bv")
     )
-    corpus = v.where(F.col("vec_id") % 97 != 0).select(
+    corpus = v.where(~is_bench).select(
         F.col("vec_id").alias("corpus_id"), F.col("ve").alias("cv")
     )
     sim = similarity.cosine(F.col("cv"), F.col("bv"))

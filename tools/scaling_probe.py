@@ -268,6 +268,7 @@ PROBES = [
     "q213_streaming_psi_snapshot",
     "q215_top_ngram_mass",
     "q218_dedup_survivorship",
+    "q219_split_leakage_audit",
 ]
 
 

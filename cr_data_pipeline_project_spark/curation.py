@@ -15,7 +15,14 @@ cheapest-first so expensive stages run on the smallest corpus):
                   streaming-ingest convention)
 4. decontam     — exact n-gram overlap with ``holdout`` (GPT-3
                   appendix-C; skipped when no holdout is given)
-5. split        — deterministic hash split into train/val/test
+5. split        — deterministic hash split into train/val/test; by
+                  doc id, or LEAKAGE-SAFE by near-dup cluster when
+                  ``split_safety_threshold`` is set (the q205
+                  semantics: dedup runs at a HIGH threshold, split
+                  safety at a LOWER one — survivors that are still
+                  paraphrase-close below the dedup bar must share a
+                  lottery ticket, or one of them scores as held-out
+                  eval data for the other)
 
 Execution contract: the near-dup stage materializes its (small)
 pair set at call time — ``minhash_lsh_pairs`` ends in an eager
@@ -56,6 +63,7 @@ def curate_corpus(
     neardup_threshold: float = 0.7,
     contamination_ngram: int = 8,
     split_fractions: dict[str, float] | None = None,
+    split_safety_threshold: float | None = None,
     with_stats: bool = True,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Returns ``(curated, stats)``: the curated corpus with a
@@ -90,9 +98,36 @@ def curate_corpus(
         after_decontam = after_neardup
 
     fractions = split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    curated = after_decontam.withColumn(
-        "split", split_column(id_col, fractions)
-    )
+    if split_safety_threshold is not None:
+        # Leakage-safe split (q205): pair the SURVIVORS at the lower
+        # safety threshold (stage 3 removed pairs only at
+        # neardup_threshold — paraphrase-close survivors below that
+        # bar remain) and hash the lottery on the near-dup CLUSTER
+        # id, so no surviving near-dup pair ever straddles splits.
+        # Singletons keep component_id == doc_id and degrade to the
+        # plain doc split exactly.
+        from .operators.graph import dedup_clusters
+
+        safety_pairs = minhash_lsh_pairs(
+            after_decontam,
+            text_col,
+            id_col,
+            threshold=split_safety_threshold,
+        )
+        comp = dedup_clusters(
+            after_decontam.select(id_col), safety_pairs, id_col=id_col
+        )
+        curated = (
+            after_decontam.join(comp, id_col)
+            .withColumn(
+                "split", split_column(F.col("component_id"), fractions)
+            )
+            .drop("component_id")
+        )
+    else:
+        curated = after_decontam.withColumn(
+            "split", split_column(id_col, fractions)
+        )
 
     if not with_stats:
         return curated, None

@@ -55,3 +55,68 @@ def test_curate_corpus_stage_semantics(spark):
         "decontam": 0,
         "kept": 1,
     }
+
+
+def test_curate_corpus_leakage_safe_split(spark):
+    """With split_safety_threshold set, no surviving near-dup pair
+    (at the SAFETY threshold) may straddle splits, and singleton
+    docs must get exactly the plain doc-id split labels."""
+    from cr_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the spark "
+        "engine shuffling rows across partitions and joining tables "
+        "with hash keys while the optimizer prunes columns and pushes "
+        "filters to the scan"
+    )
+    rows = [(i, f"{base} variant {i % 7} tail {i % 3}", "en") for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    curated, _ = curate_corpus(
+        docs,
+        min_chars=50,
+        max_chars=1000,
+        neardup_threshold=0.95,        # dedup bar: high — keeps variants
+        split_safety_threshold=0.5,    # split safety: lower
+        with_stats=False,
+    )
+    out = curated.select("doc_id", "split")
+    pairs = minhash_lsh_pairs(
+        curated, "text", "doc_id", threshold=0.5
+    )
+    crossing = (
+        pairs.join(
+            out.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            out.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossing == 0
+    # default path unchanged: a corpus with no safety pairs splits
+    # identically with and without the option
+    lone = spark.createDataFrame(
+        [(i, f"totally unique document number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(30)), "en") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    a, _ = curate_corpus(
+        lone, min_chars=10, max_chars=10_000, with_stats=False
+    )
+    b, _ = curate_corpus(
+        lone, min_chars=10, max_chars=10_000,
+        split_safety_threshold=0.5, with_stats=False,
+    )
+    assert sorted(map(tuple, a.select("doc_id", "split").collect())) == \
+        sorted(map(tuple, b.select("doc_id", "split").collect()))

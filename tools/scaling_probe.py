@@ -269,6 +269,9 @@ PROBES = [
     "q215_top_ngram_mass",
     "q218_dedup_survivorship",
     "q219_split_leakage_audit",
+    # crossed 1 s in the round-8 bench
+    "q93_decontaminated_export",
+    "q195_quantile_normalize",
 ]
 
 

@@ -211,6 +211,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q218_dedup_survivorship",
     "q219_split_leakage_audit",
     "q220_bmp_decode_meta",
+    "q221_embedding_norm_census",
+    "q222_revenue_concentration",
 )
 
 

@@ -7065,3 +7065,142 @@ def q220_bmp_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image/bmp",
     )
     return _ppm_meta_projection(multimodal.decode_media_features(media))
+
+
+@q(
+    "q221_embedding_norm_census",
+    """
+    WITH n AS (
+        SELECT label,
+               ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) * 1000000)
+                   ::BIGINT AS n6
+        FROM embeddings)
+    SELECT label,
+           COUNT(*)::BIGINT AS n_vecs,
+           MIN(n6) AS min_norm6,
+           MAX(n6) AS max_norm6,
+           ROUND(SUM(n6)::DOUBLE / (COUNT(*)::DOUBLE * 1000000.0), 6)
+               AS mean_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def q221_embedding_norm_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding L2-norm census per label — the first sanity page of
+    an embedding-pipeline audit (un-normalized vectors silently break
+    every cosine≈dot shortcut downstream; a label whose norm band
+    differs from the rest flags an encoder version mix, the failure
+    q125's drift statistic sees only after deployment). Exactness:
+    the per-row norm is the deterministic sequential fold (bit-equal
+    to DuckDB's list_dot_product, the q36/q183 contract) PINNED to
+    integer 1e-6 units at the row — min/max/sum are then BIGINT and
+    order-free; the mean is ONE IEEE division. Scale: a map-side
+    projection + one partial-combining label aggregate — no windows,
+    no joins, label-bounded output."""
+    emb = table(spark, "embeddings", sf_dir)
+    n6 = (
+        F.round(
+            similarity.norm(similarity.as_double_vec("embedding"))
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("n6")
+    )
+    return (
+        emb.select("label", n6)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("n6").alias("min_norm6"),
+            F.max("n6").alias("max_norm6"),
+            F.round(
+                F.sum("n6").cast("double")
+                / (F.count(F.lit(1)).cast("double") * 1000000.0),
+                6,
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
+    "q222_revenue_concentration",
+    """
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               SUM(o_totalprice::DECIMAL(28,6)) AS revenue
+        FROM orders GROUP BY o_custkey),
+    cuts AS (
+        SELECT quantile_cont(revenue::DOUBLE, 0.25) AS c1,
+               quantile_cont(revenue::DOUBLE, 0.5)  AS c2,
+               quantile_cont(revenue::DOUBLE, 0.75) AS c3
+        FROM rev),
+    tot AS (SELECT SUM(revenue) AS t, COUNT(*)::BIGINT AS nc FROM rev),
+    banded AS (
+        SELECT (CASE WHEN revenue::DOUBLE <= c1 THEN 1
+                     WHEN revenue::DOUBLE <= c2 THEN 2
+                     WHEN revenue::DOUBLE <= c3 THEN 3 ELSE 4 END)::INT
+                   AS band,
+               revenue
+        FROM rev CROSS JOIN cuts)
+    SELECT band,
+           COUNT(*)::BIGINT AS n_customers,
+           ROUND(SUM(revenue), 2)::DOUBLE AS revenue,
+           ROUND(SUM(revenue)::DOUBLE / t::DOUBLE, 6) AS revenue_share
+    FROM banded CROSS JOIN tot
+    GROUP BY band, t ORDER BY band
+    """,
+)
+def q222_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue concentration by customer-revenue quartile band (the
+    Pareto/80-20 diagnosis): how much of total revenue the bottom/
+    top revenue quartiles of customers carry — the whale-dependence
+    number a risk review wants next to q211's RFM segments.
+    Exactness: per-customer revenue is a DECIMAL sum (order-free);
+    the three quartile cuts are ONE mergeable percentile aggregate
+    (q71/q211 interpolation contract) broadcast back; band revenue
+    re-aggregates in DECIMAL and rounds once; the share is one IEEE
+    division against the broadcast 1-row total. Scale: one
+    partial-combining per-customer aggregate, a 1-row quantile
+    reduce + broadcast, then a 4-row aggregate — no global windows,
+    no sorts, survives 10⁹ customers unchanged (the q211 posture)."""
+    o = table(spark, "orders", sf_dir)
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("revenue")
+    ).localCheckpoint()
+    cuts = rev.agg(
+        F.percentile(F.col("revenue").cast("double"), 0.25).alias("c1"),
+        F.percentile(F.col("revenue").cast("double"), 0.5).alias("c2"),
+        F.percentile(F.col("revenue").cast("double"), 0.75).alias("c3"),
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    band = (
+        F.when(F.col("revenue").cast("double") <= F.col("c1"), 1)
+        .when(F.col("revenue").cast("double") <= F.col("c2"), 2)
+        .when(F.col("revenue").cast("double") <= F.col("c3"), 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    return (
+        rev.join(F.broadcast(cuts), F.lit(True), "inner")
+        .select(band.alias("band"), "revenue")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("revenue").alias("__rev"),
+        )
+        .join(F.broadcast(tot), F.lit(True), "inner")
+        .select(
+            "band",
+            "n_customers",
+            F.round("__rev", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("__rev").cast("double") / F.col("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("band")
+    )

@@ -78,6 +78,7 @@ NESTED_LOOP_OK = {
     "q213_streaming_psi_snapshot",  # q182's 9-row cut + 10-row bin-spine broadcasts
     "q216_vocab_overlap_matrix",  # #sources²-bounded pair-spine broadcast
     "q217_heaps_vocab_growth",  # 1-row corpus-size broadcasts (q101 posture)
+    "q222_revenue_concentration",  # 1-row quartile-cut + total broadcasts (q211 posture)
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

@@ -272,6 +272,7 @@ PROBES = [
     # crossed 1 s in the round-8 bench
     "q93_decontaminated_export",
     "q195_quantile_normalize",
+    "q222_revenue_concentration",
 ]
 
 

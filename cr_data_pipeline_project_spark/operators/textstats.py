@@ -541,6 +541,30 @@ def bpe_encode(
     return df.withColumn(out_col, enc(F.col(text_col)))
 
 
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "text_decoded",
+) -> Column | DataFrame:
+    """Invert :func:`bpe_encode`: un-fuse every ``▁`` back to a
+    space and rejoin on spaces — ``decode(encode(text)) == text``
+    for any text free of the separator character (the standard BPE
+    reversibility contract; property-tested in
+    ``test_bpe_decode_roundtrip``). Pure JVM expressions (one
+    codegen projection, no UDF): fused symbols carry their merge
+    history as separators, so decode needs no merge table at all —
+    the property that makes detokenization stateless and
+    shard-parallel at any scale."""
+    joined = F.array_join(F.col(tokens_col), " ")
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(tokens_col).isNotNull(),
+            F.replace(joined, F.lit("▁"), F.lit(" ")),
+        ),
+    )
+
+
 def _bigram_model(
     train: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:

@@ -395,3 +395,27 @@ def test_surprisal_pinned_tracks_float_logprob(spark, sf_dir):
             assert p["mean_surprisal"] is None
         else:
             assert abs(p["mean_surprisal"] - (-f["avg_logprob"])) < 1e-5
+
+
+def test_bpe_decode_roundtrip(spark, sf_dir):
+    """decode(encode(text)) == text — the BPE reversibility
+    contract — on the learned fixture tokenizer, plus NULL text
+    decodes to NULL."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges = bpe_learn(docs, n_merges=4)
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        bpe_decode,
+    )
+
+    enc = bpe_encode(docs, merges)
+    out = bpe_decode(enc)
+    bad = out.where(
+        F.col("text_decoded").isNull()
+        | (F.col("text_decoded") != F.col("text"))
+    ).count()
+    assert bad == 0
+    nul = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    row = bpe_decode(bpe_encode(nul, merges)).collect()[0]
+    assert row["text_decoded"] is None

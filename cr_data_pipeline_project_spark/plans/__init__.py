@@ -213,6 +213,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q220_bmp_decode_meta",
     "q221_embedding_norm_census",
     "q222_revenue_concentration",
+    "q223_quality_auc",
 )
 
 

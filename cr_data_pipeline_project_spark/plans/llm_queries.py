@@ -7204,3 +7204,91 @@ def q222_revenue_concentration(
         )
         .orderBy("band")
     )
+
+
+@q(
+    "q223_quality_auc",
+    """
+    WITH n AS (
+        SELECT ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))
+                     * 1000000)::BIGINT AS v,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings),
+    g AS (SELECT v, SUM(y)::BIGINT AS p, SUM(1 - y)::BIGINT AS q
+          FROM n GROUP BY v),
+    c AS (SELECT v, p, q,
+                 COALESCE(SUM(p + q) OVER
+                     (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS cum
+          FROM g),
+    s AS (SELECT SUM(p)::BIGINT AS np, SUM(q)::BIGINT AS nq,
+                 SUM(p * (2 * cum + p + q + 1))::BIGINT AS r2
+          FROM c)
+    SELECT np AS n_pos, nq AS n_neg,
+           (r2 - np * (np + 1))::BIGINT AS u2,
+           ROUND((r2 - np * (np + 1))::DOUBLE
+                 / (2.0 * np::DOUBLE * nq::DOUBLE), 6) AS auc
+    FROM s
+    """,
+)
+def q223_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed ROC-AUC via the tie-corrected Mann-Whitney
+    rank-sum — the separation audit every learned quality/filter
+    score needs before it gates a corpus ('does this score actually
+    rank the positive class higher, and by how much'), here scoring
+    how well the embedding L2 norm (pinned to integer 1e-6 units,
+    q221's statistic) separates the upper label half. AUC needs
+    GLOBAL ranks, which naively means a global sort; the rank-sum
+    only depends on per-distinct-VALUE (pos, neg) counts, so the
+    corpus collapses once into the value-aggregated table and the
+    cumulative window runs over DISTINCT values (the q177 KS
+    posture — value-bounded, not corpus-bounded). Tie handling is
+    the standard midrank: 2·avgrank = 2·cum + p + q + 1 keeps every
+    term BIGINT; u2 = 2·U is integer-exact and the AUC is ONE IEEE
+    division at the end — hash-exact cross-engine where a float
+    rank average would drift. Scale: one scan → one
+    partial-combining value aggregate → a value-cardinality window
+    → a 1-row reduce."""
+    emb = table(spark, "embeddings", sf_dir)
+    n6 = F.round(
+        similarity.norm(similarity.as_double_vec("embedding")) * 1000000.0
+    ).cast("bigint")
+    y = F.when(F.col("label") >= 5, 1).otherwise(0)
+    g = (
+        emb.select(n6.alias("v"), y.alias("y"))
+        .groupBy("v")
+        .agg(
+            F.sum("y").cast("bigint").alias("p"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("q"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "p",
+        "q",
+        F.coalesce(F.sum(F.col("p") + F.col("q")).over(w), F.lit(0)).alias(
+            "cum"
+        ),
+    )
+    s = c.agg(
+        F.sum("p").cast("bigint").alias("np"),
+        F.sum("q").cast("bigint").alias("nq"),
+        F.sum(
+            F.col("p") * (2 * F.col("cum") + F.col("p") + F.col("q") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        F.col("nq").alias("n_neg"),
+        (F.col("r2") - F.col("np") * (F.col("np") + 1))
+        .cast("bigint")
+        .alias("u2"),
+        F.round(
+            (F.col("r2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2.0 * F.col("np").cast("double") * F.col("nq").cast("double")),
+            6,
+        ).alias("auc"),
+    )

@@ -214,6 +214,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q221_embedding_norm_census",
     "q222_revenue_concentration",
     "q223_quality_auc",
+    "q224_source_lang_mutual_info",
 )
 
 

@@ -7292,3 +7292,71 @@ def q223_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@q(
+    "q224_source_lang_mutual_info",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS o
+               FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, SUM(o)::BIGINT AS rn FROM c GROUP BY source),
+    ct AS (SELECT lang, SUM(o)::BIGINT AS cn FROM c GROUP BY lang),
+    nn AS (SELECT SUM(o)::BIGINT AS n FROM c),
+    t AS (
+        SELECT o * ROUND(ln((o::DOUBLE * n::DOUBLE)
+                            / (rn::DOUBLE * cn::DOUBLE)) * 100000)
+                       ::BIGINT AS term5
+        FROM c JOIN rt USING (source) JOIN ct USING (lang)
+        CROSS JOIN nn)
+    SELECT n,
+           SUM(term5)::BIGINT AS mi5_numerator,
+           ROUND(SUM(term5)::DOUBLE / (n::DOUBLE * 100000.0), 6)
+               AS mi_nats
+    FROM t CROSS JOIN nn GROUP BY n
+    """,
+)
+def q224_source_lang_mutual_info(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(source; lang) over the same contingency
+    table q209 chi-squares — the information-theoretic companion:
+    chi-square answers 'is the association significant', MI answers
+    'how many nats does knowing the source tell you about the
+    language' (0 = perfectly balanced mixture; high MI = languages
+    are siloed by source, the skew a mixing plan must correct).
+    Exactness: the per-cell ln((o·N)/(rn·cn)) pins to integer 1e-5
+    nat units (the drift-module _ln5 convention, one libm call per
+    CELL), the numerator is a BIGINT sum weighted by integer cell
+    counts, and the MI is ONE IEEE division at the end — observed
+    cells have o ≥ 1 so no zero-guard is needed. Scale: one
+    partial-combining corpus aggregate to the (source, lang) cell
+    table, then joins/aggregates over #sources·#langs-bounded
+    rows."""
+    docs = table(spark, "documents", sf_dir)
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = c.groupBy("source").agg(F.sum("o").alias("rn"))
+    ct = c.groupBy("lang").agg(F.sum("o").alias("cn"))
+    nn = c.agg(F.sum("o").alias("n"))
+    ln5 = F.round(
+        F.log(
+            (F.col("o").cast("double") * F.col("n").cast("double"))
+            / (F.col("rn").cast("double") * F.col("cn").cast("double"))
+        )
+        * 100000
+    ).cast("bigint")
+    t = (
+        c.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .join(F.broadcast(nn), F.lit(True), "inner")
+        .select((F.col("o") * ln5).alias("term5"), "n")
+    )
+    return t.groupBy("n").agg(
+        F.sum("term5").cast("bigint").alias("mi5_numerator"),
+        F.round(
+            F.sum("term5").cast("double")
+            / (F.col("n").cast("double") * 100000.0),
+            6,
+        ).alias("mi_nats"),
+    ).select("n", "mi5_numerator", "mi_nats")

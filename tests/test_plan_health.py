@@ -79,6 +79,7 @@ NESTED_LOOP_OK = {
     "q216_vocab_overlap_matrix",  # #sources²-bounded pair-spine broadcast
     "q217_heaps_vocab_growth",  # 1-row corpus-size broadcasts (q101 posture)
     "q222_revenue_concentration",  # 1-row quartile-cut + total broadcasts (q211 posture)
+    "q224_source_lang_mutual_info",  # 1-row grand-total broadcast (q209 posture)
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

@@ -6,7 +6,8 @@ Two tiers of decode kernels:
 
 - REAL decoders for formats the standard library + numpy can parse:
   WAV/PCM audio (:func:`decode_wav_features`, stdlib ``wave``),
-  binary PPM images (:func:`decode_ppm_features`, P6 header + numpy
+  binary PPM/PGM images (:func:`decode_ppm_features` /
+  :func:`decode_pgm_features`, shared Netpbm header grammar + numpy
   ``frombuffer``) and uncompressed 24-bit BMP images
   (:func:`decode_bmp_features`, little-endian BITMAPINFOHEADER, BGR
   padded bottom-up rows). These run the genuine byte-level decode
@@ -163,14 +164,17 @@ def decode_wav_features(payload: bytes) -> dict:
     }
 
 
-def _parse_ppm(payload: bytes):
-    """Parse a binary-PPM (P6) container → (width, height, maxval,
-    H×W×3 uint8 pixel grid). Shared by the feature decoder and the
-    resize kernel."""
+def _parse_netpbm(payload: bytes, magic: bytes, channels: int):
+    """Parse a binary Netpbm container (P5 grayscale / P6 RGB) →
+    (width, height, maxval, H×W×channels uint8 pixel grid). Shared
+    header grammar: magic, then whitespace/comment-separated width,
+    height, maxval, one whitespace byte, raw samples."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
+    if not payload.startswith(magic):
+        raise ValueError(
+            f"not a binary {magic.decode()} Netpbm payload"
+        )
     # header = magic, width, height, maxval — whitespace/comment
     # separated, then a single whitespace byte before pixel data
     fields: list[bytes] = []
@@ -193,13 +197,56 @@ def _parse_ppm(payload: bytes):
         # a negative dim would silently satisfy numpy reshape via
         # dimension inference; zero dims yield NaN means — both must
         # be per-row errors, not quiet garbage
-        raise ValueError(f"invalid PPM dimensions {width}x{height}")
+        raise ValueError(f"invalid Netpbm dimensions {width}x{height}")
     if not (0 < maxval <= 255):
         # spec-valid maxval > 255 means 2-byte samples — reading them
         # as uint8 would silently produce garbage means; flag instead
-        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
-    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
-    return width, height, maxval, px.reshape(height, width, 3)
+        raise ValueError(
+            f"unsupported Netpbm maxval {maxval} (8-bit only)"
+        )
+    n = width * height * channels
+    if len(payload) < i + n:
+        raise ValueError("truncated Netpbm pixel data")
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return width, height, maxval, px.reshape(height, width, channels)
+
+
+def _parse_ppm(payload: bytes):
+    """Binary-PPM (P6) parse → (width, height, maxval, H×W×3 grid).
+    Shared by the feature decoder and the resize kernel."""
+    return _parse_netpbm(payload, b"P6", 3)
+
+
+def _parse_pgm(payload: bytes):
+    """Binary-PGM (P5, grayscale) parse → (width, height, maxval,
+    H×W×1 grid) — the single-channel Netpbm sibling, same header
+    grammar."""
+    return _parse_netpbm(payload, b"P5", 1)
+
+
+def decode_pgm_features(payload: bytes) -> dict:
+    """REAL binary-PGM (P5) grayscale decode. Feature contract
+    mirrors :func:`decode_ppm_features` with the gray mean standing
+    in for all three channel slots (gray IS the luma), so image
+    features stay shape-compatible across container formats."""
+    import numpy as np
+
+    width, height, maxval, grid = _parse_pgm(payload)
+    mean = float(grid.astype(np.float64).mean() / maxval)
+    return {
+        "width": width,
+        "height": height,
+        "feat": [mean, mean, mean, mean],
+    }
+
+
+def synth_pgm(width: int, height: int, value: int) -> bytes:
+    """Deterministic binary-PGM (P5) synthesizer — constant-fill
+    grayscale; :func:`synth_ppm`'s single-channel sibling."""
+    import numpy as np
+
+    px = np.full((height, width), value, dtype=np.uint8)
+    return f"P5\n{width} {height}\n255\n".encode() + px.tobytes()
 
 
 def decode_ppm_features(payload: bytes) -> dict:
@@ -245,6 +292,29 @@ def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
     )
 
 
+def resize_pgm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL PGM resize: same nearest-neighbor center rule as
+    :func:`resize_ppm`, re-encoded as P5."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid target size {out_w}x{out_h}")
+    width, height, maxval, grid = _parse_pgm(payload)
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * height / out_h).astype(np.int64),
+        height - 1,
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * width / out_w).astype(np.int64),
+        width - 1,
+    )
+    out = grid[rows][:, cols]
+    return (
+        f"P5\n{out_w} {out_h}\n{maxval}\n".encode()
+        + np.ascontiguousarray(out).tobytes()
+    )
+
+
 RESIZE_SCHEMA = MEDIA_SCHEMA + ", resize_error string"
 
 
@@ -260,7 +330,11 @@ def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     nothing shuffles."""
     import pandas as pd
 
-    resizers = {"image/ppm": resize_ppm, "image/bmp": resize_bmp}
+    resizers = {
+        "image/ppm": resize_ppm,
+        "image/pgm": resize_pgm,
+        "image/bmp": resize_bmp,
+    }
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -316,6 +390,7 @@ def decode_media_features(df: DataFrame) -> DataFrame:
         kernels = {
             "audio/wav": decode_wav_features,
             "image/ppm": decode_ppm_features,
+            "image/pgm": decode_pgm_features,
             "image/bmp": decode_bmp_features,
         }
         for pdf in batches:

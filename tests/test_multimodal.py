@@ -401,3 +401,48 @@ def test_resize_media_routes_bmp(spark):
     d = multimodal.decode_bmp_features(bytes(out.payload))
     assert (d["width"], d["height"]) == (3, 2)
     assert abs(d["feat"][3] - 42 / 255.0) < 1e-9
+
+
+# ------------------------------------------------------------------ #
+# PGM (P5 grayscale) — the Netpbm single-channel sibling              #
+# ------------------------------------------------------------------ #
+
+
+def test_pgm_roundtrip_and_dispatch(spark):
+    for w, h, v in [(3, 2, 0), (5, 4, 255), (1, 1, 128)]:
+        d = multimodal.decode_pgm_features(multimodal.synth_pgm(w, h, v))
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["feat"][0] - v / 255.0) < 1e-12
+        assert d["feat"] == [d["feat"][0]] * 4  # gray == luma
+    rows = [
+        (1, multimodal.synth_pgm(4, 3, 60), "image/pgm", None, None, None),
+        (2, b"P5 broken", "image/pgm", None, None, None),
+        # a PPM payload declared as PGM must be a per-row error, not
+        # a silent 3x-wide mis-decode
+        (3, multimodal.synth_ppm(2, 2, 9), "image/pgm", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.decode_media_features(df).collect()
+    }
+    assert out[1].decode_error is None
+    assert (out[1].width, out[1].height) == (4, 3)
+    assert out[2].decode_error is not None
+    assert out[3].decode_error is not None
+
+
+def test_pgm_resize_matches_ppm_center_rule(spark):
+    import numpy as np
+
+    w, h = 4, 2
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    pgm = b"P5\n4 2\n255\n" + gray.tobytes()
+    out = multimodal.resize_pgm(pgm, 2, 1)
+    _, _, _, g = multimodal._parse_pgm(out)
+    # row floor((0+.5)*2/1)=1; cols floor((i+.5)*4/2) = 1, 3
+    assert g.reshape(1, 2).tolist() == [[gray[1, 1], gray[1, 3]]]
+    rows = [(1, multimodal.synth_pgm(6, 5, 42), "image/pgm", None, None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    r = multimodal.resize_media(df, 3, 2).collect()[0]
+    assert (r.width, r.height) == (3, 2) and r.resize_error is None

@@ -34,7 +34,7 @@ GATE_SLOTS = 50
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation on a fixed
-# cadence (roughly every fourth round now that 198 oracled queries
+# cadence (roughly every fourth round now that 199 oracled queries
 # share 50 slots). Round 8: the 42 GATE_PENDING first-timers
 # (q168-q211 oracled additions, never driver-attested) take the
 # window along with the 8 longest-parked returners — the head of
@@ -215,6 +215,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q222_revenue_concentration",
     "q223_quality_auc",
     "q224_source_lang_mutual_info",
+    "q225_integrity_audit",
 )
 
 

@@ -7360,3 +7360,104 @@ def q224_source_lang_mutual_info(
             6,
         ).alias("mi_nats"),
     ).select("n", "mi5_numerator", "mi_nats")
+
+
+@q(
+    "q225_integrity_audit",
+    """
+    SELECT 'customer_pk_dups' AS check_name,
+           (SELECT COUNT(*) FROM (
+                SELECT c_custkey FROM customer
+                GROUP BY c_custkey HAVING COUNT(*) > 1))::BIGINT
+               AS n_violations
+    UNION ALL
+    SELECT 'lineitem_order_orphans',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+    UNION ALL
+    SELECT 'orders_customer_orphans',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+    UNION ALL
+    SELECT 'orders_pk_dups',
+           (SELECT COUNT(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING COUNT(*) > 1))::BIGINT
+    UNION ALL
+    SELECT 'quantity_check',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT (l_quantity > 0) OR l_quantity IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'discount_range_check',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT (l_discount >= 0 AND l_discount <= 1)
+               OR l_discount IS NULL)::BIGINT
+    ORDER BY check_name
+    """,
+)
+def q225_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference DDL's constraint surface as a one-page audit
+    (operators/quality.py — PK/UNIQUE dup groups, FK orphans, CHECK
+    violations; the reference enforces these in SQL Server DDL,
+    Spark re-expresses them as violation queries per SURVEY §1.3):
+    one row per check with its violation count, zero meaning
+    healthy — the post-load gate a warehouse runs after every
+    commit, previously driver-invisible inside pipeline.run_etl's
+    audit dict. Exactness: pure integer counts. Scale: each check is
+    one partial-combining aggregate or one anti-join on the
+    checked table's key — they pipeline with the load's scan; the
+    final union is 6 literal-labeled 1-row frames."""
+    from ..operators import quality
+
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    cu = table(spark, "customer", sf_dir)
+
+    def count1(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_violations")
+        ).select(F.lit(name).alias("check_name"), "n_violations")
+
+    checks = [
+        count1(
+            "customer_pk_dups", quality.duplicate_keys(cu, ["c_custkey"])
+        ),
+        count1(
+            "lineitem_order_orphans",
+            quality.fk_orphans(
+                li.select(F.col("l_orderkey").alias("o_orderkey")),
+                o,
+                ["o_orderkey"],
+            ),
+        ),
+        count1(
+            "orders_customer_orphans",
+            quality.fk_orphans(
+                o.select(F.col("o_custkey").alias("c_custkey")),
+                cu,
+                ["c_custkey"],
+            ),
+        ),
+        count1(
+            "orders_pk_dups", quality.duplicate_keys(o, ["o_orderkey"])
+        ),
+        count1(
+            "quantity_check",
+            quality.check_violations(li, F.col("l_quantity") > 0),
+        ),
+        count1(
+            "discount_range_check",
+            quality.check_violations(
+                li,
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

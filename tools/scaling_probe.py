@@ -273,6 +273,7 @@ PROBES = [
     "q93_decontaminated_export",
     "q195_quantile_normalize",
     "q222_revenue_concentration",
+    "q225_integrity_audit",
 ]
 
 

@@ -216,6 +216,10 @@ GATE_PENDING: tuple[str, ...] = (
     "q223_quality_auc",
     "q224_source_lang_mutual_info",
     "q225_integrity_audit",
+    "q226_png_decode_meta",
+    "q227_gif_decode_meta",
+    "q228_grouped_ols_regression",
+    "q229_gif_frame_extract",
 )
 
 

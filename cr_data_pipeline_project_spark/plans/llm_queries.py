@@ -7461,3 +7461,233 @@ def q225_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@q(
+    "q226_png_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           (3 + doc_id % 6)::INTEGER AS width,
+           (5 + doc_id % 4)::INTEGER AS height,
+           (doc_id % 256)::INTEGER AS mean_val
+    FROM documents
+    """,
+)
+def q226_png_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, end to end — the third lib-free image
+    container after PPM (q99) and BMP (q220), and the first
+    COMPRESSED one: per-document payloads are synthesized as genuine
+    PNGs (multimodal.synth_png — signature, IHDR, zlib-deflated
+    IDAT, CRC32 on every chunk) with the per-row filter type
+    rotating y % 5, then decoded back by the REAL parser
+    (multimodal.decode_png_features: chunk walk + CRC verification,
+    inflate, scanline unfiltering through all five
+    None/Sub/Up/Average/Paeth reconstructions) via the same Arrow
+    dispatch as WAV/PPM/BMP. Heights are >= 5 so EVERY payload
+    exercises every filter path. The oracle predicts parsed
+    dimensions and the constant fill recovered from the decoded
+    channel means — a corruption anywhere in the compressed round
+    trip (chunk layout, CRC, inflate, filter reconstruction,
+    normalization) hash-mismatches. n_bytes is deliberately NOT
+    projected: deflate output size is an implementation detail, not
+    SQL-predictable arithmetic like the fixed-layout formats.
+    Payload bytes never shuffle — synth and decode fuse into one
+    narrow Arrow stage."""
+    media = _synth_image_media(
+        spark,
+        sf_dir,
+        lambda i: (3 + (i % 6), 5 + (i % 4), i % 256),
+        multimodal.synth_png,
+        "image/png",
+    )
+    return multimodal.decode_media_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1) * 255).cast("int").alias("mean_val"),
+    )
+
+
+@q(
+    "q227_gif_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           (3 + doc_id % 6)::INTEGER AS width,
+           (2 + doc_id % 5)::INTEGER AS height,
+           (doc_id % 256)::INTEGER AS mean_val
+    FROM documents
+    """,
+)
+def q227_gif_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, end to end — the fourth lib-free image
+    container and the first ENTROPY-CODED one: per-document payloads
+    are synthesized as genuine GIF87a containers
+    (multimodal.synth_gif — logical screen descriptor, global color
+    table, REAL growing-dictionary LZW image data in 255-byte
+    sub-blocks), then decoded back by the from-scratch parser
+    (multimodal.decode_gif_features: block walk, sub-block
+    reassembly, variable-width LZW expansion with CLEAR/END and
+    dictionary growth, palette lookup) via the same Arrow dispatch
+    as WAV/PPM/BMP/PNG. The oracle predicts parsed dimensions and
+    the constant fill recovered from the decoded channel means — a
+    corruption anywhere in the bit-level round trip (LSB-first code
+    packing, code-width widening, palette indexing) hash-mismatches.
+    n_bytes is deliberately NOT projected — LZW output size is an
+    implementation detail, not fixed-layout arithmetic. Payload
+    bytes never shuffle — synth and decode fuse into one narrow
+    Arrow stage."""
+    media = _synth_image_media(
+        spark,
+        sf_dir,
+        lambda i: (3 + (i % 6), 2 + (i % 5), i % 256),
+        multimodal.synth_gif,
+        "image/gif",
+    )
+    return multimodal.decode_media_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1) * 255).cast("int").alias("mean_val"),
+    )
+
+
+@q(
+    "q228_grouped_ols_regression",
+    """
+    SELECT l_returnflag,
+           n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+                 6) AS intercept,
+           ROUND(
+             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+           6) AS r2
+    FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               (SUM(l_quantity::DECIMAL(28,6)))::DOUBLE AS sx,
+               (SUM(l_extendedprice::DECIMAL(28,6)))::DOUBLE AS sy,
+               (SUM((l_quantity*l_quantity)::DECIMAL(28,6)))::DOUBLE AS sxx,
+               (SUM((l_extendedprice*l_extendedprice)::DECIMAL(28,6)))::DOUBLE
+                   AS syy,
+               (SUM((l_quantity*l_extendedprice)::DECIMAL(28,6)))::DOUBLE
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag) t
+    ORDER BY l_returnflag
+    """,
+)
+def q228_grouped_ols_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped closed-form OLS (extended price regressed on quantity
+    per return flag) — the normal-equations fit every per-segment
+    price model starts from, and q118's correlation moved to a full
+    slope/intercept/R² readout. EXACT cross-engine parity: the five
+    moment sums accumulate as DECIMAL (order-free), and
+    slope/intercept/R² are then fixed chains of IEEE double ops
+    rounded at 1e-6 — `regr_slope`-style float built-ins would never
+    hash-match. Scale: ONE partial-combining aggregate over the fact
+    table (the same single-pass moment kernel as q118/q207's
+    Welch), group count bounded by flag cardinality; the fit itself
+    is arithmetic on a handful of rows. The 100 TB form is
+    unchanged — moments are map-side combinable no matter the row
+    count."""
+    li = table(spark, "lineitem", sf_dir)
+    dec = "decimal(28,6)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - sx * slope) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@q(
+    "q229_gif_frame_extract",
+    """
+    SELECT doc_id AS media_id,
+           f::INTEGER AS frame_idx,
+           (3 + doc_id % 6)::INTEGER AS width,
+           (2 + doc_id % 5)::INTEGER AS height,
+           ((doc_id * 7 + 31 * f) % 256)::INTEGER AS mean_val
+    FROM documents, UNNEST(range(0, 2 + doc_id % 3)) AS t(f)
+    """,
+)
+def q229_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-shaped frame extraction: per-document ANIMATED
+    GIF89a containers (multimodal.synth_gif_anim — 2-4 full-coverage
+    frames each, graphic-control + looping application extensions
+    between image blocks) are decoded frame by frame
+    (multimodal.gif_frame_features: block walk skipping the
+    extensions, per-frame LZW expansion, palette lookup, per-frame
+    channel means) — the container → frame stream → per-frame
+    features pipeline an MP4 frame-sampling job runs, against the
+    one animated container the standard library can honestly decode
+    (q43's frame_sample_plan is the same plan WITHOUT a real codec;
+    this query is the end-to-end proof with one). The oracle
+    predicts the exact frame inventory (2 + doc_id % 3 frames) and
+    each frame's fill recovered from its decoded mean — a wrong
+    frame count, a swallowed extension block, or cross-frame LZW
+    state bleed all hash-mismatch. Scale: synth + decode fuse into
+    one narrow Arrow stage; fan-out is metadata-sized feature rows
+    (≤4 per doc), payload bytes never shuffle."""
+    import pandas as pd
+
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_gif_anim(
+                            3 + (i % 6),
+                            2 + (i % 5),
+                            [(i * 7 + 31 * f) % 256 for f in range(2 + i % 3)],
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["image/gif"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    return multimodal.gif_frame_features(media).select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("r") * 255).cast("int").alias("mean_val"),
+    )

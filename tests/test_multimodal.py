@@ -446,3 +446,314 @@ def test_pgm_resize_matches_ppm_center_rule(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     r = multimodal.resize_media(df, 3, 2).collect()[0]
     assert (r.width, r.height) == (3, 2) and r.resize_error is None
+
+
+# ------------------------------------------------------------------ #
+# PNG (zlib-compressed, filtered) — the third lib-free image          #
+# container and the first COMPRESSED one                              #
+# ------------------------------------------------------------------ #
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """_png_encode -> _parse_png is pixel-exact for random grids in
+    every supported color type, with the rotating y%5 filter
+    schedule exercising all five reconstruction paths."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for h, w in [(1, 1), (2, 3), (7, 5), (11, 13)]:
+            g = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+            p = multimodal._png_encode(g, color_type=ct)
+            W, H, C, out = multimodal._parse_png(p)
+            assert (W, H, C) == (w, h, ch)
+            assert np.array_equal(out, g)
+
+
+def test_png_each_filter_type_alone():
+    """Pin each filter type individually — a broken Paeth must not
+    hide behind a passing Sub on the same image."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        p = multimodal._png_encode(g, color_type=2, filters=[f] * 6)
+        _, _, _, out = multimodal._parse_png(p)
+        assert np.array_equal(out, g), f"filter {f}"
+
+
+def test_png_synth_decode_features():
+    payload = multimodal.synth_png(5, 6, 200)
+    d = multimodal.decode_png_features(payload)
+    assert (d["width"], d["height"]) == (5, 6)
+    assert abs(d["feat"][0] - 200 / 255.0) < 1e-12
+    assert abs(d["feat"][3] - 200 / 255.0) < 1e-9
+
+
+def test_png_grayscale_replicates_mean():
+    import numpy as np
+
+    g = np.full((4, 4), 60, dtype=np.uint8)
+    p = multimodal._png_encode(g, color_type=0)
+    d = multimodal.decode_png_features(p)
+    assert d["feat"][0] == d["feat"][1] == d["feat"][2]
+    assert abs(d["feat"][0] - 60 / 255.0) < 1e-12
+
+
+def test_png_crc_and_truncation_rejected():
+    import pytest as _pytest
+
+    good = multimodal.synth_png(4, 5, 9)
+    flipped = bytearray(good)
+    flipped[20] ^= 0xFF  # inside IHDR data -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        multimodal._parse_png(bytes(flipped))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        multimodal._parse_png(b"\x89PNX" + good[4:])
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        multimodal._parse_png(good[:30])
+    with _pytest.raises(ValueError, match="missing IHDR or IEND"):
+        multimodal._parse_png(good[: len(good) - 4])
+
+
+def test_png_rejects_unsupported_variants():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    g = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = multimodal._png_encode(g, color_type=2)
+    # corrupt IHDR fields and re-CRC so only the semantic gate fires
+    ihdr = bytearray(good[16:29])
+
+    def rebuilt(mut):
+        d = bytearray(ihdr)
+        mut(d)
+        return (
+            good[:8]
+            + multimodal._png_chunk(b"IHDR", bytes(d))
+            + good[33:]
+        )
+
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal._parse_png(rebuilt(lambda d: d.__setitem__(8, 16)))  # depth
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal._parse_png(rebuilt(lambda d: d.__setitem__(9, 3)))  # palette
+    with _pytest.raises(ValueError, match="interlace"):
+        multimodal._parse_png(rebuilt(lambda d: d.__setitem__(12, 1)))
+    # declared dims inconsistent with the inflated stream
+    with _pytest.raises(ValueError, match="scanlines"):
+        multimodal._parse_png(
+            rebuilt(lambda d: struct.pack_into(">I", d, 0, 3))
+        )
+
+
+def test_png_resize_matches_bmp_kernel():
+    """PNG resize must pick the SAME nearest-neighbor samples as the
+    BMP/PPM kernels (shared center rule)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    png = multimodal._png_encode(g, color_type=2)
+    out = multimodal.resize_png(png, 3, 4)
+    _, _, C, gp = multimodal._parse_png(out)
+    rows = np.minimum(((np.arange(4) + 0.5) * 9 / 4).astype(int), 8)
+    cols = np.minimum(((np.arange(3) + 0.5) * 7 / 3).astype(int), 6)
+    assert C == 3 and np.array_equal(gp, g[rows][:, cols])
+
+
+def test_png_resize_preserves_color_type():
+    import numpy as np
+
+    g = np.random.RandomState(5).randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    out = multimodal.resize_png(
+        multimodal._png_encode(g, color_type=6), 2, 2
+    )
+    _, _, C, _ = multimodal._parse_png(out)
+    assert C == 4
+
+
+def test_decode_dispatch_routes_png(spark):
+    rows = [
+        (1, multimodal.synth_png(3, 5, 200), "image/png", None, None, None),
+        (2, b"\x89PNG broken", "image/png", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.decode_media_features(df).collect()
+    }
+    assert out[1].decode_error is None
+    assert (out[1].width, out[1].height) == (3, 5)
+    assert abs(out[1].feat[0] - 200 / 255.0) < 1e-6
+    assert out[2].decode_error is not None
+
+
+def test_resize_media_routes_png(spark):
+    rows = [(1, multimodal.synth_png(6, 5, 42), "image/png", None, None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_media(df, 3, 2).collect()[0]
+    assert (out.width, out.height) == (3, 2) and out.resize_error is None
+    d = multimodal.decode_png_features(bytes(out.payload))
+    assert abs(d["feat"][0] - 42 / 255.0) < 1e-12
+
+
+# ------------------------------------------------------------------ #
+# GIF (LZW entropy-coded, palette) — the fourth lib-free image        #
+# container                                                           #
+# ------------------------------------------------------------------ #
+
+
+def test_gif_roundtrip_random_grids():
+    """_gif_encode -> _parse_gif is index-exact across palette sizes
+    — the LZW encode/decode pair must agree through code-width
+    widening and dictionary growth."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    for npal in (2, 4, 16, 100, 256):
+        for h, w in [(1, 1), (3, 5), (17, 23)]:
+            pal = rng.randint(0, 256, (npal, 3), dtype=np.uint8)
+            g = rng.randint(0, npal, (h, w)).astype(np.uint8)
+            W, H, P, out = multimodal._parse_gif(multimodal._gif_encode(g, pal))
+            assert (W, H) == (w, h)
+            assert np.array_equal(out, g)
+            assert np.array_equal(P[:npal], pal)
+
+
+def test_gif_lzw_dictionary_overflow_and_clear():
+    """An 80x80 random 256-color frame forces the dictionary past
+    4096 — the encoder must emit CLEAR and the decoder must reset
+    its table and code width mid-stream."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    g = rng.randint(0, 256, (80, 80)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    _, _, _, out = multimodal._parse_gif(multimodal._gif_encode(g, pal))
+    assert np.array_equal(out, g)
+
+
+def test_gif_lzw_kwkwk_case():
+    """aaa... runs hit the code==len(table) self-reference case."""
+    import numpy as np
+
+    g = np.zeros((1, 50), dtype=np.uint8)
+    pal = np.array([[7, 7, 7], [0, 0, 0]], dtype=np.uint8)
+    _, _, _, out = multimodal._parse_gif(multimodal._gif_encode(g, pal))
+    assert np.array_equal(out, g)
+
+
+def test_gif_synth_decode_features():
+    payload = multimodal.synth_gif(6, 5, 200)
+    d = multimodal.decode_gif_features(payload)
+    assert (d["width"], d["height"]) == (6, 5)
+    assert abs(d["feat"][0] - 200 / 255.0) < 1e-12
+    assert abs(d["feat"][3] - 200 / 255.0) < 1e-9
+
+
+def test_gif_rejects_corrupt_and_unsupported():
+    import pytest as _pytest
+
+    good = multimodal.synth_gif(4, 3, 9)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        multimodal._parse_gif(b"GIF89x" + good[6:])
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal._parse_gif(good[:20])
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal._parse_gif(good[:-5])
+    # interlace flag must be refused, not mis-decoded
+    flipped = bytearray(good)
+    # image descriptor starts after header(6)+lsd(7)+gct(2*3)
+    desc = 6 + 7 + 6
+    assert flipped[desc] == 0x2C
+    flipped[desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        multimodal._parse_gif(bytes(flipped))
+
+
+def test_gif_resize_palette_space_matches_center_rule():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 16, (9, 7)).astype(np.uint8)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    out = multimodal.resize_gif(multimodal._gif_encode(g, pal), 3, 4)
+    _, _, P, g2 = multimodal._parse_gif(out)
+    rows = np.minimum(((np.arange(4) + 0.5) * 9 / 4).astype(int), 8)
+    cols = np.minimum(((np.arange(3) + 0.5) * 7 / 3).astype(int), 6)
+    assert np.array_equal(g2, g[rows][:, cols])
+    assert np.array_equal(P[:16], pal)
+
+
+def test_decode_dispatch_routes_gif(spark):
+    rows = [
+        (1, multimodal.synth_gif(3, 5, 200), "image/gif", None, None, None),
+        (2, b"GIF87a broken", "image/gif", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.decode_media_features(df).collect()
+    }
+    assert out[1].decode_error is None
+    assert (out[1].width, out[1].height) == (3, 5)
+    assert abs(out[1].feat[0] - 200 / 255.0) < 1e-6
+    assert out[2].decode_error is not None
+
+
+def test_resize_media_routes_gif(spark):
+    rows = [(1, multimodal.synth_gif(6, 5, 42), "image/gif", None, None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_media(df, 3, 2).collect()[0]
+    assert (out.width, out.height) == (3, 2) and out.resize_error is None
+    d = multimodal.decode_gif_features(bytes(out.payload))
+    assert abs(d["feat"][0] - 42 / 255.0) < 1e-12
+
+
+def test_gif_anim_multi_frame_roundtrip():
+    """synth_gif_anim -> _parse_gif_frames yields one constant frame
+    per value, in order, through the interleaved GCE/application
+    extension blocks."""
+    import numpy as np
+
+    p = multimodal.synth_gif_anim(5, 4, [10, 200, 77])
+    frames = multimodal._parse_gif_frames(p)
+    assert len(frames) == 3
+    for want, (w, h, pal, g) in zip([10, 200, 77], frames):
+        assert (w, h) == (5, 4)
+        assert (pal[g] == want).all()
+    # max_frames stops decode early; single-frame API = frame 0
+    assert len(multimodal._parse_gif_frames(p, max_frames=2)) == 2
+    w, h, pal, g = multimodal._parse_gif(p)
+    assert (pal[g] == 10).all()
+
+
+def test_gif_frame_features_operator(spark):
+    rows = [
+        (1, multimodal.synth_gif_anim(3, 2, [0, 128, 255]), "image/gif",
+         None, None, None),
+        (2, b"GIF89a broken", "image/gif", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.gif_frame_features(df).collect()
+    ok = sorted(
+        (r for r in out if r.media_id == 1), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in ok] == [0, 1, 2]
+    assert [round(r.r * 255) for r in ok] == [0, 128, 255]
+    assert all((r.width, r.height) == (3, 2) for r in ok)
+    bad = [r for r in out if r.media_id == 2]
+    assert len(bad) == 1 and bad[0].frame_error is not None
+    assert bad[0].frame_idx is None
+
+
+def test_gif_frame_features_max_frames_cap(spark):
+    rows = [(1, multimodal.synth_gif_anim(3, 2, list(range(4))),
+             "image/gif", None, None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.gif_frame_features(df, max_frames=2).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 1]

@@ -336,3 +336,69 @@ def textrank_topk(
     finally:
         for g in gens:
             g.unpersist()
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected simple graph — the
+    clustering-coefficient numerator and the standard density probe
+    for co-occurrence / near-dup graphs (a dedup pair graph whose
+    triangle rate spikes is transitive — clusters, not isolated
+    pairs — which changes the keep-one survivor math).
+
+    The scalable degree-ordered orientation (Cohen / "MapReduce
+    triangle" construction, public algorithm): canonicalize +
+    distinct the edges, compute degrees, orient every edge from its
+    lower-(degree, id) endpoint to the higher one — every triangle
+    then has EXACTLY ONE wedge at its minimum vertex, so counting
+    (a→b, a→c) wedges that close with an oriented (b→c) edge counts
+    each triangle once. The wedge fan-out is Σ d_out(v)² where
+    d_out ≤ O(√m) by construction — the join never explodes on a
+    hub vertex the way naive adjacency joins do.
+
+    Returns a 1-row DataFrame (n_triangles BIGINT). Scale: the
+    canonical edge set and the oriented edge set are each consumed
+    2-3 times (degrees, both wedge legs, closure), so both persist
+    for the duration of the count — without it every leg re-derives
+    the full upstream edge-generation lineage (the q231 co-purchase
+    build re-ran its self-join three times: 30 scans → 2). The
+    shuffles that remain are key-column-only; no vertex ever holds
+    its full neighborhood in memory."""
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient from lower (degree, id) to higher (degree, id)
+    ranked = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    ).persist()
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    # close the wedge with an oriented edge in EITHER direction
+    closing = oriented.select(
+        F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c")
+    )
+    return wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -328,3 +328,62 @@ def pps_sample_per_group(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def laplace_ln5(key: Column, seed: str) -> tuple[Column, Column]:
+    """Seeded deterministic Laplace building blocks for
+    differentially-private releases: returns ``(cdev, ln5)`` where
+    ``cdev`` ∈ (−½, ½) is the md5-lottery uniform deviate centered
+    at zero (u = (u32 + ½)/2³², never exactly ½, so the log argument
+    is always positive) and ``ln5`` is the inverse-CDF log term
+    ``ln(1 − 2·|cdev|)`` PINNED to integer 1e-5 units (the drift
+    module's _ln5 convention — one libm call, engine-portable).
+    The caller scales by its sensitivity/ε and adds:
+    ``noise = −sign(cdev) · b · ln5 / 1e5``.
+
+    Determinism is the point: the same key + seed yields the same
+    noise forever, across runs, partitionings, and engines (DuckDB
+    twin spelled with the same md5 prefix arithmetic), so a noisy
+    release is reproducible and auditable while still Laplace(b)-
+    distributed across keys."""
+    u32 = _md5_u32(F.concat(F.lit(seed + ":"), key.cast("string")))
+    cdev = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(
+        0.5
+    )
+    ln5 = (
+        F.round(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(cdev)) * 100000)
+        .cast("bigint")
+    )
+    return cdev, ln5
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """ε-differentially-private group counts via the seeded Laplace
+    mechanism: exact per-group counts plus Laplace(1/ε) noise keyed
+    on the group value (unit sensitivity — one row moves one count).
+    Output: (group, n_true, noisy_n) — callers release ``noisy_n``
+    and drop ``n_true`` at the trust boundary; both are kept here so
+    the release job can log calibration.
+
+    Scale: ONE partial-combining aggregate; the noise is a map-side
+    projection on the (bounded) group rows. The noise column never
+    touches row data — group-keyed, so releasing repeatedly does not
+    average the noise away (the classic DP-release mistake)."""
+    b = 1.0 / float(epsilon)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    cdev, ln5 = laplace_ln5(F.col(group_col), seed)
+    noise = F.round(
+        -F.signum(cdev) * F.lit(b) * ln5.cast("double") / F.lit(100000.0)
+    ).cast("bigint")
+    return agg.select(
+        group_col,
+        "n_true",
+        (F.col("n_true") + noise).alias("noisy_n"),
+    )

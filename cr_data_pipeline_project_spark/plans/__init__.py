@@ -220,6 +220,10 @@ GATE_PENDING: tuple[str, ...] = (
     "q227_gif_decode_meta",
     "q228_grouped_ols_regression",
     "q229_gif_frame_extract",
+    "q230_dp_source_histogram",
+    "q231_copurchase_triangles",
+    "q232_ngram_overlap_scores",
+    "q233_pareto_frontier",
 )
 
 

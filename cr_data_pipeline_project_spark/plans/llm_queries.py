@@ -7691,3 +7691,313 @@ def q229_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round(F.col("r") * 255).cast("int").alias("mean_val"),
     )
+
+
+@q(
+    "q230_dp_source_histogram",
+    """
+    WITH c AS (
+        SELECT source, COUNT(*)::BIGINT AS n_true
+        FROM documents GROUP BY source),
+    h AS (
+        SELECT source, n_true,
+               (('0x' || substr(md5('dp-v1:' || source), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0 - 0.5 AS cdev
+        FROM c),
+    p AS (
+        SELECT source, n_true, cdev,
+               ROUND(ln(1 - 2 * abs(cdev)) * 100000)::BIGINT AS ln5
+        FROM h)
+    SELECT source, n_true,
+           (n_true
+            + ROUND(-sign(cdev) * 2.0 * ln5::DOUBLE / 100000.0)::BIGINT)
+               AS noisy_n
+    FROM p ORDER BY source
+    """,
+)
+def q230_dp_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-source document counts
+    (ε = 0.5, Laplace b = 1/ε = 2) — the governance release form of
+    q201's datasheet: what a corpus owner can publish about source
+    composition without revealing whether any single document is in
+    the corpus. The noise is the SEEDED deterministic Laplace
+    mechanism (sampling.dp_noisy_counts): the uniform deviate is the
+    module's portable md5 lottery keyed on seed+source, the
+    inverse-CDF log term pins to integer 1e-5 units (q224's _ln5
+    convention), and the scale/round finish is a fixed IEEE chain —
+    so the release is bit-reproducible across engines (this oracle
+    IS the DuckDB twin of the mechanism) and auditable, while still
+    Laplace(2)-distributed across sources. Determinism is also the
+    correct release discipline: re-running cannot average the noise
+    away. Scale: one partial-combining count + a map-side noise
+    projection on the source-bounded rows."""
+    from ..operators.sampling import dp_noisy_counts
+
+    return dp_noisy_counts(
+        table(spark, "documents", sf_dir), "source", epsilon=0.5,
+        seed="dp-v1",
+    ).orderBy("source")
+
+
+@q(
+    "q231_copurchase_triangles",
+    """
+    WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey)
+    SELECT COUNT(*)::BIGINT AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def q231_copurchase_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global triangle count over the part co-purchase graph (parts
+    are adjacent when some order contains both) — the graph-density
+    probe behind 'frequently bought together' clustering, and the
+    clustering-coefficient numerator a dedup-pair-graph audit runs
+    to detect transitive near-dup families (graph.triangle_count's
+    contract). Spark runs the DEGREE-ORDERED ORIENTATION algorithm —
+    canonical distinct edges, degrees, orient low→high (degree, id),
+    count wedges at each minimum vertex closed by a third edge: each
+    triangle counted exactly once with wedge fan-out bounded by
+    d_out = O(√m), the construction that survives hub vertices at
+    100 TB. The oracle counts the same triangles by naive ordered
+    3-clique self-join (x<y<z) — algorithm-independent ground truth;
+    any orientation bug (double count, dropped tie-break) mismatches
+    the single BIGINT. Scale: edge gen is an order-key equi-join
+    (never all-pairs), then two key-only shuffles; no adjacency list
+    ever materializes on one node."""
+    from ..operators.graph import triangle_count
+
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+@q(
+    "q232_ngram_overlap_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents),
+    pairs AS (
+        SELECT doc_id AS cand_id,
+               LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS ref_id
+        FROM toks),
+    p AS (SELECT cand_id, ref_id FROM pairs WHERE ref_id IS NOT NULL),
+    uni AS (
+        SELECT doc_id, u.tok, COUNT(*)::BIGINT AS c
+        FROM toks, UNNEST(t) AS u(tok) GROUP BY doc_id, u.tok),
+    bt AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1]) AS g
+        FROM toks),
+    bi AS (
+        SELECT doc_id, u.tok, COUNT(*)::BIGINT AS c
+        FROM bt, UNNEST(g) AS u(tok) GROUP BY doc_id, u.tok),
+    u_clip AS (
+        SELECT p.cand_id, SUM(LEAST(cu.c, ru.c))::BIGINT AS hit1
+        FROM p
+        JOIN uni cu ON cu.doc_id = p.cand_id
+        JOIN uni ru ON ru.doc_id = p.ref_id AND ru.tok = cu.tok
+        GROUP BY p.cand_id),
+    b_clip AS (
+        SELECT p.cand_id, SUM(LEAST(cb.c, rb.c))::BIGINT AS hit2
+        FROM p
+        JOIN bi cb ON cb.doc_id = p.cand_id
+        JOIN bi rb ON rb.doc_id = p.ref_id AND rb.tok = cb.tok
+        GROUP BY p.cand_id),
+    lens AS (SELECT doc_id, len(t)::BIGINT AS n FROM toks)
+    SELECT p.cand_id, p.ref_id,
+           COALESCE(u.hit1, 0) AS hit1,
+           COALESCE(b.hit2, 0) AS hit2,
+           lc.n AS cand_len, lr.n AS ref_len,
+           ROUND(COALESCE(u.hit1, 0)::DOUBLE / lc.n::DOUBLE, 6) AS p1,
+           ROUND(COALESCE(b.hit2, 0)::DOUBLE
+                 / GREATEST(lc.n - 1, 1)::DOUBLE, 6) AS p2,
+           ROUND(CASE WHEN lc.n >= lr.n THEN 1.0
+                      ELSE exp(1.0 - lr.n::DOUBLE / lc.n::DOUBLE) END,
+                 6) AS brevity_penalty
+    FROM p
+    LEFT JOIN u_clip u ON u.cand_id = p.cand_id
+    LEFT JOIN b_clip b ON b.cand_id = p.cand_id
+    JOIN lens lc ON lc.doc_id = p.cand_id
+    JOIN lens lr ON lr.doc_id = p.ref_id
+    ORDER BY p.cand_id
+    """,
+)
+def q232_ngram_overlap_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLEU-style pairwise n-gram overlap scoring — the eval-harness
+    primitive for grading generated text against references at
+    corpus scale (clipped unigram/bigram precision + brevity
+    penalty, the public BLEU construction): each document scored
+    against a deterministic reference partner (its successor within
+    the source, the same LEAD pairing q96's snapshot diff uses).
+    Exactness: hits are CLIPPED integer multiset intersections
+    (Σ min(count_cand, count_ref) per gram — the part naive set
+    intersection gets wrong on repeated grams), lengths are BIGINT,
+    p1/p2 are single IEEE divisions and the brevity penalty is ONE
+    exp() call, each rounded at 1e-6. Scale: tokenize once, explode
+    to (doc, gram, count) postings — the same posting shape as
+    q70/q153's index — then two pair-key joins; nothing is
+    quadratic in corpus size (each doc meets exactly one reference)
+    and the gram joins shuffle posting rows, never documents."""
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("cand_id"),
+            F.lead("doc_id").over(w).alias("ref_id"),
+        )
+        .where(F.col("ref_id").isNotNull())
+    )
+    uni = (
+        docs.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array() "
+                    "ELSE transform(sequence(0, size(t) - 2), "
+                    "i -> concat_ws(' ', t[i], t[i+1])) END"
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def clipped(grams: DataFrame, out: str) -> DataFrame:
+        cu = grams.select(
+            F.col("doc_id").alias("cand_id"),
+            "tok",
+            F.col("c").alias("cc"),
+        )
+        ru = grams.select(
+            F.col("doc_id").alias("ref_id"),
+            "tok",
+            F.col("c").alias("rc"),
+        )
+        return (
+            pairs.join(cu, "cand_id")
+            .join(ru, ["ref_id", "tok"])
+            .groupBy("cand_id")
+            .agg(F.sum(F.least("cc", "rc")).cast("bigint").alias(out))
+        )
+    lens = docs.select("doc_id", F.size("t").cast("bigint").alias("n"))
+    out = (
+        pairs.join(clipped(uni, "hit1"), "cand_id", "left")
+        .join(clipped(bi, "hit2"), "cand_id", "left")
+        .join(lens.withColumnRenamed("doc_id", "cand_id")
+                  .withColumnRenamed("n", "cand_len"), "cand_id")
+        .join(lens.withColumnRenamed("doc_id", "ref_id")
+                  .withColumnRenamed("n", "ref_len"), "ref_id")
+    )
+    hit1 = F.coalesce(F.col("hit1"), F.lit(0).cast("bigint"))
+    hit2 = F.coalesce(F.col("hit2"), F.lit(0).cast("bigint"))
+    bp = F.when(
+        F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)
+    ).otherwise(
+        F.exp(
+            F.lit(1.0)
+            - F.col("ref_len").cast("double")
+            / F.col("cand_len").cast("double")
+        )
+    )
+    return out.select(
+        "cand_id",
+        "ref_id",
+        hit1.alias("hit1"),
+        hit2.alias("hit2"),
+        "cand_len",
+        "ref_len",
+        F.round(
+            hit1.cast("double") / F.col("cand_len").cast("double"), 6
+        ).alias("p1"),
+        F.round(
+            hit2.cast("double")
+            / F.greatest(F.col("cand_len") - 1, F.lit(1)).cast("double"),
+            6,
+        ).alias("p2"),
+        F.round(bp, 6).alias("brevity_penalty"),
+    ).orderBy("cand_id")
+
+
+@q(
+    "q233_pareto_frontier",
+    """
+    WITH pts AS (
+        SELECT DISTINCT p_retailprice AS price, p_size AS size
+        FROM part)
+    SELECT price, size
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts o
+        WHERE o.price <= p.price AND o.size >= p.size
+          AND (o.price < p.price OR o.size > p.size))
+    ORDER BY price, size
+    """,
+)
+def q233_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) over distinct part
+    (price, size) points — cheapest-for-the-size procurement
+    candidates, the classic skyline query. The oracle is the naive
+    O(n²) NOT-EXISTS dominance test; Spark runs the O(n log n)
+    sort-scan instead: order by (price ASC, size DESC) — every
+    earlier point then has price ≤ current — and a point survives
+    iff the running max of size over STRICTLY PRECEDING rows is
+    below its own size (equal size earlier implies strictly cheaper
+    price on distinct points, i.e. dominated; larger implies
+    dominated outright). ONE window pass over the deduped point set
+    replaces the quadratic self-join — the standard skyline
+    sweep-line, and the plan shape that survives 100 TB fact tables
+    (the window input is the DISTINCT point projection, bounded by
+    value cardinality, not row count; at extreme point cardinality
+    swap in the angular-partition skyline, same sweep per
+    partition + a frontier merge)."""
+    pts = (
+        table(spark, "part", sf_dir)
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .distinct()
+    )
+    w = (
+        Window.orderBy(F.asc("price"), F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("prev_max", F.max("size").over(w))
+        .where(
+            F.col("prev_max").isNull()
+            | (F.col("prev_max") < F.col("size"))
+        )
+        .select("price", "size")
+        .orderBy("price", "size")
+    )

@@ -166,3 +166,33 @@ def test_textrank_fast_path_equals_distributed(spark):
         for r in graph.textrank_topk(edf, k=10, small_graph_max=0)
     }
     assert fast == dist and len(fast) == 5
+
+
+def test_triangle_count_known_graphs(spark):
+    from cr_data_pipeline_project_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0].n_triangles
+
+    # K4 has C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tri(k4) == 4
+    # a path has none
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0
+    # two triangles sharing an edge
+    assert tri([(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]) == 2
+    # duplicate / reversed / self-loop edges must not change the count
+    noisy = k4 + [(b, a) for a, b in k4] + [(0, 1), (2, 2)]
+    assert tri(noisy) == 4
+
+
+def test_triangle_count_hub_star(spark):
+    """A star (hub + leaves, no leaf-leaf edges) has zero triangles —
+    the degree-ordered orientation must not explode or miscount on
+    the hub."""
+    from cr_data_pipeline_project_spark.operators.graph import triangle_count
+
+    edges = [(0, i) for i in range(1, 40)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == 1

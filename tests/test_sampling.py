@@ -252,3 +252,47 @@ def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
     for d in singles:
         if d not in clustered:
             assert out[d][1] == ref[d]
+
+
+def test_dp_noisy_counts_deterministic_and_scaled(spark):
+    """Seeded Laplace release: bit-identical across runs, noise
+    magnitude scales like 1/epsilon, and the noise matches the
+    md5-lottery inverse-CDF computed independently in Python."""
+    import hashlib
+    import math
+
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i % 7}", i) for i in range(200)], "source string, x int"
+    )
+    r1 = {
+        r.source: (r.n_true, r.noisy_n)
+        for r in dp_noisy_counts(df, "source", epsilon=0.5).collect()
+    }
+    r2 = {
+        r.source: (r.n_true, r.noisy_n)
+        for r in dp_noisy_counts(
+            df.repartition(13), "source", epsilon=0.5
+        ).collect()
+    }
+    assert r1 == r2  # partitioning-independent, rerun-stable
+
+    for source, (n_true, noisy_n) in r1.items():
+        u32 = int(
+            hashlib.md5(f"dp-v1:{source}".encode()).hexdigest()[:8], 16
+        )
+        cdev = (u32 + 0.5) / 4294967296.0 - 0.5
+        ln5 = round(math.log(1.0 - 2.0 * abs(cdev)) * 100000)
+        want = n_true + round(-math.copysign(1.0, cdev) * 2.0 * ln5 / 100000.0)
+        assert noisy_n == want, source
+
+    # epsilon=5 noise is 10x smaller than epsilon=0.5 noise
+    hi = {
+        r.source: abs(r.noisy_n - r.n_true)
+        for r in dp_noisy_counts(df, "source", epsilon=5.0).collect()
+    }
+    lo = {s: abs(n - t) for s, (t, n) in r1.items()}
+    assert sum(hi.values()) <= sum(lo.values())

@@ -273,3 +273,87 @@ def rrf_fuse(
         .where(F.col("rn") <= topk)
         .select("query_id", "doc_id", "rrf_score")
     )
+
+
+MMR_SCHEMA = (
+    "query_id long, neighbor_id long, mmr_rank int, mmr_score double"
+)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "score",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a per-query candidate shortlist: greedily pick the
+    candidate maximizing ``λ·relevance − (1−λ)·max cosine to the
+    already-picked set`` — the standard diversification pass between
+    ANN retrieval and context assembly (near-duplicate passages
+    burn context tokens without adding evidence; MMR keeps the
+    relevant-but-distinct ones).
+
+    Input: one row per (query, candidate) with the retrieval score
+    and the candidate's embedding; BOUNDED shortlists by contract
+    (the output of brute_force_topk / ivf_topk / rrf_fuse, k ≤ a few
+    hundred) — the greedy loop is O(shortlist²·d) per query and runs
+    inside ONE Arrow batch per query group. Determinism: relevance
+    and pairwise cosines pin to integer 1e-6 units before the
+    argmax, ties break on candidate id — so the selection is
+    bit-stable across partitionings and replicas (verified by the
+    pure-Python replica in test_retrieval).
+
+    Scale: ``applyInPandas`` over the query key — embarrassingly
+    parallel across queries, shuffle carries shortlist rows only
+    (never the corpus), and the quadratic term is bounded by the
+    shortlist contract, not data volume."""
+    import pandas as pd
+
+    lam = float(lam)
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(vecs, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        unit = vecs / nrm[:, None]
+        # integer 1e-6 pinning for a partitioning-proof argmax
+        rel6 = np.round(pdf[score_col].to_numpy(np.float64) * 1e6)
+        sim6 = np.round((unit @ unit.T) * 1e6)
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        for rank in range(min(k, n)):
+            if picked:
+                obj = lam * rel6 - (1.0 - lam) * max_sim
+            else:
+                obj = lam * rel6
+            obj = np.where(avail, obj, -np.inf)
+            best = int(np.argmax(obj))  # ties -> lowest index = lowest id
+            picked.append(best)
+            avail[best] = False
+            max_sim = np.maximum(max_sim, sim6[best])
+        sel = pdf.iloc[picked]
+        mmr6 = [
+            lam * rel6[i]
+            - (1.0 - lam) * (max(sim6[i][picked[:r]]) if r else 0.0)
+            for r, i in enumerate(picked)
+        ]
+        return pd.DataFrame(
+            {
+                "query_id": sel[query_col].to_numpy(),
+                "neighbor_id": sel[id_col].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                "mmr_score": [round(s / 1e6, 6) for s in mmr6],
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, MMR_SCHEMA)

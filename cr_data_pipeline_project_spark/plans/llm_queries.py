@@ -8001,3 +8001,40 @@ def q233_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "size")
         .orderBy("price", "size")
     )
+
+
+def q234_mmr_diversified_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MMR-diversified retrieval serving: the exact cosine shortlist
+    (q36's contract-bounded query set, 30 candidates each) re-ranked
+    by Maximal Marginal Relevance (λ=0.7, k=10) so near-duplicate
+    passages stop crowding the context window — the
+    diversification stage between ANN search (q36/q42/q115) and
+    context assembly, completing the retrieval serving stack
+    (postings → BM25 → RRF → MMR). Rows-only BY DESIGN: the greedy
+    argmax chains float multiplications no ANSI SQL replays, but the
+    selection itself is deterministic (1e-6-pinned integer
+    relevance/similarity, id tie-breaks) and
+    test_retrieval.py::test_mmr_matches_python_replica re-derives it
+    exactly with an independent pure-Python greedy. Scale: shortlist
+    rows only ever shuffle; the per-query quadratic term is bounded
+    by the 30-candidate contract."""
+    from ..operators.retrieval import mmr_rerank
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    shortlist = similarity.brute_force_topk(emb, queries, k=30)
+    cands = shortlist.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.as_double_vec("embedding").alias("emb"),
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(cands, k=10, lam=0.7).orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
+QUERIES["q234_mmr_diversified_topk"] = q234_mmr_diversified_topk

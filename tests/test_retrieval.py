@@ -160,3 +160,122 @@ def test_lexical_overlap_ranks_by_idf_not_raw_overlap(spark):
     assert 0 not in ranked  # no self-match
     assert ranked[0] == 1  # rare-term doc first
     assert set(ranked) == {1, 2, 3, 4}  # doc 5 shares nothing
+
+
+# ------------------------------------------------------------------ #
+# MMR diversification                                                 #
+# ------------------------------------------------------------------ #
+
+
+def _reference_mmr(cands, k, lam):
+    """Independent pure-Python MMR greedy: dict/list arithmetic, no
+    numpy, no Spark code shared. cands = list of (query_id,
+    neighbor_id, score, vec)."""
+    import math
+
+    by_q: dict = {}
+    for qid, nid, score, vec in cands:
+        by_q.setdefault(qid, []).append((nid, score, vec))
+    out = {}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r[0])
+
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            return [x / n for x in v]
+
+        units = [unit(r[2]) for r in rows]
+        rel6 = [round(r[1] * 1e6) for r in rows]
+
+        def sim6(i, j):
+            return round(sum(a * b for a, b in zip(units[i], units[j])) * 1e6)
+
+        picked: list[int] = []
+        max_s: list[float] = [float("-inf")] * len(rows)
+        sel = []
+        for rank in range(min(k, len(rows))):
+            best, best_obj = None, None
+            for i in range(len(rows)):
+                if i in picked:
+                    continue
+                obj = lam * rel6[i] - (
+                    (1.0 - lam) * max_s[i] if picked else 0.0
+                )
+                if best_obj is None or obj > best_obj:
+                    best, best_obj = i, obj
+            picked.append(best)
+            sel.append((rows[best][0], rank + 1))
+            for i in range(len(rows)):
+                max_s[i] = max(max_s[i], sim6(best, i))
+        out[qid] = sel
+    return out
+
+
+def _mmr_fixture_cands(spark, sf_dir):
+    from cr_data_pipeline_project_spark.operators import similarity
+    from cr_data_pipeline_project_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 6)
+    shortlist = similarity.brute_force_topk(emb, queries, k=20)
+    return shortlist.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.as_double_vec("embedding").alias("emb"),
+        ),
+        "neighbor_id",
+    )
+
+
+def test_mmr_matches_python_replica(spark, sf_dir):
+    cands = _mmr_fixture_cands(spark, sf_dir)
+    got = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in retrieval.mmr_rerank(cands, k=8, lam=0.7).collect()
+    }
+    raw = [
+        (r.query_id, r.neighbor_id, r.score, list(r.emb))
+        for r in cands.collect()
+    ]
+    want = _reference_mmr(raw, k=8, lam=0.7)
+    assert got == {
+        (qid, rank): nid for qid, sel in want.items() for nid, rank in sel
+    }
+
+
+def test_mmr_partitioning_invariant_and_shape(spark, sf_dir):
+    cands = _mmr_fixture_cands(spark, sf_dir)
+    a = retrieval.mmr_rerank(cands, k=8, lam=0.7).collect()
+    b = retrieval.mmr_rerank(cands.repartition(17), k=8, lam=0.7).collect()
+    key = lambda r: (r.query_id, r.mmr_rank, r.neighbor_id, r.mmr_score)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    per_q: dict = {}
+    for r in a:
+        per_q.setdefault(r.query_id, []).append(r)
+    shortlist = {
+        (r.query_id, r.neighbor_id) for r in cands.collect()
+    }
+    for qid, rows in per_q.items():
+        assert sorted(r.mmr_rank for r in rows) == list(range(1, 9))
+        assert all((qid, r.neighbor_id) in shortlist for r in rows)
+
+
+def test_mmr_rank1_is_top_relevance_and_lam1_is_identity(spark, sf_dir):
+    """λ=1 disables the diversity term: MMR must reproduce the
+    relevance order exactly; at any λ the first pick is the
+    top-relevance candidate."""
+    cands = _mmr_fixture_cands(spark, sf_dir)
+    base = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cands.select(
+            "query_id", "rank", "neighbor_id"
+        ).collect()
+    }
+    lam1 = retrieval.mmr_rerank(cands, k=8, lam=1.0).collect()
+    for r in lam1:
+        assert base[(r.query_id, r.mmr_rank)] == r.neighbor_id
+    lam7 = retrieval.mmr_rerank(cands, k=8, lam=0.7).collect()
+    for r in lam7:
+        if r.mmr_rank == 1:
+            assert base[(r.query_id, 1)] == r.neighbor_id

@@ -274,6 +274,18 @@ PROBES = [
     "q195_quantile_normalize",
     "q222_revenue_concentration",
     "q225_integrity_audit",
+    # round-8 continued: the codec/eval/graph additions (q227/q229/
+    # q230/q233 measured well under 1 s at sf0.1 but the codec and
+    # graph families are exactly where a complexity regression would
+    # hide, so they're probed anyway)
+    "q226_png_decode_meta",
+    "q227_gif_decode_meta",
+    "q228_grouped_ols_regression",
+    "q229_gif_frame_extract",
+    "q230_dp_source_histogram",
+    "q231_copurchase_triangles",
+    "q232_ngram_overlap_scores",
+    "q233_pareto_frontier",
 ]
 
 

@@ -347,24 +347,25 @@ def triangle_count(
     triangle rate spikes is transitive — clusters, not isolated
     pairs — which changes the keep-one survivor math).
 
-    The scalable degree-ordered orientation (Cohen / "MapReduce
-    triangle" construction, public algorithm): canonicalize +
-    distinct the edges, compute degrees, orient every edge from its
-    lower-(degree, id) endpoint to the higher one — every triangle
-    then has EXACTLY ONE wedge at its minimum vertex, so counting
-    (a→b, a→c) wedges that close with an oriented (b→c) edge counts
-    each triangle once. The wedge fan-out is Σ d_out(v)² where
-    d_out ≤ O(√m) by construction — the join never explodes on a
-    hub vertex the way naive adjacency joins do.
+    The scalable compact-forward construction (Latapy; the public
+    degree-ordered algorithm): canonicalize + distinct the edges,
+    compute degrees, orient every edge from its lower-(degree, id)
+    endpoint to the higher one, build each vertex's SORTED oriented
+    out-neighbor array (|adj| ≤ O(√m) by the orientation), then for
+    every oriented edge u→v count ``|adj(u) ∩ adj(v)|`` — a triangle
+    x<y<z (orientation order) is found exactly once, at its (x→y)
+    edge. The intersection runs INSIDE a JVM ``array_intersect`` on
+    two bounded sorted arrays — the quadratic wedge set
+    (Σ d_out², billions of rows on a degree-100 graph where this
+    survives as arrays) is never materialized as rows; intermediate
+    volume is 2|E| rows carrying O(√m)-bounded arrays.
 
     Returns a 1-row DataFrame (n_triangles BIGINT). Scale: the
-    canonical edge set and the oriented edge set are each consumed
-    2-3 times (degrees, both wedge legs, closure), so both persist
-    for the duration of the count — without it every leg re-derives
-    the full upstream edge-generation lineage (the q231 co-purchase
-    build re-ran its self-join three times: 30 scans → 2). The
-    shuffles that remain are key-column-only; no vertex ever holds
-    its full neighborhood in memory."""
+    canonical edge set is consumed twice (degrees + orientation) and
+    persists for the count's duration (ContextCleaner-managed);
+    everything downstream is two |E|-row joins keyed on a vertex id
+    plus one partial-combining sum — no vertex ever holds more than
+    its own O(√m) out-neighborhood."""
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(
@@ -392,13 +393,24 @@ def triangle_count(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
     ).persist()
-    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
-    # close the wedge with an oriented edge in EITHER direction
-    closing = oriented.select(
-        F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c")
+    adj = oriented.groupBy("lo").agg(
+        F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
-    return wedges.join(closing, ["b", "c"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    return (
+        oriented.join(
+            adj.select(F.col("lo").alias("lo"), F.col("nbrs").alias("nu")),
+            "lo",
+        )
+        .join(
+            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
+            "hi",
+        )
+        .select(
+            F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("k")
+        )
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )

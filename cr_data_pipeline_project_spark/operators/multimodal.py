@@ -402,6 +402,7 @@ def decode_media_features(df: DataFrame) -> DataFrame:
             "image/bmp": decode_bmp_features,
             "image/png": decode_png_features,
             "image/gif": decode_gif_features,
+            "audio/ulaw": decode_ulaw_features,
         }
         for pdf in batches:
             rows = []
@@ -827,6 +828,120 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     )
     color_type = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
     return _png_encode(grid[rows][:, cols], color_type=color_type)
+
+
+def _parse_riff_wav(payload: bytes):
+    """Manual RIFF/WAVE chunk walk → (format_code, channels,
+    sample_rate, bits_per_sample, data bytes). The stdlib ``wave``
+    module refuses every format except PCM; compressed-audio formats
+    (G.711 μ-law = format 7) need this parser. Unknown chunks are
+    skipped by their declared size (word-aligned), matching the RIFF
+    grammar."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    code, ch, sr, _byterate, _align, bits = fmt
+    if ch <= 0 or sr <= 0:
+        raise ValueError(f"invalid WAV header: ch={ch} sr={sr}")
+    return code, ch, sr, bits, data
+
+
+def _ulaw_table():
+    """The 256-entry G.711 μ-law expansion table (ITU-T G.711:
+    complement, split 3-bit exponent / 4-bit mantissa, bias 0x84):
+    decoded[b] = ±(((mantissa·8 + 0x84) << exponent) − 0x84), full
+    scale ±32124."""
+    import numpy as np
+
+    b = np.arange(256, dtype=np.int64)
+    inv = b ^ 0xFF
+    sign = np.where(inv & 0x80, -1, 1)
+    exp = (inv >> 4) & 0x07
+    mant = inv & 0x0F
+    mag = ((mant * 8 + 0x84) << exp) - 0x84
+    return (sign * mag).astype(np.int32)
+
+
+def decode_ulaw_samples(payload: bytes):
+    """REAL G.711 μ-law decode: RIFF parse (format code 7, 8-bit
+    codewords), table expansion to linear PCM, normalized to
+    [-1, 1] at the μ-law full scale (32124). Multi-channel downmixes
+    like the PCM path. Returns (sample_rate, float64 samples)."""
+    import numpy as np
+
+    code, ch, sr, bits, data = _parse_riff_wav(payload)
+    if code != 7:
+        raise ValueError(f"expected mu-law (format 7), got format {code}")
+    if bits != 8:
+        raise ValueError(f"mu-law codewords are 8-bit, got {bits}")
+    x = _ulaw_table()[np.frombuffer(data, dtype=np.uint8)].astype(
+        np.float64
+    ) / 32124.0
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return sr, x
+
+
+def decode_ulaw_features(payload: bytes) -> dict:
+    """REAL compressed-audio decode: G.711 μ-law → linear PCM →
+    the SAME clip-level feature contract as
+    :func:`decode_wav_features` (RMS, zero-crossing rate, peak, all
+    in μ-law full scale), so audio features stay comparable across
+    codecs."""
+    import numpy as np
+
+    sr, x = decode_ulaw_samples(payload)
+    n = len(x)
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        if n > 1
+        else 0.0
+    )
+    peak = float(np.max(np.abs(x))) if n else 0.0
+    return {
+        "sample_rate": sr,
+        "n_samples": n,
+        "duration_ms": int(round(1000.0 * n / sr)) if sr else None,
+        "feat": [rms, zcr, peak],
+    }
+
+
+def synth_ulaw_wav(
+    byte_value: int, sample_rate: int = 8000, n_samples: int = 160
+) -> bytes:
+    """Deterministic μ-law WAV synthesizer — a genuine RIFF/WAVE
+    container with format code 7 and every codeword equal to
+    ``byte_value``; the compressed-audio twin of :func:`synth_wav`."""
+    import struct
+
+    data = bytes([byte_value % 256]) * n_samples
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:

@@ -224,6 +224,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q231_copurchase_triangles",
     "q232_ngram_overlap_scores",
     "q233_pareto_frontier",
+    "q235_ulaw_decode_meta",
 )
 
 

@@ -8038,3 +8038,83 @@ def q234_mmr_diversified_topk(
 
 
 QUERIES["q234_mmr_diversified_topk"] = q234_mmr_diversified_topk
+
+
+@q(
+    "q235_ulaw_decode_meta",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               (100 + doc_id % 50)::BIGINT AS n,
+               xor(doc_id % 256, 255) AS inv
+        FROM documents),
+    d AS (
+        SELECT doc_id, n,
+               ((((inv & 15) * 8 + 132) * (1 << ((inv // 16) & 7)))
+                 - 132)::BIGINT AS mag
+        FROM m)
+    SELECT doc_id AS media_id,
+           n AS n_samples,
+           n::INTEGER AS duration_ms,
+           ROUND(mag::DOUBLE / 32124.0 * 1000000)::BIGINT AS rms6,
+           0::BIGINT AS zcr6
+    FROM d
+    """,
+)
+def q235_ulaw_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-AUDIO decode, end to end — G.711 μ-law, the
+    lib-free companded codec (the telephony standard; MP3 stays
+    documented-out, but μ-law is an honest entropy-reducing encode
+    the stdlib + numpy can fully decode): per-document payloads are
+    genuine RIFF/WAVE containers with format code 7
+    (multimodal.synth_ulaw_wav), decoded by the manual RIFF chunk
+    walk + ITU-T expansion table
+    (multimodal.decode_ulaw_features — complement, 3-bit exponent /
+    4-bit mantissa, bias 0x84, ±32124 full scale) through the same
+    Arrow dispatch as WAV/PPM/BMP/PNG/GIF. The oracle re-derives the
+    expansion ARITHMETICALLY in SQL (xor/mask/shift on the codeword)
+    and predicts the clip RMS to 1e-6 — a wrong complement, biased
+    mantissa, or mis-shifted exponent anywhere in the table
+    mismatches every row. Constant codewords make RMS = |decode(B)|
+    exactly and pin ZCR to 0 (sign never flips). sample_rate 1000 Hz
+    keeps duration_ms = n_samples with no rounding seam. Payload
+    bytes never shuffle — one narrow Arrow stage."""
+    import pandas as pd
+
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_ulaw_wav(
+                            int(i) % 256, 1000, 100 + int(i) % 50
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["audio/ulaw"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    return multimodal.decode_media_features(media).select(
+        "media_id",
+        "n_samples",
+        "duration_ms",
+        F.round(F.element_at("feat", 1) * 1000000)
+        .cast("bigint")
+        .alias("rms6"),
+        F.round(F.element_at("feat", 2) * 1000000)
+        .cast("bigint")
+        .alias("zcr6"),
+    )

@@ -757,3 +757,83 @@ def test_gif_frame_features_max_frames_cap(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     out = multimodal.gif_frame_features(df, max_frames=2).collect()
     assert sorted(r.frame_idx for r in out) == [0, 1]
+
+
+# ------------------------------------------------------------------ #
+# G.711 mu-law — REAL compressed-audio decode                         #
+# ------------------------------------------------------------------ #
+
+
+def test_ulaw_table_is_g711():
+    """Spot-check the expansion table against hand-computed ITU-T
+    G.711 values and its structural properties."""
+    import numpy as np
+
+    t = multimodal._ulaw_table()
+    assert t[0xFF] == 0          # +0
+    assert t[0x80] == 32124      # most positive
+    assert t[0x00] == -32124     # most negative
+    assert t.max() == 32124 and t.min() == -32124
+    # complement symmetry: byte b and b^0x80 differ only in sign
+    b = np.arange(256)
+    assert (t[b] == -t[b ^ 0x80]).all()
+    # monotone within the positive half (0xFF down to 0x80 ascends)
+    pos = t[np.arange(0xFF, 0x7F, -1)]
+    assert (np.diff(pos) > 0).all()
+
+
+def test_ulaw_roundtrip_and_features():
+    p = multimodal.synth_ulaw_wav(200, 8000, 160)
+    code, ch, sr, bits, data = multimodal._parse_riff_wav(p)
+    assert (code, ch, sr, bits) == (7, 1, 8000, 8) and len(data) == 160
+    f = multimodal.decode_ulaw_features(p)
+    inv = 200 ^ 0xFF
+    mag = (((inv & 15) * 8 + 132) << ((inv >> 4) & 7)) - 132
+    assert abs(f["feat"][0] - mag / 32124.0) < 1e-12
+    assert f["feat"][1] == 0.0
+    assert (f["sample_rate"], f["n_samples"]) == (8000, 160)
+
+
+def test_riff_parser_reads_pcm_and_rejects_corrupt():
+    import pytest as _pytest
+
+    w = multimodal.synth_wav(440.0)
+    code, ch, sr, bits, _ = multimodal._parse_riff_wav(w)
+    assert (code, ch, sr, bits) == (1, 1, 8000, 16)
+    p = multimodal.synth_ulaw_wav(7)
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        multimodal._parse_riff_wav(b"RIFX" + p[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal._parse_riff_wav(p[:-3])
+    with _pytest.raises(ValueError, match="expected mu-law"):
+        multimodal.decode_ulaw_samples(w)  # PCM into the mu-law kernel
+
+
+def test_ulaw_stereo_downmix():
+    """Interleaved L/R codewords decode then downmix like PCM."""
+    import struct
+
+    import numpy as np
+
+    la, rb = 0x80, 0xFF  # +32124 and 0
+    data = bytes([la, rb]) * 50
+    fmt = struct.pack("<HHIIHH", 7, 2, 8000, 16000, 2, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, x = multimodal.decode_ulaw_samples(p)
+    assert len(x) == 50
+    assert np.allclose(x, (32124 / 32124.0 + 0.0) / 2.0)
+
+
+def test_decode_dispatch_routes_ulaw(spark):
+    rows = [
+        (1, multimodal.synth_ulaw_wav(42, 1000, 120), "audio/ulaw",
+         None, None, None),
+        (2, b"RIFF broken", "audio/ulaw", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.decode_media_features(df).collect()}
+    assert out[1].decode_error is None
+    assert (out[1].n_samples, out[1].duration_ms) == (120, 120)
+    assert out[2].decode_error is not None

@@ -677,12 +677,45 @@ def _png_unfilter_row(ftype: int, filt, prev, bpp: int):
     raise ValueError(f"invalid PNG filter {ftype}")
 
 
-def _png_encode(grid, color_type: int = 2, filters=None) -> bytes:
+# Adam7 pass grid: (x0, y0, dx, dy), PNG spec order
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _filter_scanlines(raw, bpp: int, filters) -> bytes:
+    """Filter an (H, rowbytes) uint8 block into PNG scanline bytes
+    (per-row filter byte + filtered row). Shared by the sequential
+    and per-Adam7-pass encode paths."""
+    import numpy as np
+
+    h = raw.shape[0]
+    prev = np.zeros(raw.shape[1], dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        ftype = (y % 5) if filters is None else filters[y % len(filters)]
+        lines.append(bytes([ftype]))
+        lines.append(_png_filter_row(ftype, raw[y], prev, bpp).tobytes())
+        prev = raw[y]
+    return b"".join(lines)
+
+
+def _png_encode(
+    grid, color_type: int = 2, filters=None, interlace: bool = False
+) -> bytes:
     """Encode an (H, W) or (H, W, C) uint8 grid as a genuine PNG:
     signature, IHDR, one zlib-compressed IDAT of filtered scanlines,
     IEND — real CRCs, real filters. ``filters`` picks the per-row
     filter type (default rotates ``y % 5`` so every decode exercises
-    all five reconstruction paths)."""
+    all five reconstruction paths); ``interlace`` emits the Adam7
+    seven-pass layout (each pass filtered independently, empty
+    passes omitted, per the spec)."""
     import struct
     import zlib
 
@@ -696,19 +729,27 @@ def _png_encode(grid, color_type: int = 2, filters=None) -> bytes:
         raise ValueError(f"color_type {color_type} expects "
                          f"{_PNG_CHANNELS.get(color_type)} channels, got {ch}")
     bpp = ch
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = grid.reshape(h, w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    lines = []
-    for y in range(h):
-        ftype = (y % 5) if filters is None else filters[y]
-        lines.append(bytes([ftype]))
-        lines.append(_png_filter_row(ftype, raw[y], prev, bpp).tobytes())
-        prev = raw[y]
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        stream = b"".join(
+            _filter_scanlines(
+                grid[y0::dy, x0::dx].reshape(
+                    grid[y0::dy, x0::dx].shape[0], -1
+                ),
+                bpp,
+                filters,
+            )
+            for x0, y0, dx, dy in _ADAM7
+            if grid[y0::dy, x0::dx].size
+        )
+    else:
+        stream = _filter_scanlines(grid.reshape(h, w * ch), bpp, filters)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IDAT", zlib.compress(stream, 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -759,24 +800,50 @@ def _parse_png(payload: bytes):
         raise ValueError(
             f"unsupported PNG: depth={depth} color_type={color_type}"
         )
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("unsupported PNG: non-zero comp/filter/interlace")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("unsupported PNG: non-zero comp/filter method")
     if w <= 0 or h <= 0 or not idat:
         raise ValueError("degenerate PNG dimensions or no IDAT")
     ch = _PNG_CHANNELS[color_type]
     stream = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(stream) != h * (1 + stride):
-        raise ValueError(
-            f"IDAT stream {len(stream)}B != {h}x(1+{stride}) scanlines"
-        )
-    rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + stride)
-    grid = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, ch)
-        grid[y] = prev
-    return w, h, ch, grid.reshape(h, w, ch)
+
+    def unfilter_block(buf, ph: int, pw: int):
+        """ph scanlines of pw pixels from ``buf`` → (ph, pw·ch) grid."""
+        stride = pw * ch
+        rows = np.frombuffer(buf, dtype=np.uint8).reshape(ph, 1 + stride)
+        out = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(ph):
+            prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, ch)
+            out[y] = prev
+        return out
+
+    if interlace == 0:
+        stride = w * ch
+        if len(stream) != h * (1 + stride):
+            raise ValueError(
+                f"IDAT stream {len(stream)}B != {h}x(1+{stride}) scanlines"
+            )
+        grid = unfilter_block(stream, h, w)
+        return w, h, ch, grid.reshape(h, w, ch)
+    # Adam7: seven independently-filtered sub-images, scattered back
+    # onto the full pixel grid by each pass's (x0, y0, dx, dy) lattice
+    grid = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (1 + pw * ch)
+        if pos + nbytes > len(stream):
+            raise ValueError("IDAT stream short for Adam7 passes")
+        sub = unfilter_block(stream[pos : pos + nbytes], ph, pw)
+        grid[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        pos += nbytes
+    if pos != len(stream):
+        raise ValueError("IDAT stream long for Adam7 passes")
+    return w, h, ch, grid
 
 
 def decode_png_features(payload: bytes) -> dict:

@@ -541,7 +541,11 @@ def test_png_rejects_unsupported_variants():
         multimodal._parse_png(rebuilt(lambda d: d.__setitem__(8, 16)))  # depth
     with _pytest.raises(ValueError, match="unsupported PNG"):
         multimodal._parse_png(rebuilt(lambda d: d.__setitem__(9, 3)))  # palette
-    with _pytest.raises(ValueError, match="interlace"):
+    with _pytest.raises(ValueError, match="filter method"):
+        multimodal._parse_png(rebuilt(lambda d: d.__setitem__(11, 1)))
+    # interlace flag flipped WITHOUT re-laying-out the stream: the
+    # Adam7 pass accounting must reject the sequential byte layout
+    with _pytest.raises(ValueError, match="Adam7"):
         multimodal._parse_png(rebuilt(lambda d: d.__setitem__(12, 1)))
     # declared dims inconsistent with the inflated stream
     with _pytest.raises(ValueError, match="scanlines"):
@@ -837,3 +841,32 @@ def test_decode_dispatch_routes_ulaw(spark):
     assert out[1].decode_error is None
     assert (out[1].n_samples, out[1].duration_ms) == (120, 120)
     assert out[2].decode_error is not None
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 seven-pass encode -> decode is pixel-exact, including
+    dimensions where late passes are empty (w or h = 1) and odd
+    sizes that exercise every pass lattice."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+        for h, w in [(1, 1), (1, 9), (9, 1), (8, 8), (13, 11), (5, 17)]:
+            g = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+            p = multimodal._png_encode(g, color_type=ct, interlace=True)
+            W, H, C, out = multimodal._parse_png(p)
+            assert (W, H, C) == (w, h, ch)
+            assert np.array_equal(out, g), (ct, h, w)
+
+
+def test_png_adam7_equals_sequential_pixels():
+    """The same grid encoded both ways decodes to identical pixels —
+    interlacing is a layout, not a transform."""
+    import numpy as np
+
+    g = np.random.RandomState(4).randint(0, 256, (10, 10, 3), dtype=np.uint8)
+    _, _, _, a = multimodal._parse_png(multimodal._png_encode(g))
+    _, _, _, b = multimodal._parse_png(
+        multimodal._png_encode(g, interlace=True)
+    )
+    assert np.array_equal(a, b)

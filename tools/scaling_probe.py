@@ -286,6 +286,10 @@ PROBES = [
     "q231_copurchase_triangles",
     "q232_ngram_overlap_scores",
     "q233_pareto_frontier",
+    "q234_mmr_diversified_topk",
+    "q235_ulaw_decode_meta",
+    "q236_mp4_container_meta",
+    "q237_jpeg_decode_meta",
 ]
 
 

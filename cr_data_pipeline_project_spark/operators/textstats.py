@@ -716,3 +716,65 @@ def bigram_logprob(
             F.exp(-F.col("avg_logprob")).alias("ppl"),
         )
     )
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", out_prefix: str = ""
+) -> DataFrame:
+    """HTML boilerplate removal — the first stage of every web-crawl
+    curation pipeline (the reference ingests clean JSON; a 100 TB
+    crawl corpus arrives as markup): strip <script>/<style> bodies
+    and comments, pull the <title>, count anchors, drop all
+    remaining tags, decode the common entities, collapse
+    whitespace. ENTIRELY JVM-side regexp/replace chains inside
+    whole-stage codegen — no Python in the hot path, engine-portable
+    patterns (no backreferences, so the DuckDB/RE2 oracle twin runs
+    the identical chain).
+
+    Appends: ``{p}title``, ``{p}text`` (extracted visible text),
+    ``{p}n_links``, ``{p}n_tags`` (tags stripped), ``{p}text_ratio``
+    (visible chars / raw chars, rounded 1e-6 — the link/markup
+    density gate crawl curation filters on).
+
+    Scale: a narrow map-side projection; pushes down with the scan,
+    shuffles nothing."""
+    p = out_prefix
+    h = F.col(html_col)
+    # browsers don't render <head> content: drop the whole block
+    # (after the title is captured from the RAW html below), then
+    # strip body-level script/style/comments
+    no_head = F.regexp_replace(h, r"(?is)<head[^>]*>.*?</head>", " ")
+    no_script = F.regexp_replace(
+        no_head, r"(?is)<script[^>]*>.*?</script>", " "
+    )
+    no_style = F.regexp_replace(
+        no_script, r"(?is)<style[^>]*>.*?</style>", " "
+    )
+    no_comment = F.regexp_replace(no_style, r"(?s)<!--.*?-->", " ")
+    stripped = F.regexp_replace(no_comment, r"<[^>]+>", " ")
+    decoded = stripped
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(rep))
+    text = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    title = F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    n_links = F.size(
+        F.expr(f"regexp_extract_all({html_col}, '(?i)<a[\\\\s>]', 0)")
+    ).cast("bigint")
+    n_tags = F.size(
+        F.expr(f"regexp_extract_all({html_col}, '<[^>]+>', 0)")
+    ).cast("bigint")
+    return df.select(
+        "*",
+        F.trim(title).alias(f"{p}title"),
+        text.alias(f"{p}text"),
+        n_links.alias(f"{p}n_links"),
+        n_tags.alias(f"{p}n_tags"),
+        F.round(
+            F.length(text).cast("double")
+            / F.greatest(F.length(h), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"{p}text_ratio"),
+    )

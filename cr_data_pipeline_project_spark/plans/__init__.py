@@ -227,6 +227,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q235_ulaw_decode_meta",
     "q236_mp4_container_meta",
     "q237_jpeg_decode_meta",
+    "q238_html_boilerplate_extract",
 )
 
 

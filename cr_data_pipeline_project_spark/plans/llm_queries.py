@@ -8286,3 +8286,89 @@ def q237_jpeg_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round(F.element_at("feat", 1) * 255).cast("int").alias("mean_val"),
     )
+
+
+_HTML_PRE = (
+    "<html><head><title>Doc {i}</title><style>p {{color: red;}}"
+    "</style><script>var x = 1; if (x<2) {{ x = x+1; }}</script>"
+    "</head><body><h1>Doc {i}</h1><!-- boilerplate chrome -->"
+    "<p>{t}</p><a href=\"/d/{i}\">link</a> &amp; "
+    "<a href=\"/x\">more</a></body></html>"
+)
+
+
+@q(
+    "q238_html_boilerplate_extract",
+    """
+    WITH pages AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || doc_id
+               || '</title><style>p {color: red;}</style>'
+               || '<script>var x = 1; if (x<2) { x = x+1; }</script>'
+               || '</head><body><h1>Doc ' || doc_id
+               || '</h1><!-- boilerplate chrome --><p>' || text
+               || '</p><a href="/d/' || doc_id
+               || '">link</a> &amp; <a href="/x">more</a></body></html>'
+                   AS html,
+               text
+        FROM documents)
+    SELECT doc_id,
+           'Doc ' || doc_id AS page_title,
+           TRIM(regexp_replace(
+               'Doc ' || doc_id || ' ' || text || ' link & more',
+               '\\s+', ' ', 'g')) AS page_text,
+           2::BIGINT AS n_links,
+           len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS n_tags,
+           ROUND(
+               len(TRIM(regexp_replace(
+                   'Doc ' || doc_id || ' ' || text || ' link & more',
+                   '\\s+', ' ', 'g')))::DOUBLE
+               / GREATEST(len(html), 1)::DOUBLE, 6) AS text_ratio
+    FROM pages
+    """,
+)
+def q238_html_boilerplate_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HTML boilerplate removal over a rendered crawl page — the
+    stage-zero operator of every web-corpus curation chain, run
+    against deterministic page templating so the oracle can predict
+    the INVERSION in closed form: each document is wrapped in a full
+    page (title, style block, script block whose body contains a
+    bare '<' to trap naive tag-strippers, comment chrome, two
+    anchors, an &amp; entity), then textstats.html_extract must
+    recover exactly the visible text ('Doc i <text> link & more' —
+    the whole <head> block, title included, is non-rendered chrome), the title, the anchor count, and the markup density —
+    all JVM-side regexp/replace chains (engine-portable: no
+    backreferences, so DuckDB's RE2 agrees with Spark's Java regex
+    byte for byte). A regression anywhere (script body leaking into
+    text, entity decode order turning '&amp;lt;' into '<', eager
+    '<[^>]+>' over-stripping) mismatches every row. Scale: narrow
+    codegen projection, no shuffle, no Python."""
+    from ..operators.textstats import html_extract
+
+    docs = table(spark, "documents", sf_dir)
+    i = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), i,
+            F.lit("</title><style>p {color: red;}</style>"
+                  "<script>var x = 1; if (x<2) { x = x+1; }</script>"
+                  "</head><body><h1>Doc "), i,
+            F.lit("</h1><!-- boilerplate chrome --><p>"),
+            F.col("text"),
+            F.lit("</p><a href=\"/d/"), i,
+            F.lit("\">link</a> &amp; <a href=\"/x\">more</a>"
+                  "</body></html>"),
+        ).alias("html"),
+    )
+    out = html_extract(pages, "html", out_prefix="page_")
+    return out.select(
+        "doc_id",
+        F.col("page_title"),
+        F.col("page_text"),
+        F.col("page_n_links").alias("n_links"),
+        F.col("page_n_tags").alias("n_tags"),
+        F.col("page_text_ratio").alias("text_ratio"),
+    )

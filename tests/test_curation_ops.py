@@ -103,3 +103,55 @@ def test_token_cooccurrence_lift_and_df_band(spark):
     assert "omni" not in flat  # df 10 > 0.8*10
     assert "rare" not in flat  # df 1 < min_df
     assert ("alpha", "gamma") not in pairs  # support 2 < 3
+
+
+def test_html_extract_recovers_text_and_counts(spark):
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        html_extract,
+    )
+
+    html = (
+        '<html><head><title> My Page </title>'
+        '<style>p {color: red;}</style>'
+        '<script>if (a<b) { alert("x > y"); }</script></head>'
+        '<body><H1>Head</H1><!-- chrome --><p>hello &amp; goodbye</p>'
+        '<A HREF="/a">one</A> <a href="/b">two</a></body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "id int, html string")
+    r = html_extract(df, "html").collect()[0]
+    assert r.title == "My Page"
+    assert r.text == "Head hello & goodbye one two"  # no title
+    assert r.n_links == 2  # case-insensitive anchor match
+    assert r.n_tags > 10
+    assert 0 < r.text_ratio < 0.2
+
+
+def test_html_extract_entity_order_no_double_decode(spark):
+    """'&amp;lt;' must decode to the literal '&lt;', never doubly to
+    '<' — the &amp; replacement runs LAST."""
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        html_extract,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<p>&amp;lt; &lt; &gt; &quot; &#39; &nbsp;</p>")],
+        "id int, html string",
+    )
+    r = html_extract(df, "html").collect()[0]
+    assert r.text == "&lt; < > \" '"
+
+
+def test_html_extract_script_with_bare_lt(spark):
+    """A '<' inside a script body must not desync the tag stripper
+    (the naive-strip trap q238 sets deliberately)."""
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        html_extract,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<script>var x = 1; if (x<2) { x=3; }</script><b>keep</b>")],
+        "id int, html string",
+    )
+    r = html_extract(df, "html").collect()[0]
+    assert r.text == "keep"
+    assert r.title == ""

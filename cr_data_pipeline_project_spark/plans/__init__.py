@@ -228,6 +228,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q236_mp4_container_meta",
     "q237_jpeg_decode_meta",
     "q238_html_boilerplate_extract",
+    "q239_spearman_correlation",
 )
 
 

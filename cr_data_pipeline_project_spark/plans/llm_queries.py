@@ -8372,3 +8372,92 @@ def q238_html_boilerplate_extract(
         F.col("page_n_tags").alias("n_tags"),
         F.col("page_text_ratio").alias("text_ratio"),
     )
+
+
+@q(
+    "q239_spearman_correlation",
+    """
+    WITH r AS (
+        SELECT l_returnflag,
+               2 * RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                 - 1 AS rx2,
+               2 * RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                  l_extendedprice)
+                 - 1 AS ry2
+        FROM lineitem),
+    m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               (SUM(rx2::DECIMAL(28,0)))::DOUBLE AS sx,
+               (SUM(ry2::DECIMAL(28,0)))::DOUBLE AS sy,
+               (SUM((rx2*rx2)::DECIMAL(38,0)))::DOUBLE AS sxx,
+               (SUM((ry2*ry2)::DECIMAL(38,0)))::DOUBLE AS syy,
+               (SUM((rx2*ry2)::DECIMAL(38,0)))::DOUBLE AS sxy
+        FROM r GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q239_spearman_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped Spearman rank correlation (quantity vs extended price
+    per return flag) — the robust companion to q118's Pearson: rank
+    first, correlate the ranks, immune to monotone transforms and
+    outliers (the reason data-quality audits prefer it on heavy-
+    tailed columns). EXACT cross-engine parity via DOUBLED average
+    ranks: the tie-averaged rank (min_rank + (ties−1)/2) is a half-
+    integer, so 2·avg_rank = 2·RANK() + COUNT(ties) − 1 is a BIGINT
+    on both engines, the five moments accumulate as DECIMAL
+    (order-free, scale-invariant: the ½ factors cancel in the
+    correlation), and the finish is the same fixed IEEE chain as
+    q118/q228 rounded at 1e-6. Scale: two hash-partitioned windows
+    on the group key (rank by value, tie counts per (group, value))
+    then one partial-combining aggregate — the window input is the
+    2-column projection, never wide rows; group count bounded by
+    flag cardinality."""
+    li = table(spark, "lineitem", sf_dir)
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cq = Window.partitionBy("l_returnflag", "l_quantity")
+    cp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (
+            2 * F.rank().over(wq) + F.count(F.lit(1)).over(cq) - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(wp) + F.count(F.lit(1)).over(cp) - 1
+        ).alias("ry2"),
+    )
+    d0 = "decimal(28,0)"
+    d1 = "decimal(38,0)"
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(d0)).cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast(d0)).cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(d1))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(d1))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(d1))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(rho, 6).alias("spearman_rho")
+    ).orderBy("l_returnflag")

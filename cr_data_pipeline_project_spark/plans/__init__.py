@@ -229,6 +229,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q237_jpeg_decode_meta",
     "q238_html_boilerplate_extract",
     "q239_spearman_correlation",
+    "q240_benford_audit",
 )
 
 

@@ -8461,3 +8461,72 @@ def q239_spearman_correlation(
     return m.select(
         "l_returnflag", "n", F.round(rho, 6).alias("spearman_rho")
     ).orderBy("l_returnflag")
+
+
+@q(
+    "q240_benford_audit",
+    """
+    WITH cents AS (
+        SELECT ROUND(l_extendedprice * 100)::BIGINT AS c
+        FROM lineitem WHERE l_extendedprice > 0),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+            AS leading_digit
+        FROM cents),
+    obs AS (
+        SELECT leading_digit, COUNT(*)::BIGINT AS n
+        FROM digits GROUP BY leading_digit),
+    tot AS (SELECT SUM(n)::BIGINT AS total FROM obs)
+    SELECT leading_digit, n,
+           ROUND(n::DOUBLE / total::DOUBLE, 6) AS observed_p,
+           ROUND(ln(1.0 + 1.0 / leading_digit) / ln(10.0), 6)
+               AS benford_p,
+           ROUND(n::DOUBLE / total::DOUBLE
+                 - ln(1.0 + 1.0 / leading_digit) / ln(10.0), 6)
+               AS deviation
+    FROM obs CROSS JOIN tot
+    ORDER BY leading_digit
+    """,
+)
+def q240_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over extended price —
+    the classic fabricated-data / synthetic-artifact detector a
+    corpus-governance pass runs on every numeric fact column (real
+    transaction amounts follow log(1+1/d); generator artifacts and
+    injected rows don't). Exactness: the leading digit is extracted
+    through INTEGER CENTS (ROUND(x·100) → BIGINT → first character
+    of the locale-free integer string), never through
+    floor(log10(x)) whose ULP wobble at decade boundaries would
+    break cross-engine hashing; observed shares are one IEEE
+    division and the Benford reference is a fixed two-libm chain,
+    both rounded at 1e-6. Scale: map-side digit projection, one
+    9-row aggregate, a 1-row broadcast total — pipeline-fused with
+    the scan."""
+    li = table(spark, "lineitem", sf_dir)
+    cents = li.where(F.col("l_extendedprice") > 0).select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("int")
+        .alias("leading_digit")
+    )
+    obs = digits.groupBy("leading_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("leading_digit")) / F.log(F.lit(10.0))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "leading_digit",
+            "n",
+            F.round(p, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(p - benford, 6).alias("deviation"),
+        )
+        .orderBy("leading_digit")
+    )

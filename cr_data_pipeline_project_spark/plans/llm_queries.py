@@ -8516,11 +8516,15 @@ def q240_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = digits.groupBy("leading_digit").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    # unpartitioned window over the ≤9-digit aggregate rows (the
+    # documented bounded-window pattern) — NOT a second fact scan
+    tot = obs.withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
     benford = F.log(1.0 + 1.0 / F.col("leading_digit")) / F.log(F.lit(10.0))
     p = F.col("n").cast("double") / F.col("total").cast("double")
     return (
-        obs.crossJoin(F.broadcast(tot))
+        tot
         .select(
             "leading_digit",
             "n",

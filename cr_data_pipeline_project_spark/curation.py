@@ -7,6 +7,10 @@ pipeline runs them, with a per-stage audit trail.
 Stage order (each stage sees the previous stage's survivors only —
 cheapest-first so expensive stages run on the smallest corpus):
 
+0. html         — OPTIONAL boilerplate extraction when the corpus
+                  arrives as markup (``html_col=``): text_col is
+                  replaced by the extracted visible text; fuses
+                  into stage 1's scan (no extra pass)
 1. rules        — length bounds + language allowlist (pure
                   expressions, one scan; the q55 shape)
 2. exact        — content-hash dedup, min-id survivor
@@ -55,6 +59,7 @@ def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    html_col: str | None = None,
     holdout: DataFrame | None = None,
     min_chars: int = 100,
     max_chars: int = 400,
@@ -71,7 +76,25 @@ def curate_corpus(
     (None when ``with_stats=False``).
 
     ``stats`` schema: (stage string, n_dropped long) in stage order,
-    plus a final ('kept', n) row — rows sum to ``docs.count()``."""
+    plus a final ('kept', n) row — rows sum to ``docs.count()``.
+
+    ``html_col``: when set, a stage-0 boilerplate extraction runs
+    first — ``text_col`` is REPLACED by the visible text pulled out
+    of the markup (textstats.html_extract: head/script/style strip,
+    entity decode, tag removal) and every later stage sees clean
+    text. A pure map-side projection: it fuses with the rules scan,
+    adds no stage boundary and no count row."""
+    if html_col is not None:
+        from .operators.textstats import html_extract
+
+        docs = (
+            html_extract(docs, html_col, out_prefix="_ext_")
+            .withColumn(text_col, F.col("_ext_text"))
+            .drop(
+                "_ext_title", "_ext_text", "_ext_n_links",
+                "_ext_n_tags", "_ext_text_ratio",
+            )
+        )
     n_chars = F.length(F.col(text_col))
     rule_ok = (n_chars >= min_chars) & (n_chars <= max_chars)
     if lang_col is not None:

@@ -120,3 +120,41 @@ def test_curate_corpus_leakage_safe_split(spark):
     )
     assert sorted(map(tuple, a.select("doc_id", "split").collect())) == \
         sorted(map(tuple, b.select("doc_id", "split").collect()))
+
+
+def test_curate_corpus_html_stage_zero(spark):
+    """html_col= runs boilerplate extraction before the rules: the
+    markup-wrapped corpus curates identically to the clean-text
+    corpus (same survivors, same split), because stage 0 recovers
+    the same text the rules would have seen."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.curation import curate_corpus
+
+    base = [
+        (i, "en", "word" + " tok" * 60 + f" doc{i}") for i in range(20)
+    ]
+    clean = spark.createDataFrame(base, "doc_id long, lang string, text string")
+    wrapped = clean.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("<html><head><title>t</title><script>var a=1;</script>"
+                  "</head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("page"),
+    )
+    a, _ = curate_corpus(
+        clean, min_chars=10, max_chars=10_000, with_stats=False
+    )
+    b, _ = curate_corpus(
+        wrapped.withColumn("text", F.lit(None).cast("string")),
+        html_col="page",
+        min_chars=10,
+        max_chars=10_000,
+        with_stats=False,
+    )
+    ka = {(r.doc_id, r.split) for r in a.collect()}
+    kb = {(r.doc_id, r.split) for r in b.collect()}
+    assert ka == kb and len(ka) > 0

@@ -230,6 +230,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q238_html_boilerplate_extract",
     "q239_spearman_correlation",
     "q240_benford_audit",
+    "q241_retrieval_eval_metrics",
 )
 
 

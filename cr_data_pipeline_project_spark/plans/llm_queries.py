@@ -8534,3 +8534,163 @@ def q240_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+@q(
+    "q241_retrieval_eval_metrics",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, ve AS qv
+          FROM v WHERE vec_id < 10),
+    ranked AS (
+        SELECT query_id, qlabel, neighbor_id, nlabel, rank FROM (
+            SELECT q.query_id, q.qlabel, v.vec_id AS neighbor_id,
+                   v.label AS nlabel,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(qv, ve) DESC,
+                                v.vec_id) AS rank
+            FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id) t
+        WHERE rank <= 10),
+    nrel AS (
+        SELECT q.query_id,
+               (SELECT COUNT(*) FROM v
+                WHERE v.label = q.qlabel
+                  AND v.vec_id <> q.query_id) AS n_rel_total
+        FROM q),
+    hits AS (
+        SELECT query_id,
+               COUNT(*) FILTER (WHERE nlabel = qlabel)::BIGINT
+                   AS n_rel_at_10,
+               MIN(rank) FILTER (WHERE nlabel = qlabel) AS first_rel,
+               SUM(CASE WHEN nlabel = qlabel
+                        THEN ROUND(1000000000.0 / log2(rank + 1))::BIGINT
+                        ELSE 0 END) AS dcg9
+        FROM ranked GROUP BY query_id),
+    ideal AS (
+        SELECT n.query_id,
+               SUM(ROUND(1000000000.0 / log2(r + 1))::BIGINT) AS idcg9
+        FROM nrel n, UNNEST(range(1, 1 + LEAST(n.n_rel_total, 10)))
+            AS t(r)
+        GROUP BY n.query_id)
+    SELECT h.query_id,
+           h.n_rel_at_10,
+           ROUND(COALESCE(1.0 / h.first_rel, 0.0), 6) AS mrr,
+           ROUND(h.n_rel_at_10::DOUBLE
+                 / GREATEST(LEAST(n.n_rel_total, 10), 1)::DOUBLE, 6)
+               AS recall_at_10,
+           ROUND(h.dcg9::DOUBLE / GREATEST(i.idcg9, 1)::DOUBLE, 6)
+               AS ndcg_at_10
+    FROM hits h
+    JOIN nrel n USING (query_id)
+    JOIN ideal i USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def q241_retrieval_eval_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval evaluation metrics — MRR, recall@10, nDCG@10 per
+    query over the exact cosine ranking with label-match relevance
+    (the embeddings table's label IS the qrel): the scorecard every
+    retrieval stack change (BM25 weights, ANN recall, RRF, MMR) is
+    judged against. Exactness across engines: the ranking is q36's
+    fully tie-broken contract; DCG terms pin per-position to integer
+    1e-9 units (ROUND(1e9/log2(rank+1)) — one libm call per HIT, the
+    _ln5 convention at higher precision because discounts get
+    summed), so DCG and ideal-DCG are BIGINT sums and nDCG is ONE
+    IEEE division rounded at 1e-6; MRR and recall are single
+    divisions. Scale: ranking cost is the bounded-query brute-force
+    contract (swap the ANN path in deployment); metrics are
+    10-rows-per-query aggregates; the ideal-DCG table is |queries|
+    x <=10 generated rows."""
+    emb = table(spark, "embeddings", sf_dir)
+    v = emb.select("vec_id", "label", "embedding")
+    queries = v.where(F.col("vec_id") < 10)
+    topk = similarity.brute_force_topk(v, queries, k=10)
+    ranked = (
+        topk.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlabel"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+    )
+    rel = F.col("nlabel") == F.col("qlabel")
+    dcg_term = F.when(
+        rel,
+        F.round(
+            F.lit(1000000000.0) / F.log2(F.col("rank") + 1)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    hits = ranked.groupBy("query_id").agg(
+        F.sum(rel.cast("bigint")).cast("bigint").alias("n_rel_at_10"),
+        F.min(F.when(rel, F.col("rank"))).alias("first_rel"),
+        F.sum(dcg_term).alias("dcg9"),
+    )
+    nrel = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+        )
+        .join(
+            v.groupBy("label").agg(
+                F.count(F.lit(1)).alias("n_label")
+            ),
+            F.col("qlabel") == F.col("label"),
+        )
+        .select(
+            "query_id",
+            (F.col("n_label") - 1).alias("n_rel_total"),
+        )
+    )
+    ideal = nrel.select(
+        "query_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.col("n_rel_total"), F.lit(10))
+            )
+        ).alias("r"),
+    ).groupBy("query_id").agg(
+        F.sum(
+            F.round(
+                F.lit(1000000000.0) / F.log2(F.col("r") + 1)
+            ).cast("bigint")
+        ).alias("idcg9")
+    )
+    return (
+        hits.join(nrel, "query_id")
+        .join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_rel_at_10",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.col("n_rel_at_10").cast("double")
+                / F.greatest(
+                    F.least(F.col("n_rel_total"), F.lit(10)), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("recall_at_10"),
+            F.round(
+                F.col("dcg9").cast("double")
+                / F.greatest(F.col("idcg9"), F.lit(1)).cast("double"),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )

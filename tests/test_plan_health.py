@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     "q77_cluster_centroid_sums",
     "q42_ann_ivf_topk",  # nprobe probe set vs centroids
     "q36_ann_bruteforce_topk",  # broadcast query set by contract
+    "q234_mmr_diversified_topk",  # q36's broadcast-query shortlist feeds MMR
+    "q241_retrieval_eval_metrics",  # q36's broadcast-query ranking feeds eval
     "q37_embedding_neardup",  # block-combo equi-join only
     "q84_incremental_neardup",  # 1-row bucket-threshold broadcast
     "q85_tfidf_float_scores",  # 1-row corpus-size N broadcast

@@ -412,6 +412,7 @@ def decode_media_features(df: DataFrame) -> DataFrame:
             "audio/ulaw": decode_ulaw_features,
             "video/mp4": decode_mp4_features,
             "image/jpeg": _decode_jpeg_features,
+            "audio/mpeg": decode_mp3_features,
         }
         for pdf in batches:
             rows = []
@@ -1740,3 +1741,103 @@ def decode_mp4_features(payload: bytes) -> dict:
         "duration_ms": m["duration_ms"],
         "feat": [float(m["n_tracks"]), float(m["timescale"] or 0)],
     }
+
+
+# ------------------------------------------------------------------ #
+# MP3 (MPEG-1 Layer III) frame-header census — REAL sync walk         #
+# ------------------------------------------------------------------ #
+
+_MP3_BITRATES = (  # kbps, MPEG-1 Layer III, index 1..14
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None,
+)
+_MP3_RATES = (44100, 48000, 32000, None)
+
+
+def parse_mp3_frames(payload: bytes, max_frames: int | None = None):
+    """REAL MPEG-1 Layer III frame walk: optional ID3v2 skip, sync
+    search, per-frame 4-byte header parse (version/layer/bitrate
+    index/sample-rate index/padding), frame-length arithmetic
+    (144·bitrate/rate + padding), hop to the next header. Returns
+    (sample_rate, [frame lengths]); audio DECODE (the filterbank)
+    stays behind the documented codec seam — this is the metadata
+    plane: duration, bitrate census, corrupt-stream triage.
+    ``max_frames`` bounds work per blob like the GIF frame cap."""
+    pos = 0
+    # ID3v2 header: 'ID3' + ver(2) + flags + 4 syncsafe size bytes
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    frames = []
+    sample_rate = None
+    while pos + 4 <= len(payload):
+        b0, b1, b2, _b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        if version != 0x03 or layer != 0x01:
+            raise ValueError(
+                "unsupported MPEG frame (MPEG-1 Layer III only)"
+            )
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        bitrate = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        if bitrate is None or rate is None:
+            raise ValueError(
+                f"invalid MP3 header indexes br={br_idx} sr={sr_idx}"
+            )
+        if sample_rate is None:
+            sample_rate = rate
+        elif rate != sample_rate:
+            raise ValueError("MP3 sample rate changed mid-stream")
+        flen = 144 * bitrate * 1000 // rate + padding
+        if pos + flen > len(payload):
+            raise ValueError("truncated final MP3 frame")
+        frames.append(flen)
+        pos += flen
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no MP3 frames found")
+    return sample_rate, frames
+
+
+def decode_mp3_features(payload: bytes) -> dict:
+    """MP3 metadata 'decode' for the Arrow dispatch: frame census →
+    duration (1152 samples per MPEG-1 Layer III frame), mean frame
+    bytes; feat = [n_frames, mean_frame_len]."""
+    sr, frames = parse_mp3_frames(payload)
+    n = len(frames)
+    return {
+        "sample_rate": sr,
+        "n_samples": n * 1152,
+        "duration_ms": int(n * 1152 * 1000 // sr),
+        "feat": [float(n), float(sum(frames)) / n],
+    }
+
+
+def synth_mp3(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    with_id3: bool = False,
+) -> bytes:
+    """Deterministic MP3 synthesizer: a genuine sequence of MPEG-1
+    Layer III frame headers with spec-correct frame lengths (payload
+    bytes zeroed — silent/dummy main data), optionally preceded by
+    an empty ID3v2 tag. The parser's inverse for the metadata
+    plane."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    out = bytearray()
+    if with_id3:
+        out += b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    flen = 144 * bitrate_kbps * 1000 // sample_rate  # no padding
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+    )
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)

@@ -231,6 +231,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q239_spearman_correlation",
     "q240_benford_audit",
     "q241_retrieval_eval_metrics",
+    "q242_mp3_frame_census",
 )
 
 

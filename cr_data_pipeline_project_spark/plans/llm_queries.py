@@ -8694,3 +8694,82 @@ def q241_retrieval_eval_metrics(
         )
         .orderBy("query_id")
     )
+
+
+@q(
+    "q242_mp3_frame_census",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               (5 + doc_id % 20)::BIGINT AS n_frames,
+               CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS rate,
+               CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 64
+                    WHEN 2 THEN 192 ELSE 320 END AS kbps
+        FROM documents)
+    SELECT doc_id AS media_id,
+           rate::INTEGER AS sample_rate,
+           (n_frames * 1152)::BIGINT AS n_samples,
+           (n_frames * 1152 * 1000 // rate)::INTEGER AS duration_ms,
+           n_frames,
+           (144 * kbps * 1000 // rate)::BIGINT AS frame_len
+    FROM m
+    """,
+)
+def q242_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-header census — the metadata plane for the
+    last audio codec seam (the polyphase filterbank stays the
+    documented stub; duration/bitrate census, corrupt-stream triage,
+    and partition planning only need THIS): per-document payloads
+    are genuine MPEG-1 Layer III frame sequences
+    (multimodal.synth_mp3 — spec-correct sync words, version/layer/
+    bitrate-index/sample-rate-index headers, 144·br/sr frame-length
+    arithmetic, every third doc behind an ID3v2 tag with a syncsafe
+    size), walked back by the REAL sync parser
+    (multimodal.parse_mp3_frames). The oracle predicts the frame
+    inventory, per-frame byte length, and the 1152-samples-per-frame
+    duration arithmetic in closed form — a mis-read bitrate table or
+    an off-by-one frame hop desyncs every following frame and
+    mismatches the row. Payload bytes never shuffle."""
+    import pandas as pd
+
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth(batches):
+        rates = {0: 44100, 1: 48000, 2: 32000}
+        kbps = {0: 128, 1: 64, 2: 192, 3: 320}
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        multimodal.synth_mp3(
+                            5 + int(i) % 20,
+                            kbps[int(i) % 4],
+                            rates[int(i) % 3],
+                            with_id3=(int(i) % 3 == 0),
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["audio/mpeg"] * len(ids),
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    dec = multimodal.decode_media_features(media)
+    return dec.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.element_at("feat", 1).cast("bigint").alias("n_frames"),
+        F.round(F.element_at("feat", 2)).cast("bigint").alias("frame_len"),
+    )

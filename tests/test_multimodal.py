@@ -927,3 +927,53 @@ def test_decode_dispatch_routes_mp4(spark):
     assert (out[1].width, out[1].height, out[1].duration_ms) == (176, 144, 2500)
     assert out[1].feat == [1.0, 90000.0]
     assert out[2].decode_error is not None
+
+
+# ------------------------------------------------------------------ #
+# MP3 frame-header census                                             #
+# ------------------------------------------------------------------ #
+
+
+def test_mp3_frame_walk_roundtrip():
+    for n, br, sr, id3 in [
+        (10, 128, 44100, False), (3, 320, 48000, True), (7, 32, 32000, False),
+    ]:
+        p = multimodal.synth_mp3(n, br, sr, with_id3=id3)
+        rate, frames = multimodal.parse_mp3_frames(p)
+        assert rate == sr and len(frames) == n
+        assert all(f == 144 * br * 1000 // sr for f in frames)
+        d = multimodal.decode_mp3_features(p)
+        assert d["n_samples"] == n * 1152
+        assert d["duration_ms"] == n * 1152 * 1000 // sr
+    assert len(multimodal.parse_mp3_frames(
+        multimodal.synth_mp3(9), max_frames=2)[1]) == 2
+
+
+def test_mp3_rejects_corrupt():
+    import pytest as _pytest
+
+    p = multimodal.synth_mp3(5)
+    with _pytest.raises(ValueError, match="truncated final"):
+        multimodal.parse_mp3_frames(p[:-3])
+    with _pytest.raises(ValueError, match="lost MP3 sync"):
+        multimodal.parse_mp3_frames(b"\x00\x01" + p)
+    with _pytest.raises(ValueError, match="no MP3 frames"):
+        multimodal.parse_mp3_frames(p[:2])
+    # free-format / reserved bitrate index must be refused
+    bad = bytearray(p)
+    bad[2] = 0x00  # bitrate index 0 (free) + sr 44100
+    with _pytest.raises(ValueError, match="invalid MP3 header"):
+        multimodal.parse_mp3_frames(bytes(bad))
+
+
+def test_decode_dispatch_routes_mp3(spark):
+    rows = [
+        (1, multimodal.synth_mp3(6, 128, 44100), "audio/mpeg",
+         None, None, None),
+        (2, b"not mp3 at all", "audio/mpeg", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.decode_media_features(df).collect()}
+    assert out[1].decode_error is None
+    assert out[1].n_samples == 6 * 1152 and out[1].sample_rate == 44100
+    assert out[2].decode_error is not None

@@ -290,6 +290,11 @@ PROBES = [
     "q235_ulaw_decode_meta",
     "q236_mp4_container_meta",
     "q237_jpeg_decode_meta",
+    "q238_html_boilerplate_extract",
+    "q239_spearman_correlation",
+    "q240_benford_audit",
+    "q241_retrieval_eval_metrics",
+    "q242_mp3_frame_census",
 ]
 
 

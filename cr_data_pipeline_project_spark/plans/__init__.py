@@ -232,6 +232,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q240_benford_audit",
     "q241_retrieval_eval_metrics",
     "q242_mp3_frame_census",
+    "q243_mixed_media_census",
+    "q244_streaming_dp_snapshot",
 )
 
 

@@ -8773,3 +8773,180 @@ def q242_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feat", 1).cast("bigint").alias("n_frames"),
         F.round(F.element_at("feat", 2)).cast("bigint").alias("frame_len"),
     )
+
+
+@q(
+    "q243_mixed_media_census",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CASE doc_id % 9
+                    WHEN 0 THEN 'audio/wav'    WHEN 1 THEN 'audio/ulaw'
+                    WHEN 2 THEN 'image/ppm'    WHEN 3 THEN 'image/pgm'
+                    WHEN 4 THEN 'image/bmp'    WHEN 5 THEN 'image/png'
+                    WHEN 6 THEN 'image/gif'    WHEN 7 THEN 'image/jpeg'
+                    ELSE 'audio/mpeg' END AS media_type,
+               doc_id % 9 IN (2, 3, 4, 5, 6, 7) AS is_image
+        FROM documents)
+    SELECT media_type,
+           COUNT(*)::BIGINT AS n_media,
+           0::BIGINT AS n_errors,
+           CASE WHEN is_image
+                THEN (SELECT SUM(4 + x.doc_id % 5)
+                      FROM m x WHERE x.media_type = m.media_type)
+                ELSE NULL END::BIGINT AS total_height,
+           CASE WHEN NOT is_image
+                THEN (SELECT SUM(CASE x.doc_id % 9
+                          WHEN 0 THEN 100
+                          WHEN 1 THEN 100 + x.doc_id % 50
+                          ELSE (5 + x.doc_id % 20) * 1152 * 1000 // 44100
+                          END)
+                      FROM m x WHERE x.media_type = m.media_type)
+                ELSE NULL END::BIGINT AS total_duration_ms
+    FROM m
+    GROUP BY media_type, is_image
+    ORDER BY media_type
+    """,
+)
+def q243_mixed_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified multimodal plane, end to end: ONE media table
+    carrying all nine REAL containers (WAV, μ-law, PPM, PGM, BMP,
+    PNG, GIF, JPEG, MP3 — modality assigned by doc_id % 9, every
+    payload a genuine synthesized container) flows through the ONE
+    Arrow decode dispatch and reduces to the per-type census a media
+    lake's intake dashboard shows: volume, decode-error count (zero
+    here — every container is well-formed, and the oracle pins
+    that), and the modality-appropriate rollup (image height mass /
+    audio duration mass). The oracle predicts every cell in closed
+    form from the synth parameters — this is the integration
+    attestation that the per-format gates (q94/q99/q220/q226/q227/
+    q235/q237/q242) compose: one dispatch, heterogeneous payloads,
+    per-row error isolation, no payload shuffle (only the census
+    aggregate moves)."""
+    import pandas as pd
+
+    from ..operators import jpeg
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth_one(i: int):
+        m = i % 9
+        w, h, v = 3 + i % 6, 4 + i % 5, (i * 2) % 256
+        if m == 0:
+            return "audio/wav", multimodal.synth_wav(
+                200.0, 1000, 100
+            )
+        if m == 1:
+            return "audio/ulaw", multimodal.synth_ulaw_wav(
+                i % 256, 1000, 100 + i % 50
+            )
+        if m == 2:
+            return "image/ppm", multimodal.synth_ppm(w, h, v)
+        if m == 3:
+            return "image/pgm", multimodal.synth_pgm(w, h, v)
+        if m == 4:
+            return "image/bmp", multimodal.synth_bmp(w, h, v)
+        if m == 5:
+            return "image/png", multimodal.synth_png(w, h, v)
+        if m == 6:
+            return "image/gif", multimodal.synth_gif(w, h, v)
+        if m == 7:
+            return "image/jpeg", jpeg.synth_jpeg(w, h, v)
+        return "audio/mpeg", multimodal.synth_mp3(5 + i % 20)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            types, payloads = [], []
+            for i in ids:
+                t, p = synth_one(int(i))
+                types.append(t)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": types,
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    dec = multimodal.decode_media_features(media)
+    return (
+        dec.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum(
+                F.col("decode_error").isNotNull().cast("bigint")
+            ).alias("n_errors"),
+            F.sum("height").cast("bigint").alias("total_height"),
+            F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_DP_PARTIALS_PATHS: dict[str, str] = {}
+
+
+def _materialized_dp_partials(spark: SparkSession, sf_dir: str) -> str:
+    """Stream (once per process per sf_dir) the per-source count
+    partials for the DP release: the whole documents table lands as
+    a 3-file source read with maxFilesPerTrigger=1 — ≥2 real
+    micro-batches, so the snapshot attests merge-across-batches."""
+    import os
+    import tempfile
+
+    from ..streaming.incremental import streaming_value_count_partials
+
+    path = _DP_PARTIALS_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    base = tempfile.mkdtemp(prefix="sg_dp_lake_")
+    src = os.path.join(base, "rows")
+    table(spark, "documents", sf_dir).select(
+        "doc_id", "source"
+    ).repartition(3).write.parquet(src)
+    out = os.path.join(base, "partials")
+    streaming_value_count_partials(
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        out,
+        os.path.join(base, "ckpt"),
+        "source",
+    ).awaitTermination(300)
+    _DP_PARTIALS_PATHS[sf_dir] = out
+    return out
+
+
+@q("q244_streaming_dp_snapshot", None)
+def q244_streaming_dp_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q230's ε-DP source-count release served from STREAMED
+    partials (streaming/incremental.py:dp_release_snapshot): the
+    real Structured Streaming writer lands per-micro-batch
+    value-count partials, the snapshot sums them and applies the
+    seeded Laplace noise. Oracled with q230's SQL VERBATIM — the
+    driver row attests the privacy plane's partials-lake invariant:
+    noise is a pure function of (seed, source), so the streaming
+    release is bit-identical to the batch mechanism no matter how
+    the stream was sliced (re-slicing must never re-roll the noise).
+    Extends the q212-q214 streaming-equivalence triad to a fourth
+    kernel family."""
+    from ..streaming.incremental import dp_release_snapshot
+
+    return dp_release_snapshot(
+        spark, _materialized_dp_partials(spark, sf_dir), epsilon=0.5,
+        seed="dp-v1",
+    ).orderBy("source")
+
+
+ORACLES["q244_streaming_dp_snapshot"] = ORACLES["q230_dp_source_histogram"]

@@ -1434,3 +1434,40 @@ def streaming_csv_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dp_release_snapshot(
+    spark: SparkSession,
+    partials_path: str,
+    epsilon: float = 0.5,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """The ε-DP noisy count release served from STREAMED value-count
+    partials (the q212-q214 partials-lake posture applied to the
+    privacy plane): sum the live (v, c) partials — additive under
+    any micro-batch slicing — into exact per-group counts, then
+    apply the SAME seeded Laplace mechanism as the batch release
+    (operators/sampling.laplace_ln5: md5-lottery deviate keyed on
+    seed+group, 1e-5-pinned inverse-CDF ln). Because the noise is a
+    pure function of (seed, group), the streaming release is
+    BIT-IDENTICAL to a batch recompute over the same rows — the
+    exact property a privacy audit needs (re-slicing the stream must
+    not re-roll the noise, or repeated snapshots would average it
+    away). Output matches q230: (source, n_true, noisy_n)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import laplace_ln5
+
+    b = 1.0 / float(epsilon)
+    agg = (
+        spark.read.parquet(partials_path)
+        .groupBy(F.col("v").alias("source"))
+        .agg(F.sum("c").cast("bigint").alias("n_true"))
+    )
+    cdev, ln5 = laplace_ln5(F.col("source"), seed)
+    noise = F.round(
+        -F.signum(cdev) * F.lit(b) * ln5.cast("double") / F.lit(100000.0)
+    ).cast("bigint")
+    return agg.select(
+        "source", "n_true", (F.col("n_true") + noise).alias("noisy_n")
+    )

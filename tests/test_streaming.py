@@ -1824,3 +1824,43 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path, sf_dir):
     assert est(cms_snapshot(spark, partials)) == est(
         cms_partials(ev, "user_id", 4, 256)
     )
+
+
+def test_dp_release_snapshot_slicing_invariant(spark, tmp_path):
+    """The streamed DP release must be bit-identical under different
+    micro-batch slicings AND equal to the batch mechanism — noise is
+    a pure function of (seed, source), never of arrival order."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        dp_noisy_counts,
+    )
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        dp_release_snapshot,
+        streaming_value_count_partials,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(300)], "doc_id long, source string"
+    )
+    batch = {
+        (r.source, r.n_true, r.noisy_n)
+        for r in dp_noisy_counts(rows, "source", epsilon=0.5).collect()
+    }
+    for nfiles in (1, 4):
+        src = str(tmp_path / f"rows_{nfiles}")
+        rows.repartition(nfiles).write.parquet(src)
+        out = str(tmp_path / f"partials_{nfiles}")
+        streaming_value_count_partials(
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            str(tmp_path / f"ckpt_{nfiles}"),
+            "source",
+        ).awaitTermination(120)
+        got = {
+            (r.source, r.n_true, r.noisy_n)
+            for r in dp_release_snapshot(spark, out, epsilon=0.5).collect()
+        }
+        assert got == batch, nfiles

@@ -387,3 +387,43 @@ def dp_noisy_counts(
         "n_true",
         (F.col("n_true") + noise).alias("noisy_n"),
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap: literal
+# constants (not computed at runtime) so the Spark CASE chain and the
+# DuckDB oracle compare against byte-identical doubles.
+POISSON1_CDF = (
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def bootstrap_weight(
+    id_col: str | Column, b_col: str | Column, seed: str = "bs-v1"
+) -> Column:
+    """Deterministic Poisson bootstrap multiplicity: the md5-lottery
+    uniform for (seed, resample b, row id) pushed through the
+    Poisson(1) inverse CDF as a literal-threshold CASE chain —
+    Poisson bootstrap (Hanley & MacGibbon; the big-data bootstrap
+    standard) because multiplicities become independent per row, so
+    a resample is ONE map-side column instead of a sample-with-
+    replacement shuffle. Deterministic: the same (seed, b, id)
+    yields the same weight forever, on any engine spelling the same
+    md5 arithmetic — resamples are reproducible and auditable."""
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    u32 = _md5_u32(
+        F.concat(F.lit(seed + ":"), b.cast("string"), F.lit(":"),
+                 i.cast("string"))
+    )
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    expr = F.when(u < F.lit(POISSON1_CDF[0]), F.lit(0))
+    for k in range(1, len(POISSON1_CDF)):
+        expr = expr.when(u < F.lit(POISSON1_CDF[k]), F.lit(k))
+    return expr.otherwise(F.lit(len(POISSON1_CDF))).cast("int")

@@ -234,6 +234,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q242_mp3_frame_census",
     "q243_mixed_media_census",
     "q244_streaming_dp_snapshot",
+    "q245_bootstrap_mean_ci",
 )
 
 

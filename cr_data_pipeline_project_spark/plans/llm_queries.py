@@ -8950,3 +8950,85 @@ def q244_streaming_dp_snapshot(
 
 
 ORACLES["q244_streaming_dp_snapshot"] = ORACLES["q230_dp_source_histogram"]
+
+
+@q(
+    "q245_bootstrap_mean_ci",
+    """
+    WITH w AS (
+        SELECT t.b,
+               CASE
+                 WHEN u < 0.3678794411714423 THEN 0
+                 WHEN u < 0.7357588823428846 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238462 THEN 3
+                 WHEN u < 0.9963401531726563 THEN 4
+                 WHEN u < 0.9994058151824183 THEN 5
+                 WHEN u < 0.9999167588507119 THEN 6
+                 WHEN u < 0.9999897508033253 THEN 7
+                 ELSE 8 END AS wgt,
+               o_totalprice
+        FROM (
+            SELECT b, o_totalprice,
+                   (('0x' || substr(md5('bs-v1:' || b || ':' || o_orderkey),
+                                    1, 8))::BIGINT + 0.5)
+                       / 4294967296.0 AS u
+            FROM orders, UNNEST(range(0, 16)) AS t(b)) t)
+    SELECT b::INTEGER AS resample_id,
+           SUM(wgt)::BIGINT AS n_eff,
+           ROUND((SUM((wgt * o_totalprice)::DECIMAL(28,6)))::DOUBLE
+                 / SUM(wgt)::DOUBLE, 6) AS resample_mean
+    FROM w GROUP BY b ORDER BY b
+    """,
+)
+def q245_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean order value — 16
+    resamples in ONE pass, no sampling shuffle: each row's
+    multiplicity per resample is the md5-lottery uniform for
+    (seed, b, orderkey) through the Poisson(1) inverse CDF as a
+    LITERAL-threshold CASE chain (sampling.bootstrap_weight; the
+    thresholds are committed constants, byte-identical in both
+    engines, so the resamples are reproducible and auditable — the
+    distributed-bootstrap property randomSplit/sample can never
+    give). Exactness: weights are small integers, the weighted sum
+    accumulates as DECIMAL, each resample mean is ONE IEEE division
+    rounded at 1e-6. The caller reads the CI off the 16 resample
+    means (percentile or t); the per-resample table is the oracled
+    artifact because it IS the deterministic part. Scale: explode
+    ×B then one partial-combining aggregate — map-side, linear in
+    B·rows, zero shuffles of row data beyond the 16-group
+    aggregate."""
+    from ..operators.sampling import bootstrap_weight
+
+    o = table(spark, "orders", sf_dir)
+    exploded = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    )
+    w = exploded.select(
+        "b",
+        "o_totalprice",
+        bootstrap_weight("o_orderkey", "b").alias("wgt"),
+    )
+    return (
+        w.groupBy("b")
+        .agg(
+            F.sum("wgt").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(
+                    (F.col("wgt") * F.col("o_totalprice")).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double")
+                / F.sum("wgt").cast("double"),
+                6,
+            ).alias("resample_mean"),
+        )
+        .select(
+            F.col("b").cast("int").alias("resample_id"),
+            "n_eff",
+            "resample_mean",
+        )
+        .orderBy("resample_id")
+    )

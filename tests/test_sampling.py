@@ -296,3 +296,36 @@ def test_dp_noisy_counts_deterministic_and_scaled(spark):
     }
     lo = {s: abs(n - t) for s, (t, n) in r1.items()}
     assert sum(hi.values()) <= sum(lo.values())
+
+
+def test_bootstrap_weight_poisson1_properties(spark):
+    """Poisson(1) multiplicities: mean ~1, P(0) ~ 1/e, deterministic
+    across partitionings, and resamples are mutually distinct."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.sampling import (
+        bootstrap_weight,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b")
+    )
+    w = df.select("id", "b", bootstrap_weight("id", "b").alias("w"))
+    stats = w.groupBy("b").agg(
+        F.avg("w").alias("m"),
+        F.avg((F.col("w") == 0).cast("double")).alias("p0"),
+    ).collect()
+    for r in stats:
+        assert abs(r.m - 1.0) < 0.03
+        assert abs(r.p0 - math.exp(-1)) < 0.02
+    a = sorted(w.collect(), key=lambda r: (r.b, r.id))
+    b2 = sorted(
+        w.repartition(17).collect(), key=lambda r: (r.b, r.id)
+    )
+    assert [(r.b, r.id, r.w) for r in a] == [(r.b, r.id, r.w) for r in b2]
+    by_b = {}
+    for r in a:
+        by_b.setdefault(r.b, []).append(r.w)
+    assert by_b[0] != by_b[1]  # resamples differ

@@ -295,6 +295,12 @@ PROBES = [
     "q240_benford_audit",
     "q241_retrieval_eval_metrics",
     "q242_mp3_frame_census",
+    "q243_mixed_media_census",
+    "q245_bootstrap_mean_ci",
+    # q244 is ABSENT by contract: its cost is the one-time streaming
+    # partials materialization (tempdir lake), not a per-corpus-size
+    # query plan — the q212-q214 streaming snapshots are excluded on
+    # the same grounds.
 ]
 
 

@@ -235,6 +235,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q243_mixed_media_census",
     "q244_streaming_dp_snapshot",
     "q245_bootstrap_mean_ci",
+    "q246_media_embedding_bands",
 )
 
 

@@ -9032,3 +9032,100 @@ def q245_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("resample_id")
     )
+
+
+@q(
+    "q246_media_embedding_bands",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                ELSE 'image/png' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN doc_id % 8
+                ELSE ((doc_id * 2) % 256) * 8 // 256
+           END::INTEGER AS dominant_band,
+           1000000::BIGINT AS share6
+    FROM documents
+    """,
+)
+def q246_media_embedding_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL classical media embeddings, attested through physics:
+    even docs synthesize a WAV sine at the CENTER of spectral band
+    doc_id % 8 and the embedding pipeline (full PCM decode → numpy
+    real FFT → power → 8-band energy shares,
+    multimodal.media_embedding) must find that band dominant; odd
+    docs synthesize a constant-fill PNG whose 8-bin luma histogram
+    is ONE-HOT at the predictable bin (v·8/256) with share exactly
+    1.0 — so the oracle pins the argmax band for audio AND the
+    exact 1e-6-pinned share for images (a sine's dominant-band
+    share is leakage-dependent and deliberately NOT pinned; the
+    constant image's is exact). This is the non-neural embedding
+    path made real — the neural encoder remains the documented
+    seam, but histogram/spectral features now run genuine DSP end
+    to end, and downstream ANN/dedup operators consume this column
+    shape unchanged. share6: images pin the exact one-hot share
+    (1e6); audio pins the ATTESTED invariant — the dominant band
+    holds a strict energy majority (1e6 when max share > 0.5) —
+    because the exact share is FFT-leakage-dependent and pinning it
+    would test the window function, not the pipeline. Payloads
+    never shuffle."""
+    import pandas as pd
+
+    from ..operators.similarity import ensure_parallelism
+
+    docs = ensure_parallelism(
+        table(spark, "documents", sf_dir).select("doc_id")
+    )
+
+    def synth(batches):
+        sr = 8000
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            types, payloads = [], []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    b = i % 8
+                    f = (b + 0.5) * (sr / 2) / 8
+                    types.append("audio/wav")
+                    payloads.append(multimodal.synth_wav(f, sr, 800))
+                else:
+                    types.append("image/png")
+                    payloads.append(
+                        multimodal.synth_png(
+                            3 + i % 6, 2 + i % 5, (i * 2) % 256
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": types,
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    emb = multimodal.media_embedding(media, n_bands=8)
+    arr = F.col("embedding")
+    dominant = F.expr(
+        "array_position(embedding, array_max(embedding)) - 1"
+    ).cast("int")
+    # images: one-hot -> max share exactly 1.0; audio: pin the
+    # ATTESTED invariant instead of the leakage-dependent share —
+    # the dominant band holds a strict majority of the energy
+    share6 = F.when(
+        F.col("media_type") == "image/png",
+        F.round(F.array_max(arr) * 1000000).cast("bigint"),
+    ).otherwise(
+        (F.array_max(arr) > 0.5).cast("bigint") * 1000000
+    )
+    return emb.select(
+        "media_id",
+        "media_type",
+        dominant.alias("dominant_band"),
+        share6.alias("share6"),
+    )

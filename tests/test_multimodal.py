@@ -977,3 +977,46 @@ def test_decode_dispatch_routes_mp3(spark):
     assert out[1].decode_error is None
     assert out[1].n_samples == 6 * 1152 and out[1].sample_rate == 44100
     assert out[2].decode_error is not None
+
+
+def test_media_embedding_spectral_and_histogram(spark):
+    """Real DSP attestation: a sine lands its energy in the right
+    FFT band for all 8 bands; a constant image is one-hot in the
+    right luma bin; a two-tone image splits exactly; errors are
+    per-row."""
+    import numpy as np
+
+    sr = 8000
+    rows = []
+    for b in range(8):
+        f = (b + 0.5) * (sr / 2) / 8
+        rows.append(
+            (b, multimodal.synth_wav(f, sr, 800), "audio/wav",
+             None, None, None)
+        )
+    rows.append((100, multimodal.synth_png(4, 4, 40), "image/png",
+                 None, None, None))
+    # half pixels at luma 16 (bin 0), half at 240 (bin 7)
+    g = np.zeros((2, 4, 3), dtype=np.uint8)
+    g[0] = 16
+    g[1] = 240
+    rows.append((101, multimodal._png_encode(g), "image/png",
+                 None, None, None))
+    rows.append((102, b"junk", "image/png", None, None, None))
+    rows.append((103, multimodal.synth_mp3(3), "audio/mpeg",
+                 None, None, None))  # unsupported for embeddings
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.media_embedding(df, n_bands=8).collect()
+    }
+    for b in range(8):
+        e = out[b].embedding
+        assert int(np.argmax(e)) == b and max(e) > 0.5
+        assert abs(sum(e) - 1.0) < 1e-9
+    e100 = out[100].embedding
+    assert e100[40 * 8 // 256] == 1.0
+    e101 = out[101].embedding
+    assert e101[0] == 0.5 and e101[7] == 0.5
+    assert out[102].embed_error is not None
+    assert out[103].embed_error is not None and "unsupported" in out[103].embed_error

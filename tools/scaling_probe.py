@@ -297,6 +297,7 @@ PROBES = [
     "q242_mp3_frame_census",
     "q243_mixed_media_census",
     "q245_bootstrap_mean_ci",
+    "q246_media_embedding_bands",
     # q244 is ABSENT by contract: its cost is the one-time streaming
     # partials materialization (tempdir lake), not a per-corpus-size
     # query plan — the q212-q214 streaming snapshots are excluded on

@@ -1307,3 +1307,46 @@ def fuzzy_blocked_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def fellegi_sunter_weights(m: float, u: float) -> tuple[float, float]:
+    """The Fellegi-Sunter (1969, public construction) field weights:
+    ``log2(m/u)`` on agreement, ``log2((1-m)/(1-u))`` on
+    disagreement, computed ONCE in the driver so both the Spark plan
+    and any SQL twin embed the identical IEEE literals (repr
+    round-trips them exactly — the same pinning discipline as the
+    Poisson bootstrap thresholds)."""
+    import math
+
+    return (
+        math.log2(m / u),
+        math.log2((1.0 - m) / (1.0 - u)),
+    )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    fields: list[tuple[Column, float, float]],
+    out_col: str = "match_weight",
+) -> DataFrame:
+    """Fellegi-Sunter match scoring over blocked candidate pairs:
+    each field contributes its agreement/disagreement log-odds
+    weight (from the field's m = P(agree | match) and
+    u = P(agree | non-match)), summed into the pair's total match
+    weight — the probabilistic-record-linkage standard the fuzzy
+    blocked-pairs stage (q127) feeds. ``fields`` is
+    ``[(agreement_bool_col, m, u), ...]``.
+
+    Exactness: weights are driver-computed literal doubles summed in
+    the fixed declaration order — a single codegen expression, no
+    aggregate, so the result is bit-stable and SQL-twin-able. Scale:
+    a map-side projection on the (already blocked and bounded) pair
+    table; scoring adds zero shuffles."""
+    expr = None
+    for agree, m, u in fields:
+        wa, wd = fellegi_sunter_weights(m, u)
+        term = F.when(agree, F.lit(wa)).otherwise(F.lit(wd))
+        expr = term if expr is None else expr + term
+    if expr is None:
+        raise ValueError("fellegi_sunter_score needs at least one field")
+    return pairs.select("*", expr.alias(out_col))

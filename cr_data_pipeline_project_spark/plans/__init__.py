@@ -236,6 +236,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q244_streaming_dp_snapshot",
     "q245_bootstrap_mean_ci",
     "q246_media_embedding_bands",
+    "q247_record_linkage_scores",
 )
 
 

@@ -9129,3 +9129,101 @@ def q246_media_embedding_bands(
         dominant.alias("dominant_band"),
         share6.alias("share6"),
     )
+
+
+@q(
+    "q247_record_linkage_scores",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               FLOOR(c_acctbal / 1000.0)::BIGINT AS balband,
+               right(c_name, 2) AS cc
+        FROM customer),
+    pairs AS (
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               a.c_mktsegment = b.c_mktsegment AS ag_seg,
+               a.cc = b.cc AS ag_cc
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.balband = b.balband
+         AND a.c_custkey < b.c_custkey)
+    SELECT cust_a, cust_b,
+           ROUND(
+             (CASE WHEN ag_seg THEN 2.169925001442312
+                   ELSE -3.0000000000000004 END)
+             + 3.0874628412503395
+             + (CASE WHEN ag_cc THEN 4.569855608330948
+                     ELSE -4.263034405833793 END),
+           6) AS match_weight
+    FROM pairs
+    WHERE (CASE WHEN ag_seg THEN 2.169925001442312
+                ELSE -3.0000000000000004 END)
+          + 3.0874628412503395
+          + (CASE WHEN ag_cc THEN 4.569855608330948
+                  ELSE -4.263034405833793 END) >= 6.0
+    ORDER BY cust_a, cust_b
+    """,
+)
+def q247_record_linkage_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probabilistic record linkage, the Fellegi-Sunter construction
+    (1969): candidate customer pairs from deterministic blocking
+    (same nation × same thousand-dollar balance band — the bounded-
+    block discipline of q127's fuzzy pairs), scored by summed
+    agreement/disagreement log-odds over three fields (market
+    segment m=.9/u=.2; balance band m=.85/u=.1 — always agreeing
+    inside the block, its weight is the constant agreement term;
+    customer-name suffix digits m=.95/u=.04 — a stand-in identifier fragment; the fixture carries no phone column), thresholded at weight ≥ 6 —
+    the ER pipeline between blocking and clerical review. Exactness:
+    every weight is a driver-computed IEEE literal (repr-embedded
+    into BOTH engines — the Poisson-threshold discipline), summed in
+    fixed order, one ROUND at 1e-6. Scale: blocked equi-join (never
+    all-pairs; block size bounded by nation × band), scoring is a
+    map-side codegen expression, the threshold prunes before any
+    shuffle of results."""
+    from ..operators.dedup import fellegi_sunter_score, fellegi_sunter_weights
+
+    c = table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("balband"),
+        F.expr("right(c_name, 2)").alias("cc"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.balband") == F.col("b.balband"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+                "ag_seg"
+            ),
+            (F.col("a.cc") == F.col("b.cc")).alias("ag_cc"),
+        )
+    )
+    scored = fellegi_sunter_score(
+        pairs,
+        [
+            (F.col("ag_seg"), 0.9, 0.2),
+            (F.lit(True), 0.85, 0.1),  # balance band agrees by blocking
+            (F.col("ag_cc"), 0.95, 0.04),
+        ],
+    )
+    wa, _ = fellegi_sunter_weights(0.85, 0.1)
+    return (
+        scored.where(F.col("match_weight") >= 6.0)
+        .select(
+            "cust_a",
+            "cust_b",
+            F.round("match_weight", 6).alias("match_weight"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )

@@ -237,6 +237,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q245_bootstrap_mean_ci",
     "q246_media_embedding_bands",
     "q247_record_linkage_scores",
+    "q248_mojibake_census",
 )
 
 

@@ -9227,3 +9227,74 @@ def q247_record_linkage_scores(
         )
         .orderBy("cust_a", "cust_b")
     )
+
+
+_MOJIBAKE_PLANT = 'cafÃ© naÃ¯ve â€“ broken â€œquote'
+_MOJI_PAT_C3 = 'Ã[\xa0-ÿ]'
+_MOJI_PAT_E2 = 'â€'
+
+
+@q(
+    "q248_mojibake_census",
+    """
+    WITH probe AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' cafÃ© naÃ¯ve â€“ broken â€œquote'
+                    ELSE text END AS t
+        FROM documents),
+    d AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(t, 'Ã[ -ÿ]'))::BIGINT AS n_c3,
+               len(regexp_extract_all(t, 'â€'))::BIGINT AS n_e2
+        FROM probe)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN n_c3 + n_e2 > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_suspect,
+           SUM(n_c3)::BIGINT AS hits_c3,
+           SUM(n_e2)::BIGINT AS hits_e2
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q248_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (double-decoded UTF-8) census — the crawl-quality
+    probe for the classic encoding-damage signature: UTF-8 bytes
+    re-decoded as Latin-1/cp1252 turn an accented letter into an
+    A-tilde + continuation pair and curly punctuation into
+    a-circumflex + euro sequences; counting those two signatures per
+    document flags damaged sources before they poison a tokenizer
+    vocabulary (q39's lang-id mis-buckets mojibake instead of
+    flagging it). Every 11th doc is deterministically damaged IN THE
+    QUERY — both engines append the identical mojibake plant — so
+    the census is attested against known positives: the oracle
+    predicts per-source suspect counts and hit totals exactly.
+    Patterns are RE2/Java-portable character classes (no
+    backreferences). Scale: map-side regexp projection + one
+    source-bounded aggregate."""
+    docs = table(spark, "documents", sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" " + _MOJIBAKE_PLANT)),
+    ).otherwise(F.col("text"))
+    d = docs.select("source", planted.alias("t")).select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(_MOJI_PAT_C3), 0))
+        .cast("bigint")
+        .alias("n_c3"),
+        F.size(F.regexp_extract_all("t", F.lit(_MOJI_PAT_E2), 0))
+        .cast("bigint")
+        .alias("n_e2"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                ((F.col("n_c3") + F.col("n_e2")) > 0).cast("bigint")
+            ).alias("n_suspect"),
+            F.sum("n_c3").cast("bigint").alias("hits_c3"),
+            F.sum("n_e2").cast("bigint").alias("hits_e2"),
+        )
+        .orderBy("source")
+    )

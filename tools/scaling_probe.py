@@ -302,6 +302,12 @@ PROBES = [
     # partials materialization (tempdir lake), not a per-corpus-size
     # query plan — the q212-q214 streaming snapshots are excluded on
     # the same grounds.
+    # q247 is ABSENT by contract: its input is the customer DIM,
+    # which the probe corpus deliberately keeps fixture-sized (facts
+    # grow, dims don't) — a probe would measure a constant, not a
+    # scaling exponent. Block size is bounded by nation x balance
+    # band; the pair count scales with dim size squared over block
+    # count, a deployment-sizing knob, not a corpus-size one.
 ]
 
 

@@ -200,7 +200,12 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # query with a driver row hiding here would dodge re-attestation).
 # Round 8 additions queue here for their first attestation in
 # round 9 (the round-8 window was full at rotation time with the 42
-# q168-q211 first-timers + 8 returners).
+# q168-q211 first-timers + 8 returners). 36 oracled round-8 queries
+# wait: q212-q225 from the first half of the round, q226-q248 from
+# the second (codec/eval/stats/governance additions); with 50 slots,
+# round 9 promotes all 36 plus the 14 longest-parked returners
+# (q21/q23/q27/q30/q36/q42/q46/q49/q50/q51/q56/q58/q59/q60 — the
+# head of the remaining r05-attested set).
 GATE_PENDING: tuple[str, ...] = (
     "q212_streaming_ks_snapshot",
     "q213_streaming_psi_snapshot",

@@ -243,6 +243,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q246_media_embedding_bands",
     "q247_record_linkage_scores",
     "q248_mojibake_census",
+    "q249_l_diversity_census",
 )
 
 

@@ -9298,3 +9298,65 @@ def q248_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q249_l_diversity_census",
+    """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*)::BIGINT AS group_size,
+               COUNT(DISTINCT FLOOR(c_acctbal / 1000.0))::BIGINT
+                   AS l_distinct
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           MIN(group_size) AS k_anonymity,
+           MIN(l_distinct) AS l_diversity,
+           SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END)::BIGINT
+               AS groups_under_k5,
+           SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END)::BIGINT
+               AS groups_under_l3,
+           SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+               ::BIGINT AS rows_at_risk
+    FROM g
+    """,
+)
+def q249_l_diversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity AND l-diversity in one release audit — the
+    governance pair a privacy review runs before publishing a
+    quasi-identified extract (q175 censuses k alone; k-anonymous
+    groups whose SENSITIVE attribute is uniform still leak —
+    Machanavajjhala et al.'s l-diversity closes that): over the
+    quasi-identifier (nation × market segment), the census reports
+    the worst-case group size (k), the worst-case count of distinct
+    sensitive values per group (l, on the thousand-dollar balance
+    band), how many groups fall under k=5 / l=3, and the row mass
+    at re-identification risk. Exactness: pure integer counts and
+    MINs — the FLOOR bucketing is the only arithmetic and it is
+    integer division semantics on both engines. Scale: one
+    partial-combining aggregate to QI-bounded groups (COUNT DISTINCT
+    expands to a two-level aggregate, both map-side combinable),
+    then a 1-row fold over the bounded group table."""
+    c = table(spark, "customer", sf_dir)
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000.0)
+        ).cast("bigint").alias("l_distinct"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("group_size").alias("k_anonymity"),
+        F.min("l_distinct").alias("l_diversity"),
+        F.sum((F.col("group_size") < 5).cast("bigint")).alias(
+            "groups_under_k5"
+        ),
+        F.sum((F.col("l_distinct") < 3).cast("bigint")).alias(
+            "groups_under_l3"
+        ),
+        F.sum(
+            F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("rows_at_risk"),
+    )

@@ -244,6 +244,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q247_record_linkage_scores",
     "q248_mojibake_census",
     "q249_l_diversity_census",
+    "q250_ab_test_readout",
 )
 
 

@@ -9360,3 +9360,95 @@ def q249_l_diversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("rows_at_risk"),
     )
+
+
+@q(
+    "q250_ab_test_readout",
+    """
+    WITH armed AS (
+        SELECT ('0x' || substr(md5('exp1:' || user_id), 1, 8))::BIGINT % 2
+                   AS arm,
+               value
+        FROM events WHERE value IS NOT NULL),
+    m AS (
+        SELECT arm,
+               COUNT(*)::BIGINT AS n,
+               SUM(value::DECIMAL(28,6)) AS s1,
+               SUM((value::DECIMAL(28,6)) * (value::DECIMAL(28,6))) AS s2
+        FROM armed GROUP BY arm),
+    w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               a.s1::DOUBLE / a.n::DOUBLE AS m_a,
+               b.s1::DOUBLE / b.n::DOUBLE AS m_b,
+               (a.s2::DOUBLE - a.s1::DOUBLE * a.s1::DOUBLE / a.n::DOUBLE)
+                   / (a.n - 1)::DOUBLE AS v_a,
+               (b.s2::DOUBLE - b.s1::DOUBLE * b.s1::DOUBLE / b.n::DOUBLE)
+                   / (b.n - 1)::DOUBLE AS v_b
+        FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1)
+    SELECT n_a, n_b,
+           ROUND(m_a, 6) AS mean_a,
+           ROUND(m_b, 6) AS mean_b,
+           ROUND(m_b - m_a, 6) AS lift,
+           ROUND((m_b - m_a)
+                 / sqrt(v_a / n_a::DOUBLE + v_b / n_b::DOUBLE), 6)
+               AS welch_t
+    FROM w
+    """,
+)
+def q250_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation readout, end to end: users are assigned
+    to arms by the portable md5 lottery keyed on
+    (experiment, user_id) — the SAME deterministic assignment the
+    split/sampling family uses, so an arm is reproducible on any
+    engine and NEVER re-randomizes across reruns (the invariant an
+    experiment platform lives on; Spark-side it is
+    sampling.hash_bucket with the experiment seed) — then each
+    arm's event-value metric is reduced with the q207 decimal-
+    moment Welch discipline: exact per-arm (n, Σx, Σx²), fixed IEEE
+    finish, one ROUND. Output: per-arm sizes and means, the lift,
+    and the Welch t — the one-row decision table. Scale: a map-side
+    arm projection + ONE two-group partial-combining aggregate; the
+    arm join is 1×1 rows."""
+    from ..operators.sampling import hash_bucket
+
+    ev = table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    armed = ev.select(
+        hash_bucket(
+            F.concat(F.lit("exp1:"), F.col("user_id").cast("string")), 2
+        ).alias("arm"),
+        "value",
+    )
+    d = F.col("value").cast("decimal(28,6)")
+    is_a = F.col("arm") == 0
+    # ONE conditional-moment pass — the per-arm groupBy + self-join
+    # form scans events twice; this is the single-scan twin with
+    # identical per-arm sums (decimal addition is order-free)
+    j = armed.agg(
+        F.sum(is_a.cast("bigint")).alias("n_a"),
+        F.sum((~is_a).cast("bigint")).alias("n_b"),
+        F.sum(F.when(is_a, d)).alias("s1a"),
+        F.sum(F.when(~is_a, d)).alias("s1b"),
+        F.sum(F.when(is_a, d * d)).alias("s2a"),
+        F.sum(F.when(~is_a, d * d)).alias("s2b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("s1a").cast("double") / na
+    mb = F.col("s1b").cast("double") / nb
+    va = (
+        F.col("s2a").cast("double")
+        - F.col("s1a").cast("double") * F.col("s1a").cast("double") / na
+    ) / (na - 1)
+    vb = (
+        F.col("s2b").cast("double")
+        - F.col("s1b").cast("double") * F.col("s1b").cast("double") / nb
+    ) / (nb - 1)
+    t = (mb - ma) / F.sqrt(va / na + vb / nb)
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb - ma, 6).alias("lift"),
+        F.round(t, 6).alias("welch_t"),
+    )

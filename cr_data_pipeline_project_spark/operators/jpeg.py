@@ -543,7 +543,6 @@ def _decode_scan(payload, pos, sof, scan, qtables, dc_tables, ac_tables, dri):
     reader = _BitReader(payload, pos)
     preds = {cid: 0 for cid, _, _, _ in comps}
     mcu_count = 0
-    idct_cache = {}
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and mcu_count and mcu_count % dri == 0:

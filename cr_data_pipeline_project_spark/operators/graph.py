@@ -362,10 +362,13 @@ def triangle_count(
 
     Returns a 1-row DataFrame (n_triangles BIGINT). Scale: the
     canonical edge set is consumed twice (degrees + orientation) and
-    persists for the count's duration (ContextCleaner-managed);
-    everything downstream is two |E|-row joins keyed on a vertex id
-    plus one partial-combining sum — no vertex ever holds more than
-    its own O(√m) out-neighborhood."""
+    persists only for the count's duration — the aggregate is
+    reduced eagerly here (1 row, bounded by contract) so both
+    cached edge sets are unpersisted before return instead of
+    accumulating until ContextCleaner reclaims them; everything
+    downstream is two |E|-row joins keyed on a vertex id plus one
+    partial-combining sum — no vertex ever holds more than its own
+    O(√m) out-neighborhood."""
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(
@@ -396,21 +399,29 @@ def triangle_count(
     adj = oriented.groupBy("lo").agg(
         F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
-    return (
-        oriented.join(
-            adj.select(F.col("lo").alias("lo"), F.col("nbrs").alias("nu")),
-            "lo",
+    try:
+        n = (
+            oriented.join(
+                adj.select(F.col("lo").alias("lo"), F.col("nbrs").alias("nu")),
+                "lo",
+            )
+            .join(
+                adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
+                "hi",
+            )
+            .select(
+                F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("k")
+            )
+            .agg(
+                F.coalesce(F.sum("k"), F.lit(0))
+                .cast("bigint")
+                .alias("n_triangles")
+            )
+            .collect()[0][0]  # bounded: the global aggregate is 1 row
         )
-        .join(
-            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
-            "hi",
-        )
-        .select(
-            F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("k")
-        )
-        .agg(
-            F.coalesce(F.sum("k"), F.lit(0))
-            .cast("bigint")
-            .alias("n_triangles")
-        )
+    finally:
+        und.unpersist()
+        oriented.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(int(n),)], "n_triangles bigint"
     )

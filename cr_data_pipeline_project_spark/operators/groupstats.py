@@ -152,3 +152,84 @@ def daily_count_anomaly(daily: DataFrame, z_threshold: int = 2) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def grouped_doubled_ranks(
+    counts: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str,
+    out_col: str = "r2",
+) -> DataFrame:
+    """Scale path for per-group tie-averaged ranks on LOW-CARDINALITY
+    group keys, in the exact doubled-rank integer encoding
+    ``2*avg_rank = 2*rank() + count(ties) - 1``  (equivalently
+    ``2*cnt_lt + cnt_eq + 1``): a ``Window.partitionBy(group)`` rank
+    caps parallelism at |groups| tasks (3 for ``l_returnflag``), so
+    this computes the same BIGINT values via the q58/q195
+    partition-offset pattern instead:
+
+    1. rank inputs are pre-aggregated ``(group, value, cnt)`` rows —
+       the caller's groupBy, a hash aggregate with full parallelism;
+    2. ``repartitionByRange(group, value)`` gives a total order
+       across partitions with every (group, value) key in exactly
+       one partition (range boundaries are key values);
+    3. per-(partition, group) subtotals — ≤ nparts·|groups| rows —
+       prefix-sum into per-partition group offsets with a window
+       over that TINY table;
+    4. the within-partition prefix sum runs under
+       ``Window.partitionBy(pid, group)`` — parallelism is
+       nparts·|groups|, never |groups|, and it shuffles only the
+       distinct (group, value) rows, never the fact rows.
+
+    Returns ``(group_col, value_col, count_col, out_col)`` where
+    ``out_col`` is the BIGINT doubled average rank of ``value_col``
+    among the group's ROWS (weight = cnt). Bit-identical to the
+    window formulation — same integers, any engine."""
+    from pyspark.sql import Window
+
+    nparts = counts.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        counts.repartitionByRange(nparts, group_col, value_col)
+        .sortWithinPartitions(group_col, value_col)
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    ptot = tagged.groupBy("__pid", group_col).agg(
+        F.sum(F.col(count_col)).cast("long").alias("__ptot")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = ptot.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.withColumn(
+            "__local_lt",
+            F.coalesce(
+                F.sum(F.col(count_col)).over(w_local).cast("long"), F.lit(0)
+            ),
+        )
+        .join(F.broadcast(offsets), ["__pid", group_col])
+        .select(
+            group_col,
+            value_col,
+            count_col,
+            (
+                2 * (F.col("__off") + F.col("__local_lt"))
+                + F.col(count_col)
+                + 1
+            )
+            .cast("long")
+            .alias(out_col),
+        )
+    )

@@ -34,17 +34,71 @@ GATE_SLOTS = 50
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation on a fixed
-# cadence (roughly every fourth round now that 199 oracled queries
-# share 50 slots). Round 8: the 42 GATE_PENDING first-timers
-# (q168-q211 oracled additions, never driver-attested) take the
-# window along with the 8 longest-parked returners — the head of
-# the round-6-parked r05-attested set (q12/q13/q14/q16/q17/q18/
-# q19/q20). Everything else parks here: the 50 queries the r07
-# window attested, the 50 r06-attested ones, and the 35 remaining
+# cadence (roughly every fifth round now that 223 oracled queries
+# share 50 slots). Round 9: the 38 GATE_PENDING first-timers
+# (q212-q250 oracled round-8 additions, never driver-attested)
+# take the window along with the 12 longest-parked returners — the
+# head of the round-6-parked r05-attested set (q21/q23/q27/q30/
+# q36/q42/q46/q49/q50/q51/q56/q58). Everything else parks here:
+# the 50 queries the r08 window attested, the 50 r07-attested
+# ones, the 50 r06-attested ones, and the 23 remaining
 # r05-attested ones. All parked queries stay covered every round by
 # tests/test_oracle_parity.py and tools/check_oracle.py, which run
 # the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
+    # parked round 9 (driver-green in r08): the 50 queries the r08
+    # window attested (the 8 q12-q20 returners + the 42 q168-q211
+    # first-timers)
+    "q12_key_synthesis",
+    "q13_ts_parse_strict",
+    "q14_url_encode",
+    "q16_element_at_default",
+    "q17_json_extract",
+    "q18_null_mask_fill",
+    "q19_case_round",
+    "q20_window_rank",
+    "q168_forecast_revenue_change",
+    "q169_daily_autocorrelation",
+    "q170_dow_seasonality",
+    "q171_audience_intersect_all",
+    "q172_dsir_importance",
+    "q173_dup_span_census",
+    "q174_chunk_plan",
+    "q175_kanon_census",
+    "q176_grouping_sets",
+    "q177_ks_source_drift",
+    "q178_zipf_slope",
+    "q179_textrank_keywords",
+    "q180_pmi_collocations",
+    "q181_lexical_entropy",
+    "q182_psi_drift",
+    "q183_semantic_decontamination",
+    "q184_bigram_surprisal",
+    "q185_min_cost_supplier",
+    "q186_important_part_values",
+    "q187_containment_pairs",
+    "q188_per_source_quality_cap",
+    "q189_source_kl_divergence",
+    "q190_seeded_shuffle_order",
+    "q192_token_kl_drift",
+    "q193_semantic_dedup_export",
+    "q194_hybrid_rrf_topk",
+    "q195_quantile_normalize",
+    "q196_temperature_mix",
+    "q197_last_touch_attribution",
+    "q198_hard_negative_mining",
+    "q200_trailing_window_features",
+    "q201_corpus_datasheet",
+    "q202_key_skew_census",
+    "q203_event_transition_matrix",
+    "q204_fulfillment_lag",
+    "q205_leakage_safe_split",
+    "q206_pps_sample_per_source",
+    "q207_value_welch_ttest",
+    "q208_dup_cluster_size_census",
+    "q209_chisq_source_lang",
+    "q210_effective_tokens_per_source",
+    "q211_rfm_segmentation",
     # parked round 8 (driver-green in r07): the 50 queries the r07
     # window attested
     "q03_player_win_rate",
@@ -98,7 +152,7 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q166_pps_token_sample",
     "q167_cusum_changepoint",
     # parked round 7 (driver-green in r06): the 50 queries the r06
-    # window attested; they are next in line to return
+    # window attested
     "q01_pricing_summary",
     "q02_brand_usage_wins",
     "q09_anti_join_new_keys",
@@ -149,21 +203,9 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q118_grouped_correlation",
     "q119_stickiness_dau_wau",
     "q120_quality_tier_budgets",
-    # still parked from round 6 (driver-green in r05): the 35
-    # longest-parked returners after q12-q20 rotated back in
-    # round 8; they return next
-    "q21_multikey_sort",
-    "q23_surrogate_keys",
-    "q27_season_calendar",
-    "q30_sliding_window",
-    "q36_ann_bruteforce_topk",
-    "q42_ann_ivf_topk",
-    "q46_rollup",
-    "q49_sql_view_api",
-    "q50_column_profile",
-    "q51_salted_join",
-    "q56_asof_join",
-    "q58_dense_ids_scale",
+    # still parked from round 6 (driver-green in r05): the 23
+    # longest-parked returners after q21-q58 rotated back in
+    # round 9; they return next
     "q59_last_completed_seasons",
     "q60_current_plus_seasons",
     "q65_int8_quantize",
@@ -198,53 +240,13 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-# Round 8 additions queue here for their first attestation in
-# round 9 (the round-8 window was full at rotation time with the 42
-# q168-q211 first-timers + 8 returners). 36 oracled round-8 queries
-# wait: q212-q225 from the first half of the round, q226-q248 from
-# the second (codec/eval/stats/governance additions); with 50 slots,
-# round 9 promotes all 36 plus the 14 longest-parked returners
-# (q21/q23/q27/q30/q36/q42/q46/q49/q50/q51/q56/q58/q59/q60 — the
-# head of the remaining r05-attested set).
+# Round 9 rotation promoted all 38 round-8 first-timers
+# (q212-q250) into the window along with the 12 longest-parked
+# returners, so the queue is empty at round start; oracled queries
+# added during round 9 queue here for their first attestation in
+# round 10.
 GATE_PENDING: tuple[str, ...] = (
-    "q212_streaming_ks_snapshot",
-    "q213_streaming_psi_snapshot",
-    "q214_streaming_kl_snapshot",
-    "q215_top_ngram_mass",
-    "q216_vocab_overlap_matrix",
-    "q217_heaps_vocab_growth",
-    "q218_dedup_survivorship",
-    "q219_split_leakage_audit",
-    "q220_bmp_decode_meta",
-    "q221_embedding_norm_census",
-    "q222_revenue_concentration",
-    "q223_quality_auc",
-    "q224_source_lang_mutual_info",
-    "q225_integrity_audit",
-    "q226_png_decode_meta",
-    "q227_gif_decode_meta",
-    "q228_grouped_ols_regression",
-    "q229_gif_frame_extract",
-    "q230_dp_source_histogram",
-    "q231_copurchase_triangles",
-    "q232_ngram_overlap_scores",
-    "q233_pareto_frontier",
-    "q235_ulaw_decode_meta",
-    "q236_mp4_container_meta",
-    "q237_jpeg_decode_meta",
-    "q238_html_boilerplate_extract",
-    "q239_spearman_correlation",
-    "q240_benford_audit",
-    "q241_retrieval_eval_metrics",
-    "q242_mp3_frame_census",
-    "q243_mixed_media_census",
-    "q244_streaming_dp_snapshot",
-    "q245_bootstrap_mean_ci",
-    "q246_media_embedding_bands",
-    "q247_record_linkage_scores",
-    "q248_mojibake_census",
-    "q249_l_diversity_census",
-    "q250_ab_test_readout",
+    "q251_mjpeg_mp4_frame_extract",
 )
 
 

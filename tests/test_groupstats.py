@@ -56,3 +56,55 @@ def test_anomaly_gate_rejects_float_threshold(spark, sf_dir):
         daily_count_anomaly(daily, z_threshold=2.5)
     with pytest.raises(TypeError, match="z_threshold must be int"):
         daily_count_anomaly(daily, z_threshold=True)
+
+
+def test_grouped_doubled_ranks_matches_window_formulation(spark):
+    """The q58/q195-pattern scale path must produce bit-identical
+    BIGINT doubled ranks (2*rank() + count(ties) - 1 per group) to
+    the low-parallelism Window.partitionBy(group) formulation it
+    replaces — ties, singleton groups, negative values and all."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        grouped_doubled_ranks,
+    )
+
+    rng = random.Random(239)
+    rows = [
+        (g, rng.choice([-3, 0, 1, 2, 2, 5, 7, 7, 7, 11]))
+        for g in "ABC"
+        for _ in range(200)
+    ] + [("SINGLETON", 42)]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(8)
+
+    counts = df.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    got = {
+        (r.g, r.v): (r.cnt, r.r2)
+        for r in grouped_doubled_ranks(counts, "g", "v", "cnt").collect()
+    }
+
+    w = Window.partitionBy("g").orderBy("v")
+    cw = Window.partitionBy("g", "v")
+    want = {
+        (r.g, r.v): (r.cnt, r.r2)
+        for r in df.select(
+            "g",
+            "v",
+            F.count(F.lit(1)).over(cw).cast("long").alias("cnt"),
+            (2 * F.rank().over(w) + F.count(F.lit(1)).over(cw) - 1)
+            .cast("long")
+            .alias("r2"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # mean doubled rank over each group's rows must be n+1 exactly
+    for g in "ABC":
+        n = sum(c for (gg, _), (c, _) in got.items() if gg == g)
+        tot = sum(c * r for (gg, _), (c, r) in got.items() if gg == g)
+        assert tot == n * (n + 1)

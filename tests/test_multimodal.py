@@ -1,6 +1,7 @@
 """Multimodal plumbing: binary columns, Arrow batch shapes, frame
-sampling plans. Decode kernels are stubbed by design (no media libs
-here); the Spark-side contract is what's under test."""
+sampling plans, and the REAL from-scratch decode kernels (WAV/μ-law/
+PPM/PGM/BMP/PNG/GIF/JPEG/MP4/MP3 — no external media libs; the only
+stub left is compressed MP4 video-frame decode)."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -34,9 +35,31 @@ def test_extract_features_schema_and_determinism(spark):
         assert r["payload_md5"] is not None and r["n_bytes"] > 0
 
 
-def test_fake_decode_raises_on_null_payload():
-    with pytest.raises(NotImplementedError):
-        multimodal._fake_decode_features(None)
+def test_payload_features_raises_on_null_payload():
+    with pytest.raises(ValueError):
+        multimodal.payload_features(None, "image/png")
+
+
+def test_payload_features_real_dispatch():
+    """The default featurizer runs the REAL kernels: a constant-gray
+    PNG is one-hot in its luma band; a sine WAV concentrates energy
+    in its frequency band; arbitrary bytes get an exact byte-band
+    histogram (and a corrupt payload under an image type falls back
+    to that raw-byte signature instead of a fake hash)."""
+    png = multimodal.synth_png(4, 4, 200)
+    f = multimodal.payload_features(png, "image/png", dim=8)
+    assert f[200 * 8 // 256] == 1.0 and abs(sum(f) - 1.0) < 1e-9
+
+    sr = 8000
+    wav = multimodal.synth_wav((2 + 0.5) * (sr / 2) / 8, sr, 800)
+    f = multimodal.payload_features(wav, "audio/wav", dim=8)
+    assert max(range(8), key=lambda i: f[i]) == 2
+
+    f = multimodal.payload_features(bytes([10, 10, 40, 250]), "text", dim=8)
+    assert f[0] == 0.5 and f[1] == 0.25 and f[7] == 0.25
+
+    f = multimodal.payload_features(b"\x00\x01\x02\x03", "image/png", dim=8)
+    assert f[0] == 1.0  # corrupt-under-claimed-type → byte signature
 
 
 def test_frame_sample_plan(spark):
@@ -1020,3 +1043,122 @@ def test_media_embedding_spectral_and_histogram(spark):
     assert e101[0] == 0.5 and e101[7] == 0.5
     assert out[102].embed_error is not None
     assert out[103].embed_error is not None and "unsupported" in out[103].embed_error
+
+
+def test_media_embedding_luma_bin_boundaries(spark):
+    """Constant gray value v must land in bin v*n_bands//256 even at
+    multiple-of-32 boundaries — float Rec.601 luma rounds 32 to
+    31.999999999999996 and truncates into the wrong bin; the integer
+    (299r+587g+114b)//1000 arithmetic must not."""
+    fills = [0, 31, 32, 63, 64, 127, 128, 224, 255]
+    rows = [
+        (v, multimodal.synth_png(4, 4, v), "image/png", None, None, None)
+        for v in fills
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.media_embedding(df, n_bands=8).collect()
+    }
+    for v in fills:
+        e = out[v].embedding
+        want = min(v * 8 // 256, 7)
+        assert e[want] == 1.0, (v, e)
+
+
+def test_mjpeg_mp4_frame_roundtrip(spark):
+    """MJPEG-in-MP4: real sample-table demux + real T.81 decode must
+    recover every frame's even fill exactly; corrupt payloads are
+    per-row errors; max_frames caps decode work."""
+    rows = [
+        (1, multimodal.synth_mjpeg_mp4(5, 4, [10, 52, 104]), "video/mp4",
+         None, None, None),
+        (2, multimodal.synth_mjpeg_mp4(3, 2, [200]), "video/mp4",
+         None, None, None),
+        (3, b"not an mp4", "video/mp4", None, None, None),
+        (4, multimodal.synth_mp4(1000), "video/mp4", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {}
+    for r in multimodal.mp4_jpeg_frame_features(df).collect():
+        out.setdefault(r.media_id, []).append(r)
+    f1 = sorted(out[1], key=lambda r: r.frame_idx)
+    assert [round(r.r * 255) for r in f1] == [10, 52, 104]
+    assert all((r.width, r.height) == (5, 4) for r in f1)
+    assert all(abs(r.r - r.g) < 1e-12 and abs(r.g - r.b) < 1e-12 for r in f1)
+    assert [round(r.r * 255) for r in out[2]] == [200]
+    assert out[3][0].frame_error is not None
+    # an avc1-only container has no jpeg track — error, not silence
+    assert out[4][0].frame_error is not None and "jpeg" in out[4][0].frame_error
+    capped = multimodal.mp4_jpeg_frame_features(df, max_frames=2)
+    assert (
+        capped.where("media_id = 1 AND frame_error IS NULL").count() == 2
+    )
+
+
+def test_mp4_sample_table_multichunk_stsc():
+    """_mp4_sample_table must expand general stsc runs — multiple
+    chunks with different samples-per-chunk, each chunk's samples
+    packed back-to-back from its stco offset — not just the
+    single-chunk layout synth_mjpeg_mp4 writes."""
+    import struct
+
+    from cr_data_pipeline_project_spark.operators import jpeg
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    frames = [jpeg.synth_jpeg(3, 2, v) for v in (10, 20, 30, 40, 50)]
+    sizes = [len(f) for f in frames]
+    entry = box(b"jpeg", b"\x00" * 8)
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">I", 1)
+               + struct.pack(">II", 5, 100))
+    # chunk 1: 2 samples; chunks 2..3: 1 sample; chunk 3 run ends;
+    # last run (first_chunk=4): 1 chunk with 2 samples
+    stsc = box(
+        b"stsc",
+        b"\x00" * 4 + struct.pack(">I", 3)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 1, 1)
+        + struct.pack(">III", 4, 2, 1),
+    )
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 5)
+               + b"".join(struct.pack(">I", s) for s in sizes))
+
+    def build(offsets):
+        stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", len(offsets))
+                   + b"".join(struct.pack(">I", o) for o in offsets))
+        tkhd = box(b"tkhd", b"\x00" * 4 + b"\x00" * 72
+                   + struct.pack(">II", 3 << 16, 2 << 16))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", stbl)))
+        mvhd = box(b"mvhd", b"\x00" * 4 + struct.pack(">II", 0, 0)
+                   + struct.pack(">II", 1000, 500) + b"\x00" * 80)
+        moov = box(b"moov", mvhd + trak)
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        # chunk layout inside mdat: [f0 f1] [f2] [f3] [f4] but we
+        # scatter chunks NON-contiguously (reverse order) to prove
+        # offsets are honored, not assumed sequential
+        mdat_body = frames[4] + frames[3] + frames[2] + frames[0] + frames[1]
+        mdat = box(b"mdat", mdat_body)
+        return ftyp + moov + mdat, len(ftyp + moov) + 8
+
+    payload, base = build([0, 0, 0, 0])
+    offs = [
+        base + sizes[4] + sizes[3] + sizes[2],  # chunk1: f0,f1
+        base + sizes[4] + sizes[3],             # chunk2: f2
+        base + sizes[4],                        # chunk3: f3
+        base,                                   # chunk4: f4 (+would-be 6th)
+    ]
+    # chunk 4 declares 2 samples but stsz only has 5 → the expansion
+    # must stop at the declared sample count
+    payload, _ = build(offs)
+    w, h, samples = multimodal._mp4_sample_table(payload, "jpeg")
+    assert (w, h) == (3, 2)
+    assert len(samples) == 5
+    got = []
+    for off, size in samples:
+        _w, _h, _c, grid = jpeg._parse_jpeg(payload[off : off + size])
+        got.append(int(round(float(grid.mean()))))
+    assert got == [10, 20, 30, 40, 50]

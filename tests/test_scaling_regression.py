@@ -27,6 +27,23 @@ BASELINE = os.path.join(REPO, "docs", "metrics", "scaling_baseline.json")
 # complexity regression (alpha +~1) is unmissable at this setting.
 ALPHA_REGRESSION_THRESHOLD = 0.25
 
+# Linear-BY-CONTRACT probes (round-9 verdict #6): their work is
+# Θ(edges) / Θ(corpus bytes) with the probe generator holding
+# per-unit cost constant (q108: fixed probe set scans the whole
+# corpus; q231: constant average degree ~120, so triangle work is
+# Θ(E); q242: every MP3 byte is walked once), so alpha ≈ 1.0 is the
+# honest exponent, not a regression. Naming them here keeps the
+# global sublinear backstop strict for everything else while giving
+# these a dedicated explicit bound — a genuinely superlinear slip
+# (alpha ≥ 1.2, e.g. an accidental quadratic wedge set) still
+# fails loudly instead of being silently tolerated.
+LINEAR_BY_CONTRACT = {
+    "q108_verbatim_decontamination",
+    "q231_copurchase_triangles",
+    "q242_mp3_frame_census",
+}
+LINEAR_CONTRACT_ALPHA_MAX = 1.2
+
 
 def _load(path):
     try:
@@ -54,7 +71,12 @@ def test_scaling_alphas_do_not_regress():
         if b is None:
             # new probe without a committed baseline: must still be
             # sublinear, and flagged so the baseline gets updated
-            assert a < 1.0, f"{name}: new probe superlinear (alpha={a})"
+            limit = (
+                LINEAR_CONTRACT_ALPHA_MAX
+                if name in LINEAR_BY_CONTRACT
+                else 1.0
+            )
+            assert a < limit, f"{name}: new probe superlinear (alpha={a})"
             continue
         if a > b + ALPHA_REGRESSION_THRESHOLD:
             regressions.append(f"{name}: alpha {a} vs baseline {b}")
@@ -72,6 +94,12 @@ def test_all_sweep_queries_sublinear():
     bad = {
         name: rec["alpha_vs_5k"]
         for name, rec in sweep["queries"].items()
-        if rec.get("alpha_vs_5k") is not None and rec["alpha_vs_5k"] >= 1.0
+        if rec.get("alpha_vs_5k") is not None
+        and rec["alpha_vs_5k"]
+        >= (
+            LINEAR_CONTRACT_ALPHA_MAX
+            if name in LINEAR_BY_CONTRACT
+            else 1.0
+        )
     }
     assert not bad, f"superlinear operators at 50x: {bad}"

@@ -247,6 +247,11 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # round 10.
 GATE_PENDING: tuple[str, ...] = (
     "q251_mjpeg_mp4_frame_extract",
+    "q252_kruskal_wallis",
+    "q253_mann_whitney_u",
+    "q254_kendall_tau_b",
+    "q255_theil_sen_trend",
+    "q256_t_closeness_audit",
 )
 
 

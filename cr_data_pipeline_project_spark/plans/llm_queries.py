@@ -9548,3 +9548,551 @@ def q251_mjpeg_mp4_frame_extract(
         "height",
         F.round(F.col("r") * 255).cast("int").alias("mean_val"),
     )
+
+
+@q(
+    "q252_kruskal_wallis",
+    """
+    WITH v AS (
+        SELECT l_returnflag AS g, l_extendedprice AS val FROM lineitem),
+    cnt_v AS (
+        SELECT val, COUNT(*)::BIGINT AS cnt FROM v GROUP BY val),
+    r AS (
+        SELECT val,
+               2 * (SUM(cnt) OVER (ORDER BY val) - cnt) + cnt + 1 AS r2
+        FROM cnt_v),
+    gv AS (
+        SELECT g, val, COUNT(*)::BIGINT AS c FROM v GROUP BY g, val),
+    gsum AS (
+        SELECT g, SUM(c)::BIGINT AS n_g,
+               SUM((c * r.r2)::DECIMAL(38,0)) AS rs2
+        FROM gv JOIN r USING (val) GROUP BY g),
+    terms AS (
+        SELECT n_g,
+               ROUND(1000000.0 * ((rs2::DOUBLE * rs2::DOUBLE)
+                                  / n_g::DOUBLE))::DECIMAL(38,0) AS t6
+        FROM gsum),
+    tot AS (
+        SELECT SUM(n_g)::BIGINT AS n_total, COUNT(*)::BIGINT AS k_groups,
+               SUM(t6) AS s6
+        FROM terms),
+    ties AS (
+        SELECT SUM((cnt::DECIMAL(38,0)) * cnt * cnt - cnt) AS st
+        FROM cnt_v)
+    SELECT n_total, k_groups,
+           ROUND(
+             (12.0 * ((s6::DOUBLE / 1000000.0) / 4.0)
+                / (n_total::DOUBLE * (n_total::DOUBLE + 1.0))
+              - 3.0 * (n_total::DOUBLE + 1.0))
+             / (1.0 - st::DOUBLE
+                / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+                   - n_total::DOUBLE)),
+             6) AS h_tie_corrected
+    FROM tot, ties
+    """,
+)
+def q252_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (one-way ANOVA on ranks: does extended price
+    distribution differ across return flags?) — the k-group
+    generalization of the rank family started by q239: GLOBAL
+    tie-averaged ranks in the doubled BIGINT encoding (via
+    `grouped_doubled_ranks` on a constant group — value counts are
+    the rank input, so only distinct values shuffle), per-group rank
+    sums as exact DECIMAL, and the single cross-group float fold
+    pinned to 1e-6 integers (the q230 discipline) so summing the k
+    per-group R²/n terms stays order-free — the statistic is then
+    one fixed IEEE chain with the standard tie correction
+    1 − Σ(t³−t)/(N³−N). Scale: two hash aggregates over the fact
+    table + rank arithmetic on the distinct-value table; nothing is
+    per-group serial, k is unbounded."""
+    from ..operators.groupstats import grouped_doubled_ranks
+
+    li = table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    d1 = "decimal(38,0)"
+    cnt_v = li.groupBy("val").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r2 = grouped_doubled_ranks(
+        cnt_v.withColumn("g1", F.lit(1)), "g1", "val", "cnt", out_col="r2"
+    ).select("val", "r2")
+    gv = li.groupBy("g", "val").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    gsum = gv.join(r2, "val").groupBy("g").agg(
+        F.sum("c").alias("n_g"),
+        F.sum((F.col("c").cast(d1) * F.col("r2"))).alias("rs2"),
+    )
+    terms = gsum.select(
+        "n_g",
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.col("rs2").cast("double")
+                * F.col("rs2").cast("double")
+                / F.col("n_g").cast("double")
+            )
+        )
+        .cast(d1)
+        .alias("t6"),
+    )
+    tot = terms.agg(
+        F.sum("n_g").alias("n_total"),
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("t6").alias("s6"),
+    )
+    ties = cnt_v.agg(
+        F.sum(
+            F.col("cnt").cast(d1) * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("st")
+    )
+    n_d = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0)
+        * ((F.col("s6").cast("double") / F.lit(1000000.0)) / F.lit(4.0))
+        / (n_d * (n_d + F.lit(1.0)))
+        - F.lit(3.0) * (n_d + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("st").cast("double") / (n_d * n_d * n_d - n_d)
+    # 1-row × 1-row: broadcast cross join, constant cost
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "n_total",
+        "k_groups",
+        F.round(h / corr, 6).alias("h_tie_corrected"),
+    )
+
+
+@q(
+    "q253_mann_whitney_u",
+    """
+    WITH v AS (
+        SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS hi,
+               o_totalprice AS val
+        FROM orders),
+    cnt_v AS (
+        SELECT val, COUNT(*)::BIGINT AS cnt FROM v GROUP BY val),
+    r AS (
+        SELECT val,
+               2 * (SUM(cnt) OVER (ORDER BY val) - cnt) + cnt + 1 AS r2
+        FROM cnt_v),
+    gv AS (
+        SELECT hi, val, COUNT(*)::BIGINT AS c FROM v GROUP BY hi, val),
+    agg AS (
+        SELECT SUM(CASE WHEN hi THEN c ELSE 0 END)::BIGINT AS n_hi,
+               SUM(CASE WHEN NOT hi THEN c ELSE 0 END)::BIGINT AS n_lo,
+               SUM(CASE WHEN hi THEN (c * r.r2)::DECIMAL(38,0)
+                        ELSE 0::DECIMAL(38,0) END) AS rs2_hi
+        FROM gv JOIN r USING (val)),
+    ties AS (
+        SELECT SUM((cnt::DECIMAL(38,0)) * cnt * cnt - cnt) AS st
+        FROM cnt_v)
+    SELECT n_hi, n_lo,
+           (rs2_hi - (n_hi::DECIMAL(38,0)) * (n_hi + 1))::BIGINT
+               AS u2_hi,
+           ROUND(1.0 - (rs2_hi - (n_hi::DECIMAL(38,0)) * (n_hi + 1))::DOUBLE
+                       / (n_hi::DOUBLE * n_lo::DOUBLE), 6) AS rank_biserial,
+           ROUND(((rs2_hi - (n_hi::DECIMAL(38,0)) * (n_hi + 1))::DOUBLE
+                  - n_hi::DOUBLE * n_lo::DOUBLE)
+                 / (2.0 * sqrt(
+                     (n_hi::DOUBLE * n_lo::DOUBLE / 12.0)
+                     * ((n_hi::DOUBLE + n_lo::DOUBLE + 1.0)
+                        - st::DOUBLE
+                          / ((n_hi::DOUBLE + n_lo::DOUBLE)
+                             * (n_hi::DOUBLE + n_lo::DOUBLE - 1.0))))),
+                 6) AS z_score
+    FROM agg, ties
+    """,
+)
+def q253_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum (do high-priority orders
+    carry different total prices?) — the two-sample member of the
+    rank family (q239 grouped Spearman, q252 k-group KW): global
+    doubled ranks from `grouped_doubled_ranks` over the
+    distinct-value counts, ONE conditional-moment aggregate folds
+    both samples in a single pass (the q250 two-arm discipline —
+    no per-group rows, no cross-group float sum at all), and the
+    doubled statistic 2U = ΣR2_hi − n_hi(n_hi+1) stays BIGINT-exact
+    through tie-averaged ranks (U itself can be half-integer).
+    Outputs the exact doubled U plus the rank-biserial effect size
+    and the tie-corrected normal-approximation z, each one fixed
+    IEEE chain rounded once. Scale: one hash aggregate to value
+    counts, rank arithmetic on distinct values only, one
+    partial-combining conditional fold — no windows over fact rows,
+    nothing per-group serial."""
+    from ..operators.groupstats import grouped_doubled_ranks
+
+    d1 = "decimal(38,0)"
+    v = table(spark, "orders", sf_dir).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
+        F.col("o_totalprice").alias("val"),
+    )
+    cnt_v = v.groupBy("val").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r2 = grouped_doubled_ranks(
+        cnt_v.withColumn("g1", F.lit(1)), "g1", "val", "cnt", out_col="r2"
+    ).select("val", "r2")
+    gv = v.groupBy("hi", "val").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c, hi = F.col("c"), F.col("hi")
+    agg = gv.join(r2, "val").agg(
+        F.sum(F.when(hi, c).otherwise(F.lit(0))).alias("n_hi"),
+        F.sum(F.when(~hi, c).otherwise(F.lit(0))).alias("n_lo"),
+        F.sum(
+            F.when(hi, c.cast(d1) * F.col("r2")).otherwise(
+                F.lit(0).cast(d1)
+            )
+        ).alias("rs2_hi"),
+    )
+    ties = cnt_v.agg(
+        F.sum(
+            F.col("cnt").cast(d1) * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("st")
+    )
+    n1, n2 = F.col("n_hi"), F.col("n_lo")
+    u2 = (F.col("rs2_hi") - n1.cast(d1) * (n1 + 1)).cast(d1)
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    nd = n1d + n2d
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("st").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        "n_hi",
+        "n_lo",
+        u2.cast("long").alias("u2_hi"),
+        F.round(
+            F.lit(1.0) - u2.cast("double") / (n1d * n2d), 6
+        ).alias("rank_biserial"),
+        F.round(
+            (u2.cast("double") - n1d * n2d) / (F.lit(2.0) * F.sqrt(var)), 6
+        ).alias("z_score"),
+    )
+
+
+@q(
+    "q254_kendall_tau_b",
+    """
+    WITH cells AS (
+        SELECT l_returnflag AS g, l_quantity AS x,
+               l_linenumber AS y, COUNT(*)::BIGINT AS n
+        FROM lineitem GROUP BY g, x, y),
+    cd AS (
+        SELECT a.g,
+               SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)::BIGINT
+                   AS concordant,
+               SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)::BIGINT
+                   AS discordant
+        FROM cells a JOIN cells b
+          ON a.g = b.g AND b.x < a.x AND b.y <> a.y
+        GROUP BY a.g),
+    tx AS (
+        SELECT g, SUM(t * (t - 1) / 2)::BIGINT AS n1
+        FROM (SELECT g, x, SUM(n)::BIGINT AS t FROM cells GROUP BY g, x)
+        GROUP BY g),
+    ty AS (
+        SELECT g, SUM(t * (t - 1) / 2)::BIGINT AS n2
+        FROM (SELECT g, y, SUM(n)::BIGINT AS t FROM cells GROUP BY g, y)
+        GROUP BY g),
+    tot AS (
+        SELECT g, SUM(n)::BIGINT AS n_rows FROM cells GROUP BY g)
+    SELECT tot.g AS l_returnflag, n_rows, concordant, discordant,
+           ROUND((concordant::DOUBLE - discordant::DOUBLE)
+                 / sqrt((n_rows::DOUBLE * (n_rows::DOUBLE - 1.0) / 2.0
+                         - n1::DOUBLE)
+                        * (n_rows::DOUBLE * (n_rows::DOUBLE - 1.0) / 2.0
+                           - n2::DOUBLE)),
+                 6) AS tau_b
+    FROM tot
+    JOIN cd USING (g) JOIN tx USING (g) JOIN ty USING (g)
+    ORDER BY l_returnflag
+    """,
+)
+def q254_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Kendall tau-b between two LOW-CARDINALITY ordinal
+    columns (quantity level vs line number, per return flag) — the
+    concordance member of the rank family (q239 Spearman, q252 KW,
+    q253 MWU), and the one whose naive form is quadratic in ROWS
+    (all pairs). The scale observation: with bounded ordinal
+    domains, concordant/discordant pair counts are 2-D dominance
+    sums over the CONTINGENCY TABLE — one full-parallelism hash
+    aggregate reduces the fact table to ≤ |x|·|y|·|groups| cells
+    (≈1050 here), and the dominance join runs on that metadata-sized
+    table (broadcast non-equi self-join, bounded by contract — never
+    on rows). Everything stays BIGINT through the tie terms
+    n1 = Σt(t−1)/2; tau-b is one fixed IEEE chain rounded once. A
+    continuous column would first quantize to the q71/q165
+    percentile grid — same shape."""
+    li = table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_linenumber").alias("y"),
+    )
+    cells = li.groupBy("g", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    # bounded-by-contract non-equi self-join: |cells| ≤ |x|·|y|·|g|
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("b.x") < F.col("a.x"))
+            & (F.col("b.y") != F.col("a.y")),
+        )
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.y") < F.col("a.y"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    F.col("b.y") > F.col("a.y"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    t = F.col("t")
+    tx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("n").alias("t"))
+        .groupBy("g")
+        .agg(F.sum(t * (t - 1) / 2).cast("long").alias("n1"))
+    )
+    ty = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("n").alias("t"))
+        .groupBy("g")
+        .agg(F.sum(t * (t - 1) / 2).cast("long").alias("n2"))
+    )
+    tot = cells.groupBy("g").agg(F.sum("n").alias("n_rows"))
+    nd = F.col("n_rows").cast("double")
+    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    tau = (
+        F.col("concordant").cast("double")
+        - F.col("discordant").cast("double")
+    ) / F.sqrt(
+        (n0 - F.col("n1").cast("double")) * (n0 - F.col("n2").cast("double"))
+    )
+    return (
+        tot.join(cd, "g")
+        .join(tx, "g")
+        .join(ty, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "n_rows",
+            "concordant",
+            "discordant",
+            F.round(tau, 6).alias("tau_b"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "q255_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS di,
+               SUM(value::DECIMAL(28,6)) AS s
+        FROM events GROUP BY 1),
+    slopes AS (
+        SELECT ((b.s - a.s)::DOUBLE) / ((b.di - a.di)::DOUBLE) AS slope
+        FROM daily a JOIN daily b ON b.di > a.di),
+    ts AS (
+        SELECT quantile_cont(slope, 0.5) AS theil_slope,
+               COUNT(*)::BIGINT AS n_pairs
+        FROM slopes),
+    ic AS (
+        SELECT quantile_cont(d.s::DOUBLE - t.theil_slope * d.di::DOUBLE,
+                             0.5) AS intercept,
+               COUNT(*)::BIGINT AS n_days
+        FROM daily d, ts t)
+    SELECT n_days, n_pairs,
+           ROUND(t.theil_slope, 6) AS slope_per_day,
+           ROUND(i.intercept, 6) AS intercept
+    FROM ts t, ic i
+    """,
+)
+def q255_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event value (median of all
+    pairwise slopes + the matching median intercept) — the
+    breakdown-resistant companion to q228's OLS: up to ~29% of the
+    daily totals can be corrupt before the estimate moves, which is
+    what you want fitting a trend through telemetry with outage
+    spikes. The quadratic pair set lives on the DAILY aggregate —
+    calendar-bounded by contract (3.6k days of a 100 TB lake is
+    6.6M slope pairs, metadata-sized), never on events; the fact
+    table is consumed by ONE full-parallelism date aggregate.
+    Exactness: daily sums are DECIMAL (order-free), each slope is
+    one IEEE division of exact differences, the median is the q165
+    percentile (`F.percentile` ≡ `quantile_cont`, cross-engine
+    matched there), and the intercept chain reuses the already-
+    median slope — fixed op order, each output rounded once."""
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("s"))
+    a, b = daily.alias("a"), daily.alias("b")
+    # bounded-by-contract non-equi self-join: |daily| = calendar days
+    slopes = a.join(
+        F.broadcast(b), F.col("b.di") > F.col("a.di")
+    ).select(
+        (
+            (F.col("b.s") - F.col("a.s")).cast("double")
+            / (F.col("b.di") - F.col("a.di")).cast("double")
+        ).alias("slope")
+    )
+    ts = slopes.agg(
+        F.percentile("slope", 0.5).alias("theil_slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    ic = daily.crossJoin(F.broadcast(ts)).agg(
+        F.percentile(
+            F.col("s").cast("double")
+            - F.col("theil_slope") * F.col("di").cast("double"),
+            0.5,
+        ).alias("intercept"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        ts.crossJoin(F.broadcast(ic))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("theil_slope", 6).alias("slope_per_day"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )
+
+
+@q(
+    "q256_t_closeness_audit",
+    """
+    WITH c AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               FLOOR(c_acctbal / 1000.0)::BIGINT AS band
+        FROM customer),
+    cells AS (
+        SELECT nk, seg, band, COUNT(*)::BIGINT AS n_gb
+        FROM c GROUP BY nk, seg, band),
+    grp AS (
+        SELECT nk, seg, SUM(n_gb)::BIGINT AS n_g FROM cells GROUP BY nk, seg),
+    gband AS (
+        SELECT band, SUM(n_gb)::BIGINT AS n_b FROM cells GROUP BY band),
+    tot AS (
+        SELECT SUM(n_b)::BIGINT AS n_total, COUNT(*)::BIGINT AS m_bands
+        FROM gband),
+    dense AS (
+        SELECT g.nk, g.seg, g.n_g, b.band, b.n_b,
+               COALESCE(cl.n_gb, 0)::BIGINT AS n_gb
+        FROM grp g CROSS JOIN gband b
+        LEFT JOIN cells cl
+          ON cl.nk = g.nk AND cl.seg = g.seg AND cl.band = b.band),
+    cum AS (
+        SELECT nk, seg, n_g, band,
+               SUM((n_gb::DECIMAL(38,0)) * t.n_total
+                   - (n_b::DECIMAL(38,0)) * n_g)
+                   OVER (PARTITION BY nk, seg ORDER BY band
+                         ROWS UNBOUNDED PRECEDING) AS d_cum,
+               t.n_total, t.m_bands
+        FROM dense, tot t),
+    emd AS (
+        SELECT nk, seg,
+               SUM(ABS(d_cum))::DOUBLE
+               / (ANY_VALUE(n_g)::DOUBLE * ANY_VALUE(n_total)::DOUBLE
+                  * (ANY_VALUE(m_bands)::DOUBLE - 1.0)) AS t_emd,
+               ANY_VALUE(n_g)::BIGINT AS n_g
+        FROM cum GROUP BY nk, seg)
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           (SELECT m_bands FROM tot)::BIGINT AS m_bands,
+           ROUND(MAX(t_emd), 6) AS worst_t,
+           SUM(CASE WHEN t_emd > 0.2 THEN 1 ELSE 0 END)::BIGINT
+               AS groups_over_t02,
+           SUM(CASE WHEN t_emd > 0.2 THEN n_g ELSE 0 END)::BIGINT
+               AS rows_at_risk
+    FROM emd
+    """,
+)
+def q256_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit — the third member of the
+    governance triptych (q175 k-anonymity, q249 l-diversity): a
+    group can be k-anonymous AND l-diverse while its sensitive
+    distribution still differs revealingly from the population
+    (Li et al.'s t-closeness closes that). Per QI group
+    (nation × segment) the Earth-Mover's Distance between the
+    group's account-balance band distribution and the global one —
+    for an ORDERED attribute EMD is the mean |cumulative
+    difference|, and the cumulative differences are kept as EXACT
+    integer numerators over the common denominator n_g·N
+    (Σ n_gb·N − n_b·n_g in DECIMAL), so the only float op is each
+    group's final single division. Census: worst t, groups over
+    t=0.2, and the row mass they hold. Scale: one partial-combining
+    aggregate reduces the table to QI×band cells (bounded domain);
+    the densified grid, windows and folds all run on that
+    metadata-sized table."""
+    c = table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    )
+    d1 = "decimal(38,0)"
+    cells = c.groupBy("nk", "seg", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gb")
+    )
+    grp = cells.groupBy("nk", "seg").agg(F.sum("n_gb").alias("n_g"))
+    glob = cells.groupBy("band").agg(F.sum("n_gb").alias("n_b"))
+    tot = glob.agg(
+        F.sum("n_b").alias("n_total"), F.count(F.lit(1)).alias("m_bands")
+    )
+    dense = (
+        grp.crossJoin(F.broadcast(glob))  # bounded: QI groups × bands
+        .join(cells, ["nk", "seg", "band"], "left")
+        .withColumn("n_gb", F.coalesce(F.col("n_gb"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))  # 1-row totals
+    )
+    w = (
+        Window.partitionBy("nk", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.withColumn(
+        "d_cum",
+        F.sum(
+            F.col("n_gb").cast(d1) * F.col("n_total")
+            - F.col("n_b").cast(d1) * F.col("n_g")
+        ).over(w),
+    )
+    emd = cum.groupBy("nk", "seg").agg(
+        (
+            F.sum(F.abs(F.col("d_cum"))).cast("double")
+            / (
+                F.any_value("n_g").cast("double")
+                * F.any_value("n_total").cast("double")
+                * (F.any_value("m_bands").cast("double") - F.lit(1.0))
+            )
+        ).alias("t_emd"),
+        F.any_value("n_g").cast("long").alias("n_g"),
+    )
+    m_bands = tot.select("m_bands")
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(F.max("t_emd"), 6).alias("worst_t"),
+        F.sum((F.col("t_emd") > 0.2).cast("long")).alias("groups_over_t02"),
+        F.sum(
+            F.when(F.col("t_emd") > 0.2, F.col("n_g")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+    ).crossJoin(F.broadcast(m_bands)).select(
+        "n_groups",
+        F.col("m_bands").cast("long").alias("m_bands"),
+        "worst_t",
+        "groups_over_t02",
+        "rows_at_risk",
+    )

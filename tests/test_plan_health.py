@@ -82,6 +82,10 @@ NESTED_LOOP_OK = {
     "q217_heaps_vocab_growth",  # 1-row corpus-size broadcasts (q101 posture)
     "q222_revenue_concentration",  # 1-row quartile-cut + total broadcasts (q211 posture)
     "q224_source_lang_mutual_info",  # 1-row grand-total broadcast (q209 posture)
+    "q252_kruskal_wallis",  # 1-row tie-term × 1-row totals broadcast
+    "q253_mann_whitney_u",  # 1-row tie-term × 1-row fold broadcast
+    "q255_theil_sen_trend",  # calendar-bounded daily-pair non-equi + 1-row folds
+    "q256_t_closeness_audit",  # QI×band bounded grid + 1-row totals broadcasts
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

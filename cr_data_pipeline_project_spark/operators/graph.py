@@ -369,21 +369,46 @@ def triangle_count(
     downstream is two |E|-row joins keyed on a vertex id plus one
     partial-combining sum — no vertex ever holds more than its own
     O(√m) out-neighborhood."""
+    und = _canonical_edges(edges, src, dst).persist()
+    try:
+        n = _triangle_sum(und)
+    finally:
+        und.unpersist()
+    return edges.sparkSession.createDataFrame(
+        [(int(n),)], "n_triangles bigint"
+    )
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected simple edge set: (min, max) endpoints,
+    self-loops dropped, distinct."""
     a, b = F.col(src), F.col(dst)
-    und = (
+    return (
         edges.select(
             F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
-    deg = (
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """Per-vertex degree of the canonical edge set → (x, d)."""
+    return (
         und.select(F.col("u").alias("x"))
         .unionAll(und.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def _triangle_sum(und: DataFrame) -> int:
+    """Degree-ordered triangle total of a (persisted) canonical edge
+    set — the eager compact-forward core shared by
+    :func:`triangle_count` and :func:`clustering_stats`. The caller
+    owns the persist/unpersist of ``und``; the intermediate oriented
+    set is persisted and unpersisted here."""
+    deg = _degrees(und)
     # orient from lower (degree, id) to higher (degree, id)
     ranked = (
         und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
@@ -400,7 +425,7 @@ def triangle_count(
         F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
     try:
-        n = (
+        return (
             oriented.join(
                 adj.select(F.col("lo").alias("lo"), F.col("nbrs").alias("nu")),
                 "lo",
@@ -420,8 +445,51 @@ def triangle_count(
             .collect()[0][0]  # bounded: the global aggregate is 1 row
         )
     finally:
-        und.unpersist()
         oriented.unpersist()
+
+
+def clustering_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global (transitivity-style) clustering coefficient:
+    ``3·triangles / wedges`` with ``wedges = Σ_v d_v(d_v−1)/2`` —
+    the standard graph-cohesion summary (Newman; public). For a
+    dedup pair graph this is the transitivity audit in one number:
+    cc → 1 means near-dup pairs close into clusters (keep-one
+    survivor math applies), cc → 0 means isolated accidental pairs.
+
+    One canonicalized edge set is persisted and consumed by BOTH
+    legs — the wedge sum (a degree aggregate, wedge count stays
+    BIGINT via d(d−1) div 2) and the compact-forward triangle core
+    shared with :func:`triangle_count` — then unpersisted before
+    return; both reductions are eager 1-row collects (bounded by
+    contract). The coefficient itself is the one IEEE division,
+    rounded at 1e-6. Returns 1 row: (n_edges, n_wedges,
+    n_triangles, global_cc)."""
+    und = _canonical_edges(edges, src, dst).persist()
+    try:
+        n_edges = und.count()
+        n_wedges = (
+            _degrees(und)
+            .select(
+                F.expr("d * (d - 1) div 2").cast("bigint").alias("w")
+            )
+            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("w"))
+            .collect()[0][0]  # bounded: 1-row global aggregate
+        )
+        n_tri = _triangle_sum(und)
+    finally:
+        und.unpersist()
+    cc = (3.0 * n_tri / n_wedges) if n_wedges else None
     return edges.sparkSession.createDataFrame(
-        [(int(n),)], "n_triangles bigint"
+        [(int(n_edges), int(n_wedges), int(n_tri), cc)],
+        "n_edges bigint, n_wedges bigint, n_triangles bigint, "
+        "global_cc double",
+    ).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        # round in the engine so HALF_UP matches the SQL oracle
+        # (Python round() is HALF_EVEN)
+        F.round("global_cc", 6).alias("global_cc"),
     )

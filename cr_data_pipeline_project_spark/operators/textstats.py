@@ -778,3 +778,61 @@ def html_extract(
             6,
         ).alias(f"{p}text_ratio"),
     )
+
+
+def url_domain_census(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL → registrable-domain census over a text corpus — the web
+    curation stage every crawl pipeline runs (per-domain volume
+    drives source caps, licensing review, and blocklist joins;
+    cf. the C4/RefinedWeb domain-filter stage). Pure codegen regexp
+    chains, RE2-portable (no backreferences, no lookahead), zero
+    UDFs:
+
+    1. extract candidate URLs (``https?://`` up to whitespace or a
+       URL-breaking delimiter),
+    2. strip TRAILING punctuation (``.,;:!?`` and closing
+       paren/bracket) — the classic extraction trap where
+       ``(see https://x.example.com/p).`` must not keep ``).``,
+    3. host = authority before the first ``/ : ? #``, lowercased,
+       one leading ``www.`` stripped,
+    4. registrable domain ≈ the last two dot-labels (a documented
+       heuristic — a production run swaps in the Public Suffix List
+       behind the same column contract).
+
+    Returns (domain, n_urls, n_docs) — total extracted URLs and
+    distinct documents mentioning the domain. Scale: explode fans
+    out URL-count rows (bounded by text length), the census is one
+    partial-combining aggregate; COUNT DISTINCT expands to a
+    two-level aggregate, both map-side combinable."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"""https?://[^\s<>"']+"""), 0
+            )
+        ).alias("url"),
+    ).select(
+        id_col,
+        F.regexp_replace(
+            F.col("url"), r"""[.,;:!?)\]]+$""", ""
+        ).alias("url"),
+    )
+    host = F.lower(
+        F.regexp_extract(F.col("url"), r"""https?://([^/:?#]+)""", 1)
+    )
+    dom = F.regexp_extract(
+        F.regexp_replace(host, r"""^www\.""", ""),
+        r"""([^.]+\.[^.]+)$""",
+        1,
+    )
+    return (
+        urls.select(F.col(id_col), dom.alias("domain"))
+        .where(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+        )
+    )

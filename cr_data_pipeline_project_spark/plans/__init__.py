@@ -252,6 +252,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q254_kendall_tau_b",
     "q255_theil_sen_trend",
     "q256_t_closeness_audit",
+    "q257_copurchase_clustering",
+    "q258_url_domain_census",
 )
 
 

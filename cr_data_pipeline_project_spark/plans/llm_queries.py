@@ -10096,3 +10096,127 @@ def q256_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "groups_over_t02",
         "rows_at_risk",
     )
+
+
+@q(
+    "q257_copurchase_clustering",
+    """
+    WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT x, COUNT(*)::BIGINT AS d
+        FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        GROUP BY x),
+    w AS (SELECT SUM(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg),
+    t AS (
+        SELECT COUNT(*)::BIGINT AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    m AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e)
+    SELECT n_edges, n_wedges, n_triangles,
+           ROUND(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE, 6)
+               AS global_cc
+    FROM m, w, t
+    """,
+)
+def q257_copurchase_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global clustering coefficient of the part co-purchase graph —
+    q231's triangle count completed into the transitivity summary
+    3T/W (W = Σ d(d−1)/2 wedges): the one-number cohesion audit that
+    tells a dedup/recommendation pipeline whether its pair graph is
+    clustered (triadic closure — survivor-selection math applies) or
+    an accidental-pair mist. `graph.clustering_stats` persists ONE
+    canonical edge set and feeds both legs — the BIGINT wedge
+    aggregate and the degree-ordered compact-forward triangle core
+    shared with q231 — then unpersists before returning; the
+    coefficient is the single IEEE division. The oracle recomputes
+    wedges from SQL degrees and triangles by the naive ordered
+    3-clique join — algorithm-independent ground truth for all four
+    outputs. Scale: linear-by-contract in edges like q231 (the
+    probe generator holds average degree constant); no adjacency
+    ever exceeds the O(√m) oriented bound."""
+    from ..operators.graph import clustering_stats
+
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return clustering_stats(edges)
+
+
+@q(
+    "q258_url_domain_census",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               'src' || (doc_id % 7) || '.example.com' AS dom1,
+               'cdn-' || (doc_id % 4) || '.assets.net' AS dom2
+        FROM documents),
+    u AS (
+        SELECT doc_id, dom1 AS domain FROM d
+        UNION ALL
+        SELECT doc_id, 'example.com' AS domain FROM d
+        UNION ALL
+        SELECT doc_id, dom2 AS domain FROM d),
+    reg AS (
+        SELECT doc_id,
+               CASE WHEN domain LIKE '%assets.net'
+                    THEN 'assets.net'
+                    ELSE 'example.com' END AS domain
+        FROM u)
+    SELECT domain, COUNT(*)::BIGINT AS n_urls,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM reg GROUP BY domain ORDER BY domain
+    """,
+)
+def q258_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL census over a synthesized crawl page — the
+    stage-zero web-curation operator (domain volume → source caps /
+    licensing review / blocklists; the C4-style domain filter). Each
+    document is decorated with THREE deterministic URLs carrying the
+    classic extraction traps: one wrapped in parens with a trailing
+    period + mixed-case host + www prefix
+    (``(see https://WWW.src{k}.Example.COM/p/{id}).``), one with a
+    trailing comma and a query string
+    (``https://src{k}.example.com/q?id={id}&v=2,``), and one on a
+    second registrable domain with a path
+    (``http://cdn-{j}.assets.net/x/{id}``). `url_domain_census`
+    (pure RE2-portable codegen regexp, no UDF) must strip the
+    trailing punctuation, lowercase the host, drop ``www.``, and
+    reduce to last-two-label registrable domains — the oracle
+    predicts the resulting census in CLOSED FORM from the doc_id
+    arithmetic (the q238 inversion discipline), so a swallowed
+    paren, kept comma, or case-sensitive host grouping all
+    hash-mismatch. Scale: one narrow projection + explode of ≤3
+    URL rows per doc + one partial-combining census aggregate."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    page = F.concat(
+        F.col("text"),
+        F.lit(" (see https://WWW.src"), i % 7,
+        F.lit(".Example.COM/p/"), i,
+        F.lit(")."),
+        F.lit(" https://src"), i % 7,
+        F.lit(".example.com/q?id="), i,
+        F.lit("&v=2,"),
+        F.lit(" http://cdn-"), i % 4,
+        F.lit(".assets.net/x/"), i,
+    )
+    pages = docs.select("doc_id", page.alias("page"))
+    return textstats.url_domain_census(
+        pages, text_col="page", id_col="doc_id"
+    ).orderBy("domain")

@@ -196,3 +196,30 @@ def test_triangle_count_hub_star(spark):
     edges = [(0, i) for i in range(1, 40)] + [(1, 2)]
     df = spark.createDataFrame(edges, "src long, dst long")
     assert triangle_count(df).collect()[0].n_triangles == 1
+
+
+def test_clustering_stats_closed_forms(spark):
+    """clustering_stats on pinned shapes: K4 (cc=1), a path (cc=0),
+    and a triangle with a pendant vertex (T=1, W=5, cc=0.6)."""
+    from cr_data_pipeline_project_spark.operators.graph import (
+        clustering_stats,
+    )
+
+    def stats(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return clustering_stats(df).collect()[0]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = stats(k4)
+    assert (r.n_edges, r.n_wedges, r.n_triangles, r.global_cc) == (
+        6, 12, 4, 1.0,
+    )
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = stats(path)
+    assert (r.n_edges, r.n_wedges, r.n_triangles, r.global_cc) == (
+        3, 2, 0, 0.0,
+    )
+    tri_pendant = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    r = stats(tri_pendant)
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (4, 5, 1)
+    assert r.global_cc == 0.6

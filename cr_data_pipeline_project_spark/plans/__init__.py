@@ -254,6 +254,9 @@ GATE_PENDING: tuple[str, ...] = (
     "q256_t_closeness_audit",
     "q257_copurchase_clustering",
     "q258_url_domain_census",
+    "q259_langid_cohens_kappa",
+    "q260_ab_mde_power",
+    "q261_langid_class_prf",
 )
 
 

@@ -10220,3 +10220,324 @@ def q258_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.url_domain_census(
         pages, text_col="page", id_col="doc_id"
     ).orderBy("domain")
+
+
+def _kappa_oracle() -> str:
+    # reuse q39's generated lang-id SQL twin as the prediction CTE —
+    # ONE definition of the marker-voting semantics for both queries
+    return f"""
+    WITH pred AS ({_langid_oracle()}),
+    conf AS (
+        SELECT lang AS truth, predicted_lang AS pred,
+               COUNT(*)::BIGINT AS n
+        FROM pred GROUP BY 1, 2),
+    tot AS (
+        SELECT SUM(n)::BIGINT AS n_total,
+               SUM(CASE WHEN truth = pred THEN n ELSE 0 END)::BIGINT
+                   AS n_agree
+        FROM conf),
+    marg AS (
+        SELECT COALESCE(r.truth, c.pred) AS label,
+               COALESCE(r.rn, 0)::DECIMAL(38,0) AS rn,
+               COALESCE(c.cn, 0)::DECIMAL(38,0) AS cn
+        FROM (SELECT truth, SUM(n)::BIGINT AS rn FROM conf GROUP BY truth) r
+        FULL JOIN (SELECT pred, SUM(n)::BIGINT AS cn
+                   FROM conf GROUP BY pred) c
+          ON r.truth = c.pred),
+    pe AS (SELECT SUM(rn * cn) AS s FROM marg)
+    SELECT n_total, n_agree,
+           ROUND(n_agree::DOUBLE / n_total::DOUBLE, 6) AS accuracy,
+           ROUND((n_agree::DOUBLE * n_total::DOUBLE - s::DOUBLE)
+                 / (n_total::DOUBLE * n_total::DOUBLE - s::DOUBLE), 6)
+               AS cohens_kappa
+    FROM tot, pe
+    """
+
+
+@q("q259_langid_cohens_kappa", None)
+def q259_langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the q39 marker-voting language
+    identifier and the corpus ground-truth `lang` label — the
+    chance-corrected agreement score an eval harness reports for any
+    auto-labeler (accuracy alone flatters a classifier that just
+    predicts the majority class; kappa subtracts the marginal-chance
+    agreement). Exact algebra over the confusion matrix: with
+    N = total, A = agreement and S = Σ_label row_marginal ·
+    col_marginal, kappa = (A·N − S)/(N² − S) — every term BIGINT/
+    DECIMAL, one IEEE division rounded once (the q209 χ² posture).
+    The oracle composes q39's generated SQL twin as its prediction
+    CTE, so the voting semantics have exactly ONE definition across
+    both queries. Scale: one narrow scan + marker scoring (codegen),
+    one |langs|²-bounded confusion aggregate, marginal products on
+    the label-bounded table, 1-row folds."""
+    from ..operators.textstats import lang_id
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    pred = lang_id(docs, "text").select(
+        F.col("lang").alias("truth"),
+        F.col("predicted_lang").alias("pred"),
+    )
+    conf = pred.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = conf.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.when(F.col("truth") == F.col("pred"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_agree"),
+    )
+    rows_m = conf.groupBy("truth").agg(F.sum("n").alias("rn"))
+    cols_m = conf.groupBy("pred").agg(F.sum("n").alias("cn"))
+    d1 = "decimal(38,0)"
+    pe = (
+        rows_m.join(
+            cols_m, rows_m["truth"] == cols_m["pred"], "full"
+        )
+        .select(
+            (
+                F.coalesce(F.col("rn"), F.lit(0)).cast(d1)
+                * F.coalesce(F.col("cn"), F.lit(0)).cast(d1)
+            ).alias("p")
+        )
+        .agg(F.sum("p").alias("s"))
+    )
+    nd = F.col("n_total").cast("double")
+    ad = F.col("n_agree").cast("double")
+    sd = F.col("s").cast("double")
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n_total",
+        "n_agree",
+        F.round(ad / nd, 6).alias("accuracy"),
+        F.round((ad * nd - sd) / (nd * nd - sd), 6).alias("cohens_kappa"),
+    )
+
+
+ORACLES["q259_langid_cohens_kappa"] = _kappa_oracle()
+
+
+@q(
+    "q260_ab_mde_power",
+    """
+    WITH armed AS (
+        SELECT ('0x' || substr(md5('exp1:' || user_id), 1, 8))::BIGINT % 2
+                   AS arm,
+               value
+        FROM events WHERE value IS NOT NULL),
+    m AS (
+        SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               SUM(CASE WHEN arm = 0 THEN value::DECIMAL(28,6) END) AS s1a,
+               SUM(CASE WHEN arm = 1 THEN value::DECIMAL(28,6) END) AS s1b,
+               SUM(CASE WHEN arm = 0 THEN (value::DECIMAL(28,6))
+                                          * (value::DECIMAL(28,6)) END)
+                   AS s2a,
+               SUM(CASE WHEN arm = 1 THEN (value::DECIMAL(28,6))
+                                          * (value::DECIMAL(28,6)) END)
+                   AS s2b
+        FROM armed),
+    w AS (
+        SELECT n_a, n_b,
+               s1a::DOUBLE / n_a::DOUBLE AS m_a,
+               s1b::DOUBLE / n_b::DOUBLE AS m_b,
+               (s2a::DOUBLE - s1a::DOUBLE * s1a::DOUBLE / n_a::DOUBLE)
+                   / (n_a - 1)::DOUBLE AS v_a,
+               (s2b::DOUBLE - s1b::DOUBLE * s1b::DOUBLE / n_b::DOUBLE)
+                   / (n_b - 1)::DOUBLE AS v_b
+        FROM m)
+    SELECT n_a, n_b,
+           ROUND((1.959963984540054 + 0.8416212335729143)
+                 * sqrt(v_a / n_a::DOUBLE + v_b / n_b::DOUBLE), 6)
+               AS mde_abs,
+           ROUND(((1.959963984540054 + 0.8416212335729143)
+                  * sqrt(v_a / n_a::DOUBLE + v_b / n_b::DOUBLE)) / m_a, 6)
+               AS mde_rel,
+           LEAST(CEIL((1.959963984540054 + 0.8416212335729143)
+                      * (1.959963984540054 + 0.8416212335729143)
+                      * (v_a + v_b) / ((m_b - m_a) * (m_b - m_a))),
+                 1000000000000000.0)::BIGINT AS n_per_arm_for_lift
+    FROM w
+    """,
+)
+def q260_ab_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment-design readout that belongs next to q250's
+    decision table: the minimum detectable effect at the CURRENT
+    sample (two-sided α=0.05, power 0.80 — the z constants are
+    pinned literals on both engines, so no engine-specific inverse-
+    normal is invoked), the same as a fraction of the control mean,
+    and the per-arm sample size that would be needed to detect the
+    OBSERVED lift — the three numbers that answer 'is this
+    experiment big enough?'. Built from the identical md5-lottery
+    arms and decimal-exact conditional moments as q250 (one
+    single-scan fold), finished by one fixed IEEE chain; the
+    required-n is capped at 1e15 before the BIGINT cast so a
+    near-zero observed lift degrades to a sentinel instead of an
+    overflow. Scale: one map-side projection + one
+    partial-combining aggregate; everything after is a 1-row
+    expression."""
+    from ..operators.sampling import hash_bucket
+
+    Z = 1.959963984540054 + 0.8416212335729143
+    ev = table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    armed = ev.select(
+        hash_bucket(
+            F.concat(F.lit("exp1:"), F.col("user_id").cast("string")), 2
+        ).alias("arm"),
+        "value",
+    )
+    d = F.col("value").cast("decimal(28,6)")
+    is_a = F.col("arm") == 0
+    m = armed.agg(
+        F.sum(is_a.cast("bigint")).alias("n_a"),
+        F.sum((~is_a).cast("bigint")).alias("n_b"),
+        F.sum(F.when(is_a, d)).alias("s1a"),
+        F.sum(F.when(~is_a, d)).alias("s1b"),
+        F.sum(F.when(is_a, d * d)).alias("s2a"),
+        F.sum(F.when(~is_a, d * d)).alias("s2b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("s1a").cast("double") / na
+    mb = F.col("s1b").cast("double") / nb
+    va = (
+        F.col("s2a").cast("double")
+        - F.col("s1a").cast("double") * F.col("s1a").cast("double") / na
+    ) / (na - 1)
+    vb = (
+        F.col("s2b").cast("double")
+        - F.col("s1b").cast("double") * F.col("s1b").cast("double") / nb
+    ) / (nb - 1)
+    mde = F.lit(Z) * F.sqrt(va / na + vb / nb)
+    n_req = F.least(
+        F.ceil(
+            F.lit(Z) * F.lit(Z) * (va + vb) / ((mb - ma) * (mb - ma))
+        ),
+        F.lit(1000000000000000.0),
+    ).cast("long")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / ma, 6).alias("mde_rel"),
+        n_req.alias("n_per_arm_for_lift"),
+    )
+
+
+def _prf_oracle() -> str:
+    # reuse q39's generated SQL twin — ONE definition of the voting
+    # semantics across q39/q259/q261
+    return f"""
+    WITH pred AS ({_langid_oracle()}),
+    conf AS (
+        SELECT lang AS truth, predicted_lang AS pred,
+               COUNT(*)::BIGINT AS n
+        FROM pred GROUP BY 1, 2),
+    labels AS (
+        SELECT truth AS label FROM conf
+        UNION SELECT pred AS label FROM conf),
+    stats AS (
+        SELECT l.label,
+               COALESCE((SELECT SUM(n) FROM conf
+                         WHERE truth = l.label AND pred = l.label), 0)
+                   ::BIGINT AS tp,
+               COALESCE((SELECT SUM(n) FROM conf
+                         WHERE pred = l.label AND truth <> l.label), 0)
+                   ::BIGINT AS fp,
+               COALESCE((SELECT SUM(n) FROM conf
+                         WHERE truth = l.label AND pred <> l.label), 0)
+                   ::BIGINT AS fn
+        FROM labels l)
+    SELECT label, tp, fp, fn,
+           ROUND(CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE tp::DOUBLE / (tp + fp)::DOUBLE END, 6)
+               AS precision,
+           ROUND(CASE WHEN tp + fn = 0 THEN 0.0
+                      ELSE tp::DOUBLE / (tp + fn)::DOUBLE END, 6)
+               AS recall,
+           ROUND(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                      ELSE 2.0 * tp::DOUBLE
+                           / (2 * tp + fp + fn)::DOUBLE END, 6) AS f1
+    FROM stats ORDER BY label
+    """
+
+
+@q("q261_langid_class_prf", None)
+def q261_langid_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the q39 language
+    identifier against the ground-truth label — the class-level
+    scorecard that q259's single kappa hides (a classifier can
+    carry strong agreement while silently never predicting a rare
+    class; per-class recall exposes it). Classes are the UNION of
+    truth and predicted labels, so an over-predicted junk class
+    ('und') appears with precision 0 rather than vanishing. Each
+    metric is an exact BIGINT ratio finished by one IEEE division
+    (F1 via the 2tp/(2tp+fp+fn) form — no float compounding through
+    precision·recall), zero-denominator classes pinned to 0.0.
+    Scale: one confusion aggregate (|langs|²-bounded), then
+    label-bounded arithmetic."""
+    from ..operators.textstats import lang_id
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    pred = lang_id(docs, "text").select(
+        F.col("lang").alias("truth"),
+        F.col("predicted_lang").alias("pred"),
+    )
+    conf = pred.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    labels = (
+        conf.select(F.col("truth").alias("label"))
+        .union(conf.select(F.col("pred").alias("label")))
+        .distinct()
+    )
+    tp = conf.where(F.col("truth") == F.col("pred")).select(
+        F.col("truth").alias("label"), F.col("n").alias("tp")
+    )
+    fp = (
+        conf.where(F.col("truth") != F.col("pred"))
+        .groupBy(F.col("pred").alias("label"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.where(F.col("truth") != F.col("pred"))
+        .groupBy(F.col("truth").alias("label"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    s = (
+        labels.join(tp, "label", "left")
+        .join(fp, "label", "left")
+        .join(fn, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    tpd = F.col("tp").cast("double")
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        tpd / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        tpd / (F.col("tp") + F.col("fn")).cast("double")
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0)
+        * tpd
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+    )
+    return s.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("label")
+
+
+ORACLES["q261_langid_class_prf"] = _prf_oracle()

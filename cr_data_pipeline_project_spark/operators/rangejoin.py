@@ -145,3 +145,66 @@ def as_of_join(
     return joined.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") == 1
     ).drop("__rn")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    left_keys: list[str],
+    right_keys: list[str],
+    bucket: str = "hour",
+) -> DataFrame:
+    """Interval-×-interval OVERLAP join — the missing sibling of the
+    point-in-interval join: pairs where
+    ``[left_start, left_end]`` and ``[right_start, right_end]``
+    intersect (both ends inclusive: ``ls <= re AND rs <= le``). The
+    classic shapes: sessions × incident windows ("which sessions
+    were impacted"), SCD2 validity × promotion windows, machine
+    uptime × maintenance calendars.
+
+    Scale path — never the naive all-pairs non-equi join: BOTH sides
+    explode into the calendar buckets (``bucket`` granularity) their
+    interval covers, the join becomes an EQUI join on the bucket
+    key + the residual overlap predicate, and pair duplicates (a
+    pair sharing k buckets matches k times) drop via
+    ``dropDuplicates`` on the identifying keys. Per-pair cost is
+    O(buckets covered) — bounded when interval length is bounded
+    (pick ``bucket`` ≈ typical interval length); the join is
+    hash-partitioned on time, so load spreads over the calendar
+    instead of pairing everything with everything. Keys must
+    uniquely identify each side's intervals."""
+    one = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    lb = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(left_start)),
+                F.date_trunc(bucket, F.col(left_end)),
+                one,
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(right_start)),
+                F.date_trunc(bucket, F.col(right_end)),
+                one,
+            )
+        ),
+    )
+    cond = (
+        (lb["__b"] == rb["__b"])
+        & (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+    )
+    return (
+        lb.join(rb, cond, "inner")
+        .drop("__b")
+        .dropDuplicates([*left_keys, *right_keys])
+    )

@@ -257,6 +257,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q259_langid_cohens_kappa",
     "q260_ab_mde_power",
     "q261_langid_class_prf",
+    "q262_session_incident_overlap",
+    "q263_readability_census",
 )
 
 

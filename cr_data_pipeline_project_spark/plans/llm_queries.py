@@ -10541,3 +10541,230 @@ def q261_langid_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q261_langid_class_prf"] = _prf_oracle()
+
+
+@q(
+    "q262_session_incident_overlap",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE user_id IS NOT NULL),
+    tagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000 THEN 1
+                    ELSE 0 END AS new_s,
+               event_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               (SUM(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        FROM tagged),
+    sess AS (
+        SELECT user_id, session_idx,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM s GROUP BY user_id, session_idx),
+    inc AS (
+        SELECT strftime(d, '%Y-%m-%d') AS incident_id,
+               d::TIMESTAMP + INTERVAL 8 HOUR AS i_start,
+               d::TIMESTAMP + INTERVAL 10 HOUR AS i_end
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)),
+    pairs AS (
+        SELECT i.incident_id, se.user_id, se.session_idx,
+               (epoch_us(LEAST(se.s_end, i.i_end))
+                - epoch_us(GREATEST(se.s_start, i.i_start))) AS ov_us
+        FROM sess se JOIN inc i
+          ON se.s_start <= i.i_end AND i.i_start <= se.s_end)
+    SELECT incident_id,
+           COUNT(*)::BIGINT AS n_sessions,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           (SUM(ov_us) // 1000000)::BIGINT AS total_overlap_sec
+    FROM pairs GROUP BY incident_id ORDER BY incident_id
+    """,
+)
+def q262_session_incident_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-×-interval OVERLAP join, end to end: the q133
+    30-minute-gap user sessions (one interval per session) against
+    daily 08:00-10:00 incident windows derived from the event
+    calendar itself (fixture-regeneration-proof — no hardcoded
+    dates), answering 'which sessions were impacted by which
+    maintenance window, and for how long'. Runs
+    `rangejoin.interval_overlap_join` — the bucketed equi-join scale
+    path (both interval sets explode into covered hour buckets, the
+    overlap predicate is a residual on a hash join, pair dups drop
+    on the identifying keys) — never the all-pairs non-equi join.
+    Overlap durations are exact integer microseconds (both bounds
+    from the same normalized timestamps), summed as BIGINT, floor-
+    divided once. The oracle recomputes sessions with q133's exact
+    SQL twin and the overlap by the naive non-equi join —
+    algorithm-independent ground truth; a bucket-boundary bug
+    (session spanning hours, window touching the bucket edge)
+    hash-mismatches the census."""
+    from ..operators.rangejoin import interval_overlap_join
+    from ..operators.sessionize import session_stats
+
+    ev = table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    sess = session_stats(
+        ev.select("event_id", "user_id", "ts"),
+        gap_minutes=30,
+        order_tiebreak="event_id",
+    ).select(
+        "user_id",
+        "session_idx",
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+    )
+    inc = (
+        ev.select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("incident_id"),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 8 HOURS")).alias(
+                "i_start"
+            ),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 10 HOURS")).alias(
+                "i_end"
+            ),
+        )
+    )
+    pairs = interval_overlap_join(
+        sess,
+        inc,
+        "s_start",
+        "s_end",
+        "i_start",
+        "i_end",
+        left_keys=["user_id", "session_idx"],
+        right_keys=["incident_id"],
+        bucket="hour",
+    )
+    ov_us = F.unix_micros(
+        F.least(F.col("s_end"), F.col("i_end"))
+    ) - F.unix_micros(F.greatest(F.col("s_start"), F.col("i_start")))
+    return (
+        pairs.select("incident_id", "user_id", "session_idx", ov_us.alias("ov"))
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.expr("sum(ov) div 1000000").cast("long").alias(
+                "total_overlap_sec"
+            ),
+        )
+        .orderBy("incident_id")
+    )
+
+
+@q(
+    "q263_readability_census",
+    """
+    WITH d AS (
+        SELECT doc_id, source, lower(text) AS t,
+               string_split(text, ' ') AS w
+        FROM documents),
+    m AS (
+        SELECT doc_id, source,
+               len(w)::BIGINT AS n_words,
+               GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1)::BIGINT
+                   AS n_sents,
+               (len(regexp_extract_all(t, '[aeiouy]+'))
+                + len(list_filter(w,
+                      x -> NOT regexp_matches(lower(x), '[aeiouy]'))))
+                   ::BIGINT AS n_syll
+        FROM d),
+    f AS (
+        SELECT source,
+               ROUND((206.835
+                      - 1.015 * (n_words::DOUBLE / n_sents::DOUBLE)
+                      - 84.6 * (n_syll::DOUBLE / n_words::DOUBLE))
+                     * 10000)::BIGINT AS fre4,
+               ROUND((0.39 * (n_words::DOUBLE / n_sents::DOUBLE)
+                      + 11.8 * (n_syll::DOUBLE / n_words::DOUBLE)
+                      - 15.59) * 10000)::BIGINT AS fkg4
+        FROM m WHERE n_words > 0)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           ROUND(SUM(fre4)::DOUBLE / (10000.0 * COUNT(*)::DOUBLE), 4)
+               AS mean_flesch,
+           ROUND(SUM(fkg4)::DOUBLE / (10000.0 * COUNT(*)::DOUBLE), 4)
+               AS mean_fk_grade
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q263_readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability census — Flesch reading ease and
+    Flesch-Kincaid grade level (public formulas), the classic
+    prose-complexity signal a curation pipeline mixes into its
+    quality score (too-simple boilerplate and OCR word-salad both
+    sit at the extremes). Syllables use the documented portable
+    heuristic: vowel-group runs over the lowercased text plus one
+    per vowel-less token (so 'xyz7' still counts a syllable) — all
+    counting via RE2-portable regexp inside codegen, no UDF.
+    Exactness: counts are BIGINT; each document's scores pin to
+    1e-4 integers immediately (the q230/q252 discipline), so the
+    per-source mean is an exact BIGINT sum with ONE final division —
+    order-free, hash-exact. Scale: one narrow scan, map-side
+    projections, one partial-combining census aggregate."""
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    t = F.lower(F.col("text"))
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_syll = (
+        F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+        + F.size(
+            F.filter(w, lambda x: ~F.lower(x).rlike("[aeiouy]"))
+        )
+    ).cast("long")
+    m = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    wd = F.col("n_words").cast("double")
+    sd = F.col("n_sents").cast("double")
+    yd = F.col("n_syll").cast("double")
+    fre4 = F.round(
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (wd / sd)
+            - F.lit(84.6) * (yd / wd)
+        )
+        * F.lit(10000)
+    ).cast("long")
+    fkg4 = F.round(
+        (
+            F.lit(0.39) * (wd / sd)
+            + F.lit(11.8) * (yd / wd)
+            - F.lit(15.59)
+        )
+        * F.lit(10000)
+    ).cast("long")
+    return (
+        m.select("source", fre4.alias("fre4"), fkg4.alias("fkg4"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("fre4").cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)).cast("double")),
+                4,
+            ).alias("mean_flesch"),
+            F.round(
+                F.sum("fkg4").cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)).cast("double")),
+                4,
+            ).alias("mean_fk_grade"),
+        )
+        .orderBy("source")
+    )

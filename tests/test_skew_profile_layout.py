@@ -157,3 +157,51 @@ def test_interval_join_bucketed_left_rejects_shared_names(spark):
     )
     with pytest.raises(ValueError, match="disjoint"):
         interval_join_bucketed(fact, ivals, "ts", how="left")
+
+
+def test_interval_overlap_join_bounds_and_buckets(spark):
+    """interval_overlap_join: inclusive bounds (touching endpoints
+    DO overlap), disjoint intervals don't, multi-bucket spans dedupe
+    to one pair row, and the bucketed result equals the naive
+    non-equi join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 7, 0), d(2024, 1, 1, 8, 0)),    # touches start
+            (2, d(2024, 1, 1, 9, 30), d(2024, 1, 1, 12, 15)),  # spans 4 buckets
+            (3, d(2024, 1, 1, 10, 0, 0, 1), d(2024, 1, 1, 11, 0)),  # misses by 1us
+            (4, d(2024, 1, 2, 8, 30), d(2024, 1, 2, 8, 45)),   # inside
+        ],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("w1", d(2024, 1, 1, 8, 0), d(2024, 1, 1, 10, 0)),
+            ("w2", d(2024, 1, 2, 8, 0), d(2024, 1, 2, 10, 0)),
+        ],
+        "rid string, rs timestamp, re timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], bucket="hour",
+        ).collect()
+    )
+    assert got == [(1, "w1"), (2, "w1"), (4, "w2")]
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+        ).collect()
+    )
+    assert got == naive

@@ -1195,6 +1195,15 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
         seq = bytes([idx])
     if seq:
         out_bits.append((table[seq], width))
+        # The decoder defines one more table entry while processing
+        # this final code (its appends lag our assigns by one); if
+        # that lands exactly on a width boundary the decoder widens
+        # BEFORE reading END — mirror it, or END is written at the
+        # old width and the decoder reads past the stream (found by
+        # the hypothesis round-trip property: 18 pixels, 2-color
+        # palette, boundary hit at code 16).
+        if next_code == (1 << width) and width < 12:
+            width += 1
     out_bits.append((end, width))
     # pack little-endian LSB-first
     acc = 0

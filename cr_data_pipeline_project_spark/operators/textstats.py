@@ -806,6 +806,26 @@ def url_domain_census(
     out URL-count rows (bounded by text length), the census is one
     partial-combining aggregate; COUNT DISTINCT expands to a
     two-level aggregate, both map-side combinable."""
+    return (
+        url_doc_domains(df, text_col, id_col)
+        .groupBy("domain")
+        .agg(
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def url_doc_domains(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(document, registrable domain) URL counts — the mergeable
+    GRAIN under :func:`url_domain_census` (and the streaming twin's
+    batch partial: ``n_urls`` is additive and each document arrives
+    once in an append stream, so per-batch rows at this grain union
+    into the exact census). Same extraction chain: trailing-
+    punctuation strip, lowercased host, one ``www.`` stripped,
+    last-two-label registrable domain."""
     urls = df.select(
         F.col(id_col),
         F.explode(
@@ -830,9 +850,6 @@ def url_domain_census(
     return (
         urls.select(F.col(id_col), dom.alias("domain"))
         .where(F.col("domain") != "")
-        .groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_urls"),
-            F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
-        )
+        .groupBy(id_col, "domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
     )

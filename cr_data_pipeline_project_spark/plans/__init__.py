@@ -259,6 +259,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q261_langid_class_prf",
     "q262_session_incident_overlap",
     "q263_readability_census",
+    "q264_winsorized_means",
 )
 
 

@@ -10768,3 +10768,88 @@ def q263_readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q264_winsorized_means",
+    """
+    WITH ev AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    cut AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM ev GROUP BY event_type),
+    w AS (
+        SELECT e.event_type, e.value, c.lo, c.hi,
+               LEAST(GREATEST(e.value, c.lo), c.hi) AS wv
+        FROM ev e JOIN cut c USING (event_type))
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           ROUND(ANY_VALUE(lo), 6) AS p05,
+           ROUND(ANY_VALUE(hi), 6) AS p95,
+           ROUND(SUM(ROUND(wv * 1000000)::BIGINT)::DOUBLE
+                 / (1000000.0 * COUNT(*)::DOUBLE), 6) AS winsorized_mean,
+           ROUND(SUM(CASE WHEN value >= lo AND value <= hi
+                          THEN ROUND(value * 1000000)::BIGINT
+                          ELSE 0 END)::DOUBLE
+                 / (1000000.0
+                    * SUM(CASE WHEN value >= lo AND value <= hi
+                               THEN 1 ELSE 0 END)::DOUBLE), 6)
+               AS trimmed_mean
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q264_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per event type (5%/95%
+    cutpoints) — the robust-location pair that completes q165's
+    median/MAD: winsorizing clamps tails (keeps n), trimming drops
+    them — the standard treatment before averaging telemetry with
+    fat tails. Exactness: cutpoints are the q165/q71 exact
+    interpolated percentile (`F.percentile` ≡ `quantile_cont`);
+    clamp and the in-range predicate are single IEEE ops in fixed
+    order; each surviving value pins to a 1e-6 integer BEFORE
+    summing (the q263 discipline) so per-group means are order-free
+    with ONE final division each. Scale: one percentile pass + one
+    partial-combining aggregate, cutpoints broadcast back on the
+    |event_types|-row dim; at 100 TB swap the exact percentile for
+    approx_percentile (the documented q71/q50 escape hatch)."""
+    ev = (
+        table(spark, "events", sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    cut = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    w = ev.join(F.broadcast(cut), "event_type")
+    wv = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    in_rng = (F.col("value") >= F.col("lo")) & (
+        F.col("value") <= F.col("hi")
+    )
+    wv6 = F.round(wv * F.lit(1000000)).cast("long")
+    v6 = F.round(F.col("value") * F.lit(1000000)).cast("long")
+    agg = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.any_value("lo"), 6).alias("p05"),
+        F.round(F.any_value("hi"), 6).alias("p95"),
+        F.sum(wv6).alias("ws"),
+        F.sum(F.when(in_rng, v6).otherwise(F.lit(0))).alias("ts"),
+        F.sum(in_rng.cast("long")).alias("tn"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        F.round(
+            F.col("ws").cast("double")
+            / (F.lit(1000000.0) * F.col("n").cast("double")),
+            6,
+        ).alias("winsorized_mean"),
+        F.round(
+            F.col("ts").cast("double")
+            / (F.lit(1000000.0) * F.col("tn").cast("double")),
+            6,
+        ).alias("trimmed_mean"),
+    ).orderBy("event_type")

@@ -1471,3 +1471,55 @@ def dp_release_snapshot(
     return agg.select(
         "source", "n_true", (F.col("n_true") + noise).alias("noisy_n")
     )
+
+
+def streaming_url_domain_partials(
+    doc_stream: DataFrame,
+    partials_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Continuous maintenance of the q258 URL→domain census input:
+    per-micro-batch (doc, registrable domain) URL-count partials
+    (``textstats.url_doc_domains`` applied per batch — the SAME
+    extraction chain as the batch census, so stream and backfill
+    agree by construction), written to ``partials_path/batch=<id>/``.
+    ``n_urls`` is additive and each document arrives once in an
+    append stream, so the per-doc grain unions into the exact
+    census; replay idempotency is the
+    :func:`streaming_daily_count_partials` posture — each batch
+    OVERWRITES its own batch directory, so a replayed batch replaces
+    its partials instead of double-counting. Per-batch state is
+    |docs in batch|·|domains per doc| rows, never raw text."""
+    from ..operators.textstats import url_doc_domains
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = url_doc_domains(batch_df, text_col, id_col)
+        part.write.mode("overwrite").parquet(
+            os.path.join(partials_path, f"batch={batch_id}")
+        )
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def url_domain_snapshot(
+    spark: SparkSession, partials_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The q258 census served from streamed per-doc partials: sum
+    URL counts and count distinct documents per domain across batch
+    directories — column-for-column the batch
+    ``url_domain_census`` (asserted in tests), so migrating the
+    census from batch recompute to streaming maintenance changes no
+    consumer."""
+    part = spark.read.parquet(partials_path)
+    return part.groupBy("domain").agg(
+        F.sum("n_urls").cast("long").alias("n_urls"),
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+    )

@@ -1864,3 +1864,68 @@ def test_dp_release_snapshot_slicing_invariant(spark, tmp_path):
             for r in dp_release_snapshot(spark, out, epsilon=0.5).collect()
         }
         assert got == batch, nfiles
+
+
+def test_streaming_url_domain_census_matches_batch(spark, tmp_path, sf_dir):
+    """Streamed per-doc URL partials -> domain snapshot equals the
+    batch url_domain_census on the same synthesized pages, and a
+    replayed batch directory changes nothing (overwrite posture)."""
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.catalog import table
+    from cr_data_pipeline_project_spark.operators.textstats import (
+        url_domain_census,
+    )
+    from cr_data_pipeline_project_spark.streaming.incremental import (
+        streaming_url_domain_partials,
+        url_domain_snapshot,
+    )
+
+    i = F.col("doc_id")
+    page = F.concat(
+        F.col("text"),
+        F.lit(" (see https://WWW.src"), i % 7,
+        F.lit(".Example.COM/p/"), i, F.lit(")."),
+        F.lit(" http://cdn-"), i % 4, F.lit(".assets.net/x/"), i,
+    )
+    docs = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", page.alias("page"))
+    )
+    src = os.path.join(str(tmp_path), "url_src")
+    docs.repartition(3).write.parquet(src)
+    partials = os.path.join(str(tmp_path), "url_partials")
+
+    with few_partitions(spark):
+        stream = (
+            spark.readStream.schema("doc_id long, page string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_url_domain_partials(
+            stream, partials, os.path.join(str(tmp_path), "url_ckpt"),
+            text_col="page",
+        )
+        q.awaitTermination(120)
+
+    batch_dirs = [d for d in os.listdir(partials) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2, "expected multiple micro-batches"
+
+    want = sorted(
+        tuple(r)
+        for r in url_domain_census(docs, text_col="page").collect()
+    )
+    got = sorted(
+        tuple(r) for r in url_domain_snapshot(spark, partials).collect()
+    )
+    assert got == want and len(want) >= 2
+
+    # replay one batch dir (same content) — snapshot unchanged
+    replay_dir = os.path.join(partials, batch_dirs[0])
+    stash = os.path.join(str(tmp_path), "url_replay_stash")
+    spark.read.parquet(replay_dir).write.mode("overwrite").parquet(stash)
+    spark.read.parquet(stash).write.mode("overwrite").parquet(replay_dir)
+    got2 = sorted(
+        tuple(r) for r in url_domain_snapshot(spark, partials).collect()
+    )
+    assert got2 == want

@@ -468,15 +468,23 @@ def clustering_stats(
     n_triangles, global_cc)."""
     und = _canonical_edges(edges, src, dst).persist()
     try:
-        n_edges = und.count()
-        n_wedges = (
+        # ONE pass over the degree table yields both edge and wedge
+        # counts (Σd = 2|E|, Σ d(d-1)/2 = wedges) — no separate
+        # count() action
+        row = (
             _degrees(und)
-            .select(
-                F.expr("d * (d - 1) div 2").cast("bigint").alias("w")
+            .agg(
+                F.expr("sum(d) div 2").cast("bigint").alias("m"),
+                F.coalesce(
+                    F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("w"),
             )
-            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("w"))
-            .collect()[0][0]  # bounded: 1-row global aggregate
+            .collect()[0]  # bounded: 1-row global aggregate
         )
+        n_edges = row["m"] or 0
+        n_wedges = row["w"]
         n_tri = _triangle_sum(und)
     finally:
         und.unpersist()

@@ -260,6 +260,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q262_session_incident_overlap",
     "q263_readability_census",
     "q264_winsorized_means",
+    "q265_jaccard_threshold_sweep",
+    "q266_durbin_watson",
 )
 
 

@@ -10853,3 +10853,171 @@ def q264_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     ).orderBy("event_type")
+
+
+_JACCARD_SWEEP_SQL = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT c * 1.0 / (sa.n + sb.n - c) AS jac
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3
+    )
+    SELECT LEAST(FLOOR(jac * 10), 9)::INT AS bin,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM j GROUP BY 1 ORDER BY bin
+"""
+
+
+@q("q265_jaccard_threshold_sweep", _JACCARD_SWEEP_SQL)
+def q265_jaccard_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup similarity S-curve: the pair-count histogram over
+    Jaccard bands [0.3,0.4) … [0.9,1.0] — the distribution an
+    engineer reads to PICK the dedup threshold (a bimodal histogram
+    says 0.7 is safe; mass piled at the cut says the threshold is
+    splitting a dup family). One pass of the q33 exact machinery at
+    the lower bound: candidates are pairs sharing ≥1 shingle —
+    COMPLETE for any positive Jaccard, so no recall caveat — scored
+    with exact set arithmetic, then bucketed by FLOOR(j·10) (the
+    same IEEE division both engines compute, so bucket assignment is
+    bit-deterministic; j=1.0 clamps into the top band). Scale:
+    identical posture to q33 (shingle-projection shuffles only,
+    never text), one extra |pairs|-row census aggregate; at a lower
+    bound the candidate set grows — production sweeps sample doc
+    pairs per band rather than lowering the bound to 0."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.3
+    )
+    return (
+        pairs.select(
+            F.least(
+                F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )
+
+
+@q(
+    "q266_durbin_watson",
+    """
+    WITH daily AS (
+        SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS di,
+               (SUM(value::DECIMAL(28,6)))::DOUBLE AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               (SUM(di::DECIMAL(28,0)))::DOUBLE AS sx,
+               (SUM((ROUND(y * 1000000))::DECIMAL(38,0)))::DOUBLE
+                   / 1000000.0 AS sy,
+               (SUM((di * di)::DECIMAL(38,0)))::DOUBLE AS sxx,
+               (SUM(di::DECIMAL(28,0) * (ROUND(y * 1000000))::DECIMAL(38,0)))
+                   ::DOUBLE / 1000000.0 AS sxy
+        FROM daily),
+    fit AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n
+                   AS icept
+        FROM m),
+    res AS (
+        SELECT di,
+               ROUND((y - (f.icept + f.slope * di)) * 1000000)::BIGINT
+                   AS e6,
+               f.n
+        FROM daily, fit f),
+    lagd AS (
+        SELECT n, e6,
+               LAG(e6) OVER (ORDER BY di) AS p6
+        FROM res)
+    SELECT ANY_VALUE(n) AS n_days,
+           ROUND(SUM(CASE WHEN p6 IS NULL THEN 0::DECIMAL(38,0)
+                          ELSE ((e6 - p6)::DECIMAL(38,0)) * (e6 - p6)
+                     END)::DOUBLE
+                 / SUM((e6::DECIMAL(38,0)) * e6)::DOUBLE, 6)
+               AS durbin_watson
+    FROM lagd
+    """,
+)
+def q266_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation diagnostic on the residuals of
+    the daily-revenue OLS trend — the standard 'is a straight line
+    actually a defensible model for this series' check that belongs
+    next to q228 (the fit), q169 (raw autocorrelation) and q255 (the
+    robust slope): DW ≈ 2 means independent residuals, → 0 strong
+    positive autocorrelation (seasonality the trend missed). All on
+    the calendar-bounded daily aggregate. Exactness: daily sums are
+    decimal; the OLS moment chain is q228's fixed IEEE order with
+    1e-6-pinned y-moments; residuals pin to 1e-6 integers
+    immediately, so the numerator Σ(Δe)² and denominator Σe² are
+    EXACT BIGINT sums (order-free) and DW is one division. Scale:
+    one fact aggregate; the lag window runs over bounded days."""
+    ev = table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("di")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    d0, d1 = "decimal(28,0)", "decimal(38,0)"
+    y6 = F.round(F.col("y") * 1000000).cast(d1)
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("di").cast(d0)).cast("double").alias("sx"),
+        (F.sum(y6).cast("double") / F.lit(1000000.0)).alias("sy"),
+        F.sum((F.col("di") * F.col("di")).cast(d1))
+        .cast("double")
+        .alias("sxx"),
+        (
+            F.sum(F.col("di").cast(d0) * y6).cast("double")
+            / F.lit(1000000.0)
+        ).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    fit = m.select(
+        "n",
+        slope.alias("slope"),
+        ((sy - sx * slope) / n).alias("icept"),
+    )
+    res = daily.crossJoin(F.broadcast(fit)).select(
+        "di",
+        "n",
+        F.round(
+            (F.col("y") - (F.col("icept") + F.col("slope") * F.col("di")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("e6"),
+    )
+    w = Window.orderBy("di")
+    lagd = res.withColumn("p6", F.lag("e6").over(w))
+    d38 = "decimal(38,0)"
+    de = (F.col("e6") - F.col("p6")).cast(d38)
+    return lagd.agg(
+        F.any_value("n").alias("n_days"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("p6").isNull(), F.lit(0).cast(d38)
+                ).otherwise(de * (F.col("e6") - F.col("p6")))
+            ).cast("double")
+            / F.sum(F.col("e6").cast(d38) * F.col("e6")).cast("double"),
+            6,
+        ).alias("durbin_watson"),
+    )

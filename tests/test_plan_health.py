@@ -87,6 +87,7 @@ NESTED_LOOP_OK = {
     "q255_theil_sen_trend",  # calendar-bounded daily-pair non-equi + 1-row folds
     "q256_t_closeness_audit",  # QI×band bounded grid + 1-row totals broadcasts
     "q259_langid_cohens_kappa",  # 1-row marginal-product broadcast fold
+    "q266_durbin_watson",  # 1-row OLS-fit broadcast onto the bounded daily table
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

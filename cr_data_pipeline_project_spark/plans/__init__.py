@@ -262,6 +262,8 @@ GATE_PENDING: tuple[str, ...] = (
     "q264_winsorized_means",
     "q265_jaccard_threshold_sweep",
     "q266_durbin_watson",
+    "q267_leadlag_crosscorrelation",
+    "q268_forecast_backtest",
 )
 
 

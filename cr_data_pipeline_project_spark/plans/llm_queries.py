@@ -11021,3 +11021,202 @@ def q266_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("durbin_watson"),
     )
+
+
+@q(
+    "q267_leadlag_crosscorrelation",
+    """
+    WITH daily AS (
+        SELECT event_type AS t,
+               (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS di,
+               COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+    lags AS (SELECT l FROM range(-3, 4) r(l)),
+    j AS (
+        SELECT a.t AS type_a, b.t AS type_b, lg.l AS lag,
+               a.c AS x, b.c AS y
+        FROM daily a
+        CROSS JOIN lags lg
+        JOIN daily b
+          ON b.di = a.di - lg.l AND a.t < b.t),
+    m AS (
+        SELECT type_a, type_b, lag,
+               COUNT(*)::BIGINT AS n_days,
+               (SUM(x::DECIMAL(28,0)))::DOUBLE AS sx,
+               (SUM(y::DECIMAL(28,0)))::DOUBLE AS sy,
+               (SUM((x * x)::DECIMAL(38,0)))::DOUBLE AS sxx,
+               (SUM((y * y)::DECIMAL(38,0)))::DOUBLE AS syy,
+               (SUM((x * y)::DECIMAL(38,0)))::DOUBLE AS sxy
+        FROM j GROUP BY 1, 2, 3)
+    SELECT type_a, type_b, lag, n_days,
+           ROUND((n_days * sxy - sx * sy)
+                 / (sqrt(n_days * sxx - sx * sx)
+                    * sqrt(n_days * syy - sy * sy)), 6) AS xcorr
+    FROM m WHERE n_days >= 3
+    ORDER BY type_a, type_b, lag
+    """,
+)
+def q267_leadlag_crosscorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lead-lag cross-correlation matrix between event types'
+    daily-volume series (lags −3..+3) — the discovery query behind
+    'do clicks lead purchases by two days?': for every ordered type
+    pair and lag, the Pearson correlation of the two aligned daily
+    series. Completes the time-series family (q169 is a series
+    against ITSELF; this is every pair against every other, with
+    direction). Exactness: daily counts are BIGINT, the five moment
+    sums accumulate as DECIMAL (order-free), and the finish is the
+    q118/q239 fixed IEEE chain rounded once; pairs with under 3
+    aligned days are suppressed (undefined/degenerate corr). Scale:
+    one fact aggregate to (type, day) — calendar-bounded — then a
+    7-row broadcast lag spine and an equi-join on the derived day
+    key; every downstream row count is |types|²·|lags|-bounded."""
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("di"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    j = (
+        a.crossJoin(F.broadcast(lags))  # 7-row spine by contract
+        .join(
+            b,
+            (F.col("b.di") == F.col("a.di") - F.col("lag"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.t").alias("type_a"),
+            F.col("b.t").alias("type_b"),
+            "lag",
+            F.col("a.c").alias("x"),
+            F.col("b.c").alias("y"),
+        )
+    )
+    d0, d1 = "decimal(28,0)", "decimal(38,0)"
+    m = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("x").cast(d0)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d0)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d1))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d1))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d1))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n_days")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return (
+        m.where(n >= 3)
+        .select(
+            "type_a",
+            "type_b",
+            "lag",
+            "n_days",
+            F.round(num / den, 6).alias("xcorr"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+@q(
+    "q268_forecast_backtest",
+    """
+    WITH daily AS (
+        SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS di,
+               SUM(value::DECIMAL(28,6)) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+    mx AS (SELECT MAX(di) AS mdi FROM daily),
+    scored AS (
+        SELECT m.model, a.di,
+               a.y AS actual, f.y AS forecast,
+               ABS(a.y - f.y) AS abs_err,
+               ROUND(2000000.0 * ABS(a.y - f.y)::DOUBLE
+                     / (ABS(a.y)::DOUBLE + ABS(f.y)::DOUBLE))::BIGINT
+                   AS sm6
+        FROM daily a
+        CROSS JOIN mx
+        JOIN (SELECT 'naive_1d' AS model, 1 AS h
+              UNION ALL SELECT 'seasonal_7d', 7) m ON TRUE
+        JOIN daily f ON f.di = a.di - m.h
+        WHERE a.di > mx.mdi - 7)
+    SELECT model, COUNT(*)::BIGINT AS n_days,
+           ROUND(SUM(abs_err)::DOUBLE / COUNT(*)::DOUBLE, 6) AS mae,
+           ROUND(SUM(sm6)::DOUBLE / (10000.0 * COUNT(*)::DOUBLE), 6)
+               AS smape_pct
+    FROM scored GROUP BY model ORDER BY model
+    """,
+)
+def q268_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest scorecard over the last week of daily
+    revenue: the naive (yesterday) and seasonal-naive (same weekday
+    last week) forecasters scored with MAE and sMAPE — the baseline
+    pair every forecasting system must beat before it earns compute
+    (and the standard way q168's forecast shape gets validated).
+    Exactness: daily sums and absolute errors stay DECIMAL end to
+    end (MAE is a decimal mean cast once); each day's symmetric-
+    error ratio is one fixed IEEE chain pinned to 1e-6 integers
+    before averaging (the q263 discipline), so both metrics are
+    order-free with one final division. Scale: one fact aggregate to
+    the calendar-bounded daily table, a 1-row max broadcast, a
+    2-row model spine, and self-joins on the derived day key."""
+    ev = table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("y"))
+    mx = daily.agg(F.max("di").alias("mdi"))
+    models = spark.createDataFrame(
+        [("naive_1d", 1), ("seasonal_7d", 7)], "model string, h int"
+    )
+    a = daily.alias("a")
+    f = daily.alias("f")
+    scored = (
+        a.crossJoin(F.broadcast(mx))
+        .where(F.col("a.di") > F.col("mdi") - 7)
+        .crossJoin(F.broadcast(models))  # 2-row spine by contract
+        .join(f, F.col("f.di") == F.col("a.di") - F.col("h"))
+        .select(
+            "model",
+            F.abs(F.col("a.y") - F.col("f.y")).alias("abs_err"),
+            F.round(
+                F.lit(2000000.0)
+                * F.abs(F.col("a.y") - F.col("f.y")).cast("double")
+                / (
+                    F.abs(F.col("a.y")).cast("double")
+                    + F.abs(F.col("f.y")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("sm6"),
+        )
+    )
+    return (
+        scored.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("abs_err").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum("sm6").cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("smape_pct"),
+        )
+        .orderBy("model")
+    )

@@ -88,6 +88,8 @@ NESTED_LOOP_OK = {
     "q256_t_closeness_audit",  # QI×band bounded grid + 1-row totals broadcasts
     "q259_langid_cohens_kappa",  # 1-row marginal-product broadcast fold
     "q266_durbin_watson",  # 1-row OLS-fit broadcast onto the bounded daily table
+    "q267_leadlag_crosscorrelation",  # 7-row lag-spine broadcast
+    "q268_forecast_backtest",  # 1-row max + 2-row model-spine broadcasts
 }
 
 _PLAN_DUMP_DIR = Path(__file__).resolve().parents[1] / "docs" / "plans"

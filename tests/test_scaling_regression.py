@@ -41,6 +41,9 @@ LINEAR_BY_CONTRACT = {
     "q108_verbatim_decontamination",
     "q231_copurchase_triangles",
     "q242_mp3_frame_census",
+    # q257 shares q231's contract: triangle/wedge work is Θ(E) with
+    # the probe generator holding average degree constant
+    "q257_copurchase_clustering",
 }
 LINEAR_CONTRACT_ALPHA_MAX = 1.2
 

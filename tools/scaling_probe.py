@@ -226,6 +226,16 @@ PROBES = [
     # that prompted the q199 split); its deployed twin q199 IS
     # probed.
     "q199_semantic_dedup_export_scale",
+    # round-9 additions: every new >=1 s bench entry (q257 is the
+    # new most-expensive single query; q265 sweeps candidates at a
+    # 0.3 bound so its pair set is the largest of the jaccard
+    # family).
+    "q251_mjpeg_mp4_frame_extract",
+    "q252_kruskal_wallis",
+    "q253_mann_whitney_u",
+    "q257_copurchase_clustering",
+    "q261_langid_class_prf",
+    "q265_jaccard_threshold_sweep",
     "q194_hybrid_rrf_topk",
     "q198_hard_negative_mining",
     "q178_zipf_slope",

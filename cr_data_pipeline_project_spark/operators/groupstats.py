@@ -233,3 +233,77 @@ def grouped_doubled_ranks(
             .alias(out_col),
         )
     )
+
+
+def isotonic_fit_stats(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Group-wise isotonic regression (pool-adjacent-violators) fit
+    census — the standard score-calibration step (Zadrozny & Elkan;
+    a monotone map from raw scores to empirical outcome rates) plus
+    the fit diagnostics a calibration audit reports: per group, n,
+    the number of monotone blocks, and the MSE before (constant
+    predictor = group mean) vs after the isotonic fit.
+
+    The idiomatic ``applyInPandas`` shape for per-group iterative
+    numerics: PAVA is inherently sequential IN x-order WITHIN a
+    group, so each group's (x, y) pairs arrive as one Arrow batch,
+    numpy runs the O(n) stack-based PAVA, and only the 1-row
+    diagnostics leave the worker. Ties in x break by a caller-
+    visible total order (x, y) so the fit is partitioning-proof.
+    Rows-only posture: pooled block means are float averages (no
+    SQL twin); a pure-Python replica test pins the algorithm.
+
+    Scale: shuffles (group, x, y) projections once on the group key;
+    a giant group is the q53/q133 salt hazard — pre-split by x-range
+    and merge adjacent blocks across chunk boundaries (documented,
+    not needed at fixture scale)."""
+    import pandas as pd
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values([x_col, y_col], kind="mergesort")
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        mean = y.mean() if n else float("nan")
+        mse_before = float(((y - mean) ** 2).mean()) if n else None
+        # stack-based PAVA: blocks of (sum, count); pool while the
+        # last block's mean exceeds the new one's
+        sums: list[float] = []
+        cnts: list[int] = []
+        for v in y:
+            cs, cc = float(v), 1
+            while sums and sums[-1] * cc >= cs * cnts[-1]:
+                # pooled mean comparison without division:
+                # mean_last >= mean_new  <=>  s_last*c_new >= s_new*c_last
+                cs += sums.pop()
+                cc += cnts.pop()
+            sums.append(cs)
+            cnts.append(cc)
+        fitted = np.concatenate(
+            [np.full(c, s / c) for s, c in zip(sums, cnts)]
+        ) if n else np.array([])
+        mse_after = float(((y - fitted) ** 2).mean()) if n else None
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [n],
+                "n_blocks": [len(sums)],
+                "mse_before": [round(mse_before, 6)],
+                "mse_after": [round(mse_after, 6)],
+            }
+        )
+
+    out_schema = (
+        f"{group_col} string, n long, n_blocks long, "
+        "mse_before double, mse_after double"
+    )
+    return (
+        df.select(group_col, x_col, y_col)
+        .groupBy(group_col)
+        .applyInPandas(fit, out_schema)
+    )

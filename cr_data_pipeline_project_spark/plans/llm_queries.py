@@ -11220,3 +11220,107 @@ def q268_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+# rows-only: zlib byte streams aren't reproducible in SQL — the
+# census is attested by closed-form pytest fixtures instead
+# (test_textstats_bpe.py::test_compression_ratio_*)
+@q("q269_compression_ratio_census")
+def q269_compression_ratio_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source compression-ratio quality census — the classic
+    corpus-hygiene heuristic (Gopher's repetition rules, RedPajama
+    filters): highly compressible text is repetitive boilerplate,
+    nearly-incompressible text is often binary junk or ciphertext;
+    both tails get reviewed before training. deflate(level 6) per
+    document inside one Arrow `mapInPandas` stage (stdlib zlib — a
+    real compressor, not a proxy), then a partial-combining census:
+    per source, n docs, mean ratio (1e-6-pinned, order-free), min /
+    max, and the share under 0.3 (the 'suspiciously repetitive'
+    band; complements q61's token-level repetition ratio with a
+    whole-byte-stream measure). Rows-only by design: no SQL engine
+    reproduces deflate streams — correctness is pinned by pytest
+    closed forms (constant text compresses under 0.1, random hex
+    stays above 0.5, ratios deterministic). Scale: payload-local
+    compute, only (source, ratio6) ever shuffles."""
+    import pandas as pd
+
+    docs = table(spark, "documents", sf_dir).select("source", "text")
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            ratios = []
+            for t in pdf["text"]:
+                raw = (t or "").encode("utf-8")
+                if not raw:
+                    ratios.append(None)
+                    continue
+                comp = zlib.compress(raw, 6)
+                ratios.append(round(1e6 * len(comp) / len(raw)))
+            yield pd.DataFrame(
+                {"source": pdf["source"], "r6": ratios}
+            )
+
+    scored = docs.mapInPandas(run, "source string, r6 long").where(
+        F.col("r6").isNotNull()
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("r6").cast("double")
+                / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("mean_ratio"),
+            F.round(F.min("r6").cast("double") / 1000000.0, 6).alias(
+                "min_ratio"
+            ),
+            F.round(F.max("r6").cast("double") / 1000000.0, 6).alias(
+                "max_ratio"
+            ),
+            F.sum((F.col("r6") < 300000).cast("long")).alias(
+                "n_under_03"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# rows-only: PAVA block means are float averages — no SQL twin; the
+# algorithm is pinned by a pure-Python replica test
+# (test_groupstats.py::test_isotonic_*)
+@q("q270_isotonic_calibration")
+def q270_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source isotonic calibration audit of the q38 quality
+    score against a binary outcome (label ≥ 5 on the aligned
+    embeddings row): `groupstats.isotonic_fit_stats` fits the
+    monotone score→outcome map with pool-adjacent-violators inside
+    one `applyInPandas` stage per source and reports the
+    calibration diagnostics (n, monotone blocks, MSE before/after) —
+    the Zadrozny-Elkan step that turns a raw curation score into an
+    empirical probability, and the audit that says whether the
+    score ranks outcomes at all (mse_after ≈ mse_before ⇒ it
+    doesn't). Rows-only by design (pooled means are float
+    averages); the PAVA itself is pinned by a pure-Python replica
+    test plus monotonicity/MSE-dominance properties. Scale: one
+    (source, score, y) projection shuffle; per-group O(n) PAVA;
+    1-row diagnostics leave each worker."""
+    from ..operators.groupstats import isotonic_fit_stats
+
+    docs = textstats.quality_score(table(spark, "documents", sf_dir))
+    emb = table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    joined = docs.select("doc_id", "source", "quality_score").join(
+        emb, "doc_id"
+    )
+    return isotonic_fit_stats(
+        joined, "source", "quality_score", "y"
+    ).orderBy("source")

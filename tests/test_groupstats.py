@@ -108,3 +108,59 @@ def test_grouped_doubled_ranks_matches_window_formulation(spark):
         n = sum(c for (gg, _), (c, _) in got.items() if gg == g)
         tot = sum(c * r for (gg, _), (c, r) in got.items() if gg == g)
         assert tot == n * (n + 1)
+
+
+def test_isotonic_fit_matches_pure_python_pava(spark):
+    """isotonic_fit_stats vs an independent pure-Python PAVA on a
+    fixed fixture: identical block counts and MSEs; fitted map is
+    monotone; isotonic MSE never exceeds the constant-predictor
+    MSE; a perfectly monotone group collapses to mse_after=0."""
+    import random
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    rng = random.Random(270)
+    rows = []
+    for g, flip in (("a", 0.3), ("b", 0.05)):
+        for i in range(300):
+            x = i / 300.0
+            y = 1 if (x > 0.5) ^ (rng.random() < flip) else 0
+            rows.append((g, round(x, 4), y, i))
+    rows += [("mono", 0.1, 0, 0), ("mono", 0.2, 0, 1),
+             ("mono", 0.3, 1, 2), ("mono", 0.4, 1, 3)]
+    df = spark.createDataFrame(rows, "g string, x double, y int, i int")
+    got = {
+        r.g: r for r in isotonic_fit_stats(df, "g", "x", "y").collect()
+    }
+
+    def pava(pairs):
+        pairs = sorted(pairs)
+        ys = [y for _, y in pairs]
+        mean = sum(ys) / len(ys)
+        before = sum((v - mean) ** 2 for v in ys) / len(ys)
+        sums, cnts = [], []
+        for v in ys:
+            cs, cc = float(v), 1
+            while sums and sums[-1] * cc >= cs * cnts[-1]:
+                cs += sums.pop()
+                cc += cnts.pop()
+            sums.append(cs)
+            cnts.append(cc)
+        fitted = [s / c for s, c in zip(sums, cnts) for _ in range(c)]
+        means = [s / c for s, c in zip(sums, cnts)]
+        assert means == sorted(means)  # monotone fit
+        after = sum((v - f) ** 2 for v, f in zip(ys, fitted)) / len(ys)
+        return len(ys), len(sums), round(before, 6), round(after, 6)
+
+    by_g = {}
+    for g, x, y, _ in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pairs in by_g.items():
+        n, blocks, before, after = pava(pairs)
+        r = got[g]
+        assert (r.n, r.n_blocks) == (n, blocks), g
+        assert (r.mse_before, r.mse_after) == (before, after), g
+        assert r.mse_after <= r.mse_before
+    assert got["mono"].mse_after == 0.0 and got["mono"].n_blocks == 2

@@ -419,3 +419,48 @@ def test_bpe_decode_roundtrip(spark, sf_dir):
     )
     row = bpe_decode(bpe_encode(nul, merges)).collect()[0]
     assert row["text_decoded"] is None
+
+
+def test_compression_ratio_census_closed_forms(spark):
+    """q269's census on pinned fixtures: constant text compresses
+    under 0.1, random-looking hex stays above 0.5, ratios are
+    deterministic across runs, and the under-0.3 counter counts
+    exactly the repetitive docs."""
+    import random
+
+    from cr_data_pipeline_project_spark.plans.llm_queries import (
+        q269_compression_ratio_census,
+    )
+
+    rng = random.Random(269)
+    rows = (
+        [(i, "aaaa " * 200, "rep", 1000) for i in range(5)]
+        + [
+            (
+                100 + i,
+                "".join(rng.choice("0123456789abcdef") for _ in range(1000)),
+                "rand",
+                1000,
+            )
+            for i in range(5)
+        ]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out1 = {
+            r.source: r for r in q269_compression_ratio_census(spark, d).collect()
+        }
+        out2 = {
+            r.source: r for r in q269_compression_ratio_census(spark, d).collect()
+        }
+    assert out1["rep"].mean_ratio < 0.1
+    assert out1["rand"].mean_ratio > 0.5
+    assert out1["rep"].n_under_03 == 5 and out1["rand"].n_under_03 == 0
+    for s in ("rep", "rand"):
+        assert tuple(out1[s]) == tuple(out2[s])  # deterministic

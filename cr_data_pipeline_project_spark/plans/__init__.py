@@ -242,9 +242,12 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # query with a driver row hiding here would dodge re-attestation).
 # Round 9 rotation promoted all 38 round-8 first-timers
 # (q212-q250) into the window along with the 12 longest-parked
-# returners, so the queue is empty at round start; oracled queries
-# added during round 9 queue here for their first attestation in
-# round 10.
+# returners, emptying the queue at round start; the 18 oracled
+# round-9 additions below (q251-q268) queued here as they landed.
+# Round-10 plan: promote all 18 plus the 32 longest-parked
+# returners (the 23 remaining r05-attested names q59-q114 at the
+# tail of GATE_OVERFLOW, then the head of the r06-attested block:
+# q01/q02/q09/q10/q15/q22/q24/q25/q26) to fill the 50 slots.
 GATE_PENDING: tuple[str, ...] = (
     "q251_mjpeg_mp4_frame_extract",
     "q252_kruskal_wallis",

@@ -307,3 +307,66 @@ def isotonic_fit_stats(
         .groupBy(group_col)
         .applyInPandas(fit, out_schema)
     )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_total",
+    inclusive: bool = True,
+) -> DataFrame:
+    """GLOBAL running total in a caller-defined total order WITHOUT a
+    single-partition window — the cumulative-sum sibling of
+    `assign_dense_ids`/`grouped_doubled_ranks` (the q58/q195
+    partition-offset pattern, extended from counts to SUMS):
+
+    1. ``repartitionByRange(order_cols)`` gives a total order across
+       partitions; rows sort within partitions;
+    2. per-partition value sums — nparts rows — prefix-sum into
+       per-partition offsets via a window over that TINY table;
+    3. the within-partition running sum is
+       ``Window.partitionBy(pid)`` — parallelism = nparts, never 1.
+
+    ``Window.orderBy(...)`` with no partition key moves ALL data to
+    one task (the WindowExec warning); this shape is what a 100 TB
+    budget-capped selection actually runs. ``inclusive=False`` gives
+    the exclusive prefix (total strictly before the row). Values
+    accumulate in DECIMAL(38,6) — order-free, overflow-checked."""
+    from pyspark.sql import Window
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    dec = "decimal(38,6)"
+    tagged = (
+        df.repartitionByRange(nparts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+    )
+    ptot = tagged.groupBy("__pid").agg(
+        F.sum(F.col(value_col).cast(dec)).alias("__ptot")
+    )
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # nparts rows only — bounded by contract
+    offsets = ptot.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__ptot").over(w_off), F.lit(0).cast(dec)
+        ).alias("__off"),
+    )
+    end = Window.currentRow if inclusive else -1
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = F.coalesce(
+        F.sum(F.col(value_col).cast(dec)).over(w_local),
+        F.lit(0).cast(dec),
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + local).cast(dec))
+        .drop("__pid", "__off")
+    )

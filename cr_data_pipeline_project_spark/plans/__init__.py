@@ -267,6 +267,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q266_durbin_watson",
     "q267_leadlag_crosscorrelation",
     "q268_forecast_backtest",
+    "q271_budget_greedy_selection",
 )
 
 

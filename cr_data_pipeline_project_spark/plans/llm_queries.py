@@ -11324,3 +11324,68 @@ def q270_isotonic_calibration(
     return isotonic_fit_stats(
         joined, "source", "quality_score", "y"
     ).orderBy("source")
+
+
+@q(
+    "q271_budget_greedy_selection",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               __QUALITY_SCORE__ AS q,
+               len(string_split(text, ' '))::BIGINT AS tk
+        FROM documents),
+    cum AS (
+        SELECT doc_id, source, tk,
+               SUM(tk) OVER (ORDER BY q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS rt
+        FROM scored)
+    SELECT source, COUNT(*)::BIGINT AS n_kept,
+           SUM(tk)::BIGINT AS tokens_kept
+    FROM cum WHERE rt <= 100000
+    GROUP BY source ORDER BY source
+    """,
+)
+def q271_budget_greedy_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budget-capped greedy curation: take documents best-quality-
+    first until a 100k-token budget is exhausted — the selection
+    rule that ships a fixed-size training slice from an oversized
+    candidate pool (complements q101/q196, which APPORTION a budget
+    across sources; this one SPENDS it greedily across the whole
+    corpus). The global running token total comes from
+    `groupstats.ordered_prefix_sum` — the q58/q195 partition-offset
+    pattern extended to SUMS — so the cumulative order
+    (quality DESC, doc_id) costs a range shuffle + nparts-parallel
+    local windows, never the single-task `Window.orderBy` the naive
+    plan (and the oracle) uses. Exactness: the 4-dp pinned quality
+    score makes the order total and engine-portable, token counts
+    are BIGINT, the prefix accumulates in DECIMAL; the kept set is
+    therefore bit-identical and the per-source census hash-matches.
+    Output stays census-sized; the kept doc ids are a projection
+    away for the export path."""
+    from ..operators.groupstats import ordered_prefix_sum
+
+    docs = textstats.quality_score(table(spark, "documents", sf_dir))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.size(F.split("text", " ")).cast("long").alias("tk"),
+    )
+    cum = ordered_prefix_sum(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        "tk",
+        out_col="rt",
+        inclusive=True,
+    )
+    return (
+        cum.where(F.col("rt") <= 100000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("tk").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -164,3 +164,44 @@ def test_isotonic_fit_matches_pure_python_pava(spark):
         assert (r.mse_before, r.mse_after) == (before, after), g
         assert r.mse_after <= r.mse_before
     assert got["mono"].mse_after == 0.0 and got["mono"].n_blocks == 2
+
+
+def test_ordered_prefix_sum_matches_global_window(spark):
+    """ordered_prefix_sum must equal the single-partition
+    Window.orderBy cumulative sum it replaces — inclusive and
+    exclusive, with ties broken by the full order key."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        ordered_prefix_sum,
+    )
+
+    rng = random.Random(271)
+    rows = [(i, rng.choice([5, 10, 10, 25]), rng.randrange(100))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, k long").repartition(16)
+
+    for inclusive in (True, False):
+        got = {
+            r.id: float(r.rt)
+            for r in ordered_prefix_sum(
+                df, ["k", "id"], "v", "rt", inclusive=inclusive
+            ).collect()
+        }
+        end = Window.currentRow if inclusive else -1
+        w = Window.orderBy("k", "id").rowsBetween(
+            Window.unboundedPreceding, end
+        )
+        want = {
+            r.id: float(r.rt)
+            for r in df.select(
+                "id",
+                F.coalesce(
+                    F.sum(F.col("v").cast("decimal(38,6)")).over(w),
+                    F.lit(0).cast("decimal(38,6)"),
+                ).alias("rt"),
+            ).collect()
+        }
+        assert got == want

@@ -236,6 +236,7 @@ PROBES = [
     "q257_copurchase_clustering",
     "q261_langid_class_prf",
     "q265_jaccard_threshold_sweep",
+    "q271_budget_greedy_selection",
     "q194_hybrid_rrf_topk",
     "q198_hard_negative_mining",
     "q178_zipf_slope",

@@ -268,6 +268,7 @@ GATE_PENDING: tuple[str, ...] = (
     "q267_leadlag_crosscorrelation",
     "q268_forecast_backtest",
     "q271_budget_greedy_selection",
+    "q272_dedup_capture_recapture",
 )
 
 

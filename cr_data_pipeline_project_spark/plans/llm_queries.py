@@ -11389,3 +11389,116 @@ def q271_budget_greedy_selection(
         )
         .orderBy("source")
     )
+
+
+def _capture_recapture_oracle() -> str:
+    # the q33 jaccard CTEs and the q35 simhash CTEs off ONE shingle
+    # definition (same generator expressions as _simhash_oracle)
+    shi = ", ".join(
+        f"SUM(((hi // {1 << k}) % 2) * 2 - 1) AS shi{k}, "
+        f"SUM(((lo // {1 << k}) % 2) * 2 - 1) AS slo{k}"
+        for k in range(32)
+    )
+    hi_sig = " + ".join(
+        f"CASE WHEN shi{k} >= 0 THEN {1 << k} ELSE 0 END" for k in range(32)
+    )
+    lo_sig = " + ".join(
+        f"CASE WHEN slo{k} >= 0 THEN {1 << k} ELSE 0 END" for k in range(32)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    jp AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7),
+    hs AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo
+        FROM sh),
+    sums AS (SELECT doc_id, {shi} FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, ({hi_sig})::BIGINT AS sim_hi,
+                   ({lo_sig})::BIGINT AS sim_lo FROM sums),
+    sp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+              + bit_count(xor(a.sim_lo, b.sim_lo)) <= 6),
+    u AS (
+        SELECT COALESCE(jp.doc_a, sp.doc_a) AS doc_a,
+               (jp.doc_a IS NOT NULL)::INT AS in_a,
+               (sp.doc_a IS NOT NULL)::INT AS in_b
+        FROM jp FULL JOIN sp
+          ON jp.doc_a = sp.doc_a AND jp.doc_b = sp.doc_b)
+    SELECT SUM(in_a)::BIGINT AS n_minhash,
+           SUM(in_b)::BIGINT AS n_simhash,
+           SUM(in_a * in_b)::BIGINT AS n_both,
+           ROUND(SUM(in_a * in_b)::DOUBLE
+                 / (SUM(in_a)::DOUBLE + SUM(in_b)::DOUBLE
+                    - SUM(in_a * in_b)::DOUBLE), 4) AS set_jaccard,
+           ROUND((SUM(in_a)::DOUBLE + 1.0) * (SUM(in_b)::DOUBLE + 1.0)
+                 / (SUM(in_a * in_b)::DOUBLE + 1.0) - 1.0, 2)
+               AS chapman_estimate
+    FROM u
+    """
+
+
+@q("q272_dedup_capture_recapture", None)
+def q272_dedup_capture_recapture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-detector dedup coverage audit with a Chapman
+    capture-recapture estimate: run BOTH near-dup detectors — q34's
+    MinHash+LSH at j≥0.7 and q35's SimHash at hamming≤6 — over the
+    same corpus, count each pair set, their overlap, the pair-set
+    Jaccard, and the Chapman estimator
+    (n1+1)(n2+1)/(m+1) − 1 of the total near-dup pair population —
+    the dedup-QA trick for sizing what BOTH detectors miss (with the
+    standard caveat, stated in the docstring a consumer reads: the
+    estimator assumes independent detectors, and these two are
+    positively correlated, so it UNDERESTIMATES — still the standard
+    lower-bound sanity number). Exactness: both pair sets are the
+    already-oracled exact kernels; counts are BIGINT; the estimate
+    and set-jaccard are one IEEE chain each. Scale: the two
+    detectors share the shingle projection; the overlap is a
+    pair-key full join of two already-small pair sets."""
+    docs = table(spark, "documents", sf_dir)
+    a = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, num_hashes=64, bands=32, threshold=0.7
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_a"))
+    b = dedup.simhash_pairs(
+        docs, "text", "doc_id", n=5, max_hamming=6
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_b"))
+    u = a.join(b, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    n1 = F.sum("in_a").cast("long")
+    n2 = F.sum("in_b").cast("long")
+    m = F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+    agg = u.agg(
+        n1.alias("n_minhash"), n2.alias("n_simhash"), m.alias("n_both")
+    )
+    n1d = F.col("n_minhash").cast("double")
+    n2d = F.col("n_simhash").cast("double")
+    md = F.col("n_both").cast("double")
+    return agg.select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        F.round(md / (n1d + n2d - md), 4).alias("set_jaccard"),
+        F.round(
+            (n1d + F.lit(1.0)) * (n2d + F.lit(1.0)) / (md + F.lit(1.0))
+            - F.lit(1.0),
+            2,
+        ).alias("chapman_estimate"),
+    )
+
+
+ORACLES["q272_dedup_capture_recapture"] = _capture_recapture_oracle()

@@ -35,17 +35,71 @@ GATE_SLOTS = 50
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation on a fixed
 # cadence (roughly every fifth round now that 223 oracled queries
-# share 50 slots). Round 9: the 38 GATE_PENDING first-timers
-# (q212-q250 oracled round-8 additions, never driver-attested)
-# take the window along with the 12 longest-parked returners — the
-# head of the round-6-parked r05-attested set (q21/q23/q27/q30/
-# q36/q42/q46/q49/q50/q51/q56/q58). Everything else parks here:
-# the 50 queries the r08 window attested, the 50 r07-attested
-# ones, the 50 r06-attested ones, and the 23 remaining
-# r05-attested ones. All parked queries stay covered every round by
-# tests/test_oracle_parity.py and tools/check_oracle.py, which run
-# the FULL surface.
+# share 50 slots). Round 10: the 20 GATE_PENDING first-timers
+# (q251-q268/q271/q272 oracled round-9 additions, never
+# driver-attested) take the window along with the 30
+# longest-parked returners — the 23 remaining r05-attested names
+# (q59…q114, parked since round 6) plus the head of the
+# r06-attested block (q01/q02/q09/q10/q15/q22/q24). Everything
+# else parks here: the 50 queries the r09 window attested, the 50
+# r08-attested ones, the 50 r07-attested ones, and the 43
+# remaining r06-attested ones. All parked queries stay covered
+# every round by tests/test_oracle_parity.py and
+# tools/check_oracle.py, which run the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
+    # parked round 10 (driver-green in r09): the 50 queries the
+    # r09 window attested (the 12 q21-q58 returners + the 38
+    # q212-q250 first-timers)
+    "q21_multikey_sort",
+    "q23_surrogate_keys",
+    "q27_season_calendar",
+    "q30_sliding_window",
+    "q36_ann_bruteforce_topk",
+    "q42_ann_ivf_topk",
+    "q46_rollup",
+    "q49_sql_view_api",
+    "q50_column_profile",
+    "q51_salted_join",
+    "q56_asof_join",
+    "q58_dense_ids_scale",
+    "q212_streaming_ks_snapshot",
+    "q213_streaming_psi_snapshot",
+    "q214_streaming_kl_snapshot",
+    "q215_top_ngram_mass",
+    "q216_vocab_overlap_matrix",
+    "q217_heaps_vocab_growth",
+    "q218_dedup_survivorship",
+    "q219_split_leakage_audit",
+    "q220_bmp_decode_meta",
+    "q221_embedding_norm_census",
+    "q222_revenue_concentration",
+    "q223_quality_auc",
+    "q224_source_lang_mutual_info",
+    "q225_integrity_audit",
+    "q226_png_decode_meta",
+    "q227_gif_decode_meta",
+    "q228_grouped_ols_regression",
+    "q229_gif_frame_extract",
+    "q230_dp_source_histogram",
+    "q231_copurchase_triangles",
+    "q232_ngram_overlap_scores",
+    "q233_pareto_frontier",
+    "q235_ulaw_decode_meta",
+    "q236_mp4_container_meta",
+    "q237_jpeg_decode_meta",
+    "q238_html_boilerplate_extract",
+    "q239_spearman_correlation",
+    "q240_benford_audit",
+    "q241_retrieval_eval_metrics",
+    "q242_mp3_frame_census",
+    "q243_mixed_media_census",
+    "q244_streaming_dp_snapshot",
+    "q245_bootstrap_mean_ci",
+    "q246_media_embedding_bands",
+    "q247_record_linkage_scores",
+    "q248_mojibake_census",
+    "q249_l_diversity_census",
+    "q250_ab_test_readout",
     # parked round 9 (driver-green in r08): the 50 queries the r08
     # window attested (the 8 q12-q20 returners + the 42 q168-q211
     # first-timers)
@@ -151,15 +205,11 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q165_robust_outlier_stats",
     "q166_pps_token_sample",
     "q167_cusum_changepoint",
-    # parked round 7 (driver-green in r06): the 50 queries the r06
-    # window attested
-    "q01_pricing_summary",
-    "q02_brand_usage_wins",
-    "q09_anti_join_new_keys",
-    "q10_semi_join_kept_keys",
-    "q15_range_join_season",
-    "q22_priority_share",
-    "q24_merge_upsert",
+    # parked round 7 (driver-green in r06): the 43 still-parked
+    # queries of the 50 the r06 window attested (q01/q02/q09/q10/
+    # q15/q22/q24 rotated back in as round-10 returners); these
+    # are now the longest-parked block and return first in
+    # round 11
     "q25_insert_if_absent",
     "q26_cascade_delete",
     "q28_tumbling_window",
@@ -203,32 +253,6 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q118_grouped_correlation",
     "q119_stickiness_dau_wau",
     "q120_quality_tier_budgets",
-    # still parked from round 6 (driver-green in r05): the 23
-    # longest-parked returners after q21-q58 rotated back in
-    # round 9; they return next
-    "q59_last_completed_seasons",
-    "q60_current_plus_seasons",
-    "q65_int8_quantize",
-    "q69_doc_length_deciles",
-    "q71_event_percentiles",
-    "q75_tfidf_top_terms",
-    "q76_winnow_fingerprints",
-    "q77_cluster_centroid_sums",
-    "q79_frame_sample_plan",
-    "q80_per_source_dup_stats",
-    "q81_event_funnel",
-    "q82_rolling_daily_events",
-    "q83_cross_source_leakage",
-    "q84_incremental_neardup",
-    "q103_neardup_index_build",
-    "q104_neardup_probe",
-    "q106_scd2_asof_snapshot",
-    "q107_retention_cohorts",
-    "q108_verbatim_decontamination",
-    "q111_contamination_report",
-    "q112_neardup_dedup_export",
-    "q113_shipping_priority",
-    "q114_local_supplier_volume",
 )
 
 # Newly-added oracled queries queued for their FIRST driver
@@ -240,36 +264,16 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-# Round 9 rotation promoted all 38 round-8 first-timers
-# (q212-q250) into the window along with the 12 longest-parked
-# returners, emptying the queue at round start; the 18 oracled
-# round-9 additions below (q251-q268) queued here as they landed.
-# Round-10 plan: promote all 18 plus the 32 longest-parked
-# returners (the 23 remaining r05-attested names q59-q114 at the
-# tail of GATE_OVERFLOW, then the head of the r06-attested block:
-# q01/q02/q09/q10/q15/q22/q24/q25/q26) to fill the 50 slots.
-GATE_PENDING: tuple[str, ...] = (
-    "q251_mjpeg_mp4_frame_extract",
-    "q252_kruskal_wallis",
-    "q253_mann_whitney_u",
-    "q254_kendall_tau_b",
-    "q255_theil_sen_trend",
-    "q256_t_closeness_audit",
-    "q257_copurchase_clustering",
-    "q258_url_domain_census",
-    "q259_langid_cohens_kappa",
-    "q260_ab_mde_power",
-    "q261_langid_class_prf",
-    "q262_session_incident_overlap",
-    "q263_readability_census",
-    "q264_winsorized_means",
-    "q265_jaccard_threshold_sweep",
-    "q266_durbin_watson",
-    "q267_leadlag_crosscorrelation",
-    "q268_forecast_backtest",
-    "q271_budget_greedy_selection",
-    "q272_dedup_capture_recapture",
-)
+# Round 10 rotation promoted all 20 round-9 first-timers
+# (q251-q268, q271, q272) into the window along with the 30
+# longest-parked returners (the 23 remaining r05-attested names
+# q59-q114 plus q01/q02/q09/q10/q15/q22/q24 from the head of the
+# r06-attested block), emptying the queue at round start. Oracled
+# queries added during round 10 queue here as they land.
+# Round-11 plan: promote all pending first-timers plus enough of
+# the longest-parked returners (the head of the r06-attested
+# block, starting at q25) to fill the 50 slots.
+GATE_PENDING: tuple[str, ...] = ()
 
 
 def _merged() -> dict[str, Builder]:

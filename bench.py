@@ -6,6 +6,13 @@ Each query executes end-to-end into a no-op sink (full compute, no
 driver collect overhead). A warm-up pass primes the JVM/codegen; the
 reported number is the post-warmup run, which is what a resident
 cluster would see.
+
+A pinned calibration aggregate (lineitem group-by — never changes
+with the query surface) is timed at both ends of every sweep; its
+ratio to the previous run's calibration estimates host drift, and
+regression WARNs compare drift-NORMALIZED times (round-9 totals
+swung 209.8→251.4 s with zero code change — raw ratios manufacture
+WARNs a later round must re-litigate).
 """
 
 from __future__ import annotations
@@ -35,6 +42,38 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration_time(spark) -> float:
+    """Fixed host-speed probe (round-9 verdict: totals swung
+    209.8→251.4 s with zero code change, making every per-query WARN
+    ambiguous). A pinned lineitem aggregate — never changes with the
+    query surface; the ratio of this run's probe to the previous
+    run's probe estimates host drift, and WARN ratios are computed
+    on drift-normalized times.
+
+    MEDIAN of 5 runs, not min: the probe is sub-second, and a single
+    lucky run would set a too-fast baseline that inflates every
+    normalized ratio (observed: one 0.147 s outlier among ~0.26 s
+    runs turned raw-1.0× queries into WARNs before this was a
+    median)."""
+    from pyspark.sql import functions as F
+
+    samples = []
+    for _ in range(5):
+        df = (
+            spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.count("*"),
+            )
+        )
+        t0 = time.time()
+        run_query(df)
+        samples.append(time.time() - t0)
+    return round(sorted(samples)[2], 3)
+
+
 def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -48,6 +87,11 @@ def main() -> None:
     # warm-up: JVM + codegen + parquet footer caches
     warm = qs["q01_pricing_summary"](spark, SF_DIR)
     run_query(warm)
+
+    # host-speed probe at both ends of the sweep (the sweep takes
+    # minutes; load can arrive mid-run) — the min is this run's
+    # calibration time
+    calib_pre = _calibration_time(spark)
 
     # three measured runs per query, report the min: steady-state
     # compute time (what a resident cluster sees), not first-run
@@ -73,8 +117,10 @@ def main() -> None:
     # anything that looks ≥1.5× slower gets three fresh runs at the
     # END of the sweep — a different load window. Real regressions
     # survive; contention spikes don't.
-    prev, src = _load_prev()
-    for name in _regressed(times, prev):
+    calib = min(calib_pre, _calibration_time(spark))
+    prev, prev_calib, src = _load_prev()
+    drift = _drift_factor(calib, prev_calib)
+    for name in _regressed(times, prev, drift):
         best = times[name]
         for _ in range(3):
             t0 = time.time()
@@ -83,10 +129,10 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    _warn_regressions(times, prev, src)
-    _append_history(times, total)
-    _write_detail(times, total)
-    print(json.dumps(_compact_report(times, total)))
+    _warn_regressions(times, prev, src, calib, prev_calib)
+    _append_history(times, total, calib)
+    _write_detail(times, total, calib)
+    print(json.dumps(_compact_report(times, total, calib)))
     spark.stop()
 
 
@@ -100,11 +146,13 @@ def main() -> None:
 _LINE_BUDGET = 1800
 
 
-def _compact_report(times: dict[str, float], total: float) -> dict:
+def _compact_report(times: dict[str, float], total: float, calib: float) -> dict:
     report = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "calib_sec": calib,
+        "calib_v": 2,
         "queries": {},
         # placeholder at maximum rendered width so the size check
         # below bounds the FINAL line, not the pre-rollup one
@@ -128,7 +176,7 @@ def _compact_report(times: dict[str, float], total: float) -> dict:
     return report
 
 
-def _write_detail(times: dict[str, float], total: float) -> None:
+def _write_detail(times: dict[str, float], total: float, calib: float) -> None:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "docs",
@@ -143,6 +191,7 @@ def _write_detail(times: dict[str, float], total: float) -> None:
                     "metric": "total_query_wall_seconds",
                     "value": total,
                     "unit": "sec",
+                    "calib_sec": calib,
                     "queries": times,
                     "sf": _sf_from_dir(SF_DIR),
                 },
@@ -159,28 +208,41 @@ _HISTORY = os.path.join(
 )
 
 
-def _append_history(times: dict[str, float], total: float) -> None:
+def _append_history(times: dict[str, float], total: float, calib: float) -> None:
     """Append this run to the local history file (the driver's
     BENCH_r*.json wrapper truncates per-query numbers, so the warner
     keeps its own full record)."""
     try:
         with open(_HISTORY, "a") as f:
             f.write(
-                json.dumps({"sf": _sf_from_dir(SF_DIR), "total": total, "queries": times})
+                json.dumps(
+                    {
+                        "sf": _sf_from_dir(SF_DIR),
+                        "total": total,
+                        # calib_v 2 = median-of-5 probe; v1 (min-of-3)
+                        # records are ignored as normalization
+                        # baselines — a lucky min poisons the ratio
+                        "calib": calib,
+                        "calib_v": 2,
+                        "queries": times,
+                    }
+                )
                 + "\n"
             )
     except OSError:
         pass
 
 
-def _load_prev() -> tuple[dict[str, float], str | None]:
-    """Most recent same-sf per-query record: local history first
-    (the driver's BENCH_r*.json wrapper truncates per-query numbers),
+def _load_prev() -> tuple[dict[str, float], float | None, str | None]:
+    """Most recent same-sf per-query record (+ its calibration time,
+    None for pre-calibration records): local history first (the
+    driver's BENCH_r*.json wrapper truncates per-query numbers),
     else the latest driver file."""
     import glob
     import re
 
     prev: dict[str, float] = {}
+    prev_calib: float | None = None
     src = None
     try:
         with open(_HISTORY) as f:
@@ -188,24 +250,28 @@ def _load_prev() -> tuple[dict[str, float], str | None]:
                 rec = json.loads(line)
                 if rec.get("sf") == _sf_from_dir(SF_DIR) and rec.get("queries"):
                     prev, src = rec["queries"], os.path.basename(_HISTORY)
+                    prev_calib = (
+                        rec.get("calib") if rec.get("calib_v") == 2 else None
+                    )
     except (OSError, ValueError):
         pass
     if prev:
-        return prev, src
+        return prev, prev_calib, src
     benches = sorted(
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if not benches:
-        return {}, None
+        return {}, None, None
     try:
         with open(benches[-1]) as f:
             rec = json.load(f)
         if rec.get("sf") != _sf_from_dir(SF_DIR):
-            return {}, None  # different scale factor — not comparable
-        return rec.get("queries", {}), os.path.basename(benches[-1])
+            return {}, None, None  # different scale factor — not comparable
+        calib = rec.get("calib_sec") if rec.get("calib_v") == 2 else None
+        return rec.get("queries", {}), calib, os.path.basename(benches[-1])
     except (OSError, ValueError):
-        return {}, None
+        return {}, None, None
 
 
 # A regression needs BOTH a ratio and an absolute-seconds delta:
@@ -216,28 +282,57 @@ _WARN_FACTOR = 1.5
 _WARN_MIN_DELTA_SEC = 0.5
 
 
-def _regressed(times: dict[str, float], prev: dict[str, float]) -> list[str]:
+def _drift_factor(calib: float, prev_calib: float | None) -> float:
+    """Host-drift estimate: this run's calibration time over the
+    previous run's, clamped to [1.0, 3.0]. The floor is 1.0 — not
+    symmetric — because normalization exists to EXCUSE a uniformly
+    slow host window, never to manufacture WARNs on a fast one: the
+    probe's own noise (±40% observed on a ~0.25 s aggregate) would
+    otherwise inflate raw-1.0× queries past the warn threshold
+    whenever the probe got lucky. A real regression still fires on
+    its raw ratio. The 3.0 cap keeps a calibration fluke from
+    hiding a huge regression. 1.0 when the previous record predates
+    the calibration protocol."""
+    if not prev_calib or prev_calib <= 0 or not calib:
+        return 1.0
+    return max(1.0, min(3.0, calib / prev_calib))
+
+
+def _regressed(
+    times: dict[str, float], prev: dict[str, float], drift: float = 1.0
+) -> list[str]:
+    """Names whose DRIFT-NORMALIZED time regressed: both the ratio
+    and the absolute delta are computed on t/drift, so a uniformly
+    slow host window (round-9: totals 209.8→251.4 s, zero code
+    change) stops manufacturing WARNs."""
     return sorted(
         name
         for name, t in times.items()
         if (p := prev.get(name))
         and p > 0.05
-        and t > _WARN_FACTOR * p
-        and t - p > _WARN_MIN_DELTA_SEC
+        and t / drift > _WARN_FACTOR * p
+        and t / drift - p > _WARN_MIN_DELTA_SEC
     )
 
 
 def _warn_regressions(
-    times: dict[str, float], prev: dict[str, float], src: str | None
+    times: dict[str, float],
+    prev: dict[str, float],
+    src: str | None,
+    calib: float,
+    prev_calib: float | None,
 ) -> None:
-    """Warn (stderr, never the JSON line) for queries that are still
-    ≥1.5× + ≥0.5 s slower than the last same-sf run AFTER the
-    end-of-sweep re-measure pass."""
-    for name in _regressed(times, prev):
+    """Warn (stderr, never the JSON line) for queries whose
+    drift-normalized time is still ≥1.5× + ≥0.5 s slower than the
+    last same-sf run AFTER the end-of-sweep re-measure pass."""
+    drift = _drift_factor(calib, prev_calib)
+    for name in _regressed(times, prev, drift):
         t, p = times[name], prev[name]
         print(
             f"WARN bench regression {name}: {t:.3f}s vs {p:.3f}s "
-            f"in {src} ({t / p:.2f}x)",
+            f"in {src} ({t / p:.2f}x raw, {t / drift / p:.2f}x "
+            f"drift-normalized; calib {calib:.3f}s vs "
+            f"{prev_calib if prev_calib else float('nan'):.3f}s)",
             file=sys.stderr,
         )
 

@@ -235,11 +235,28 @@ def grouped_doubled_ranks(
     )
 
 
+def _pava_pool(
+    sums: list, cnts: list, ssqs: list, cs: float, cc: int, cq: float
+) -> None:
+    """Push one (sum, count, sum-of-squares) block onto the PAVA
+    stack, pooling while the last block's mean >= the new one's
+    (division-free comparison: s_last*c_new >= s_new*c_last)."""
+    while sums and sums[-1] * cc >= cs * cnts[-1]:
+        cs += sums.pop()
+        cc += cnts.pop()
+        cq += ssqs.pop()
+    sums.append(cs)
+    cnts.append(cc)
+    ssqs.append(cq)
+
+
 def isotonic_fit_stats(
     df: DataFrame,
     group_col: str,
     x_col: str,
     y_col: str,
+    n_chunks: int | None = None,
+    max_batch_rows: int = 5_000_000,
 ) -> DataFrame:
     """Group-wise isotonic regression (pool-adjacent-violators) fit
     census — the standard score-calibration step (Zadrozny & Elkan;
@@ -257,15 +274,44 @@ def isotonic_fit_stats(
     Rows-only posture: pooled block means are float averages (no
     SQL twin); a pure-Python replica test pins the algorithm.
 
-    Scale: shuffles (group, x, y) projections once on the group key;
-    a giant group is the q53/q133 salt hazard — pre-split by x-range
-    and merge adjacent blocks across chunk boundaries (documented,
-    not needed at fixture scale)."""
+    Giant groups (round-9 verdict #5): any Arrow batch larger than
+    ``max_batch_rows`` raises a LOUD ValueError instead of silently
+    OOMing one worker. For groups past that size pass ``n_chunks``:
+    the group pre-splits into global x-range chunks (boundaries from
+    one bounded ``approx_percentile`` collect), each chunk runs PAVA
+    independently, and the resulting (sum, count, sum-of-squares)
+    blocks — typically ≪ rows — merge across chunk boundaries with
+    the SAME stack in one tiny second stage. PAVA pooling is
+    associative over contiguous segments (adjacent violators must
+    pool in any optimal fit), so the chunked fit equals the
+    single-batch fit; MSEs come from exact block moments
+    (Σy² − (Σy)²/c per final block). Equal x values always land in
+    one chunk, so the (x, y) tie order is preserved.
+
+    Scale: shuffles (group, x, y) projections once on (group) or
+    (group, chunk); per-chunk O(n) PAVA; only block aggregates and
+    1-row diagnostics leave the workers."""
     import pandas as pd
+
+    group_type = df.schema[group_col].dataType.simpleString()
+    diag_schema = (
+        f"{group_col} {group_type}, n long, n_blocks long, "
+        "mse_before double, mse_after double"
+    )
+
+    def _guard(n_rows: int, what: str) -> None:
+        if n_rows > max_batch_rows:
+            raise ValueError(
+                f"isotonic_fit_stats: {what} holds {n_rows} rows > "
+                f"max_batch_rows={max_batch_rows}; pass n_chunks to "
+                "pre-split giant groups by x-range (or raise "
+                "max_batch_rows if the workers have the memory)"
+            )
 
     def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        _guard(len(pdf), f"group {pdf[group_col].iloc[0]!r}")
         pdf = pdf.sort_values([x_col, y_col], kind="mergesort")
         y = pdf[y_col].to_numpy(dtype=np.float64)
         n = len(y)
@@ -275,15 +321,9 @@ def isotonic_fit_stats(
         # last block's mean exceeds the new one's
         sums: list[float] = []
         cnts: list[int] = []
+        ssqs: list[float] = []
         for v in y:
-            cs, cc = float(v), 1
-            while sums and sums[-1] * cc >= cs * cnts[-1]:
-                # pooled mean comparison without division:
-                # mean_last >= mean_new  <=>  s_last*c_new >= s_new*c_last
-                cs += sums.pop()
-                cc += cnts.pop()
-            sums.append(cs)
-            cnts.append(cc)
+            _pava_pool(sums, cnts, ssqs, float(v), 1, float(v) * float(v))
         fitted = np.concatenate(
             [np.full(c, s / c) for s, c in zip(sums, cnts)]
         ) if n else np.array([])
@@ -298,15 +338,88 @@ def isotonic_fit_stats(
             }
         )
 
-    out_schema = (
-        f"{group_col} string, n long, n_blocks long, "
-        "mse_before double, mse_after double"
+    proj = df.select(group_col, x_col, y_col)
+    if n_chunks is None or n_chunks <= 1:
+        return proj.groupBy(group_col).applyInPandas(fit, diag_schema)
+
+    # --- chunked scale path ---
+    # Global x-range boundaries: one bounded 1-row collect. Global
+    # (not per-group) boundaries keep the plan free of a
+    # per-group-cardinality collect; chunks stay contiguous in x
+    # within every group, which is all correctness needs.
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    row = proj.select(
+        F.percentile_approx(F.col(x_col), probs).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"] or []))
+    if not bounds:
+        return proj.groupBy(group_col).applyInPandas(fit, diag_schema)
+    chunk_expr = sum(
+        (F.when(F.col(x_col) > F.lit(b), 1).otherwise(0) for b in bounds),
+        F.lit(0),
+    ).alias("__chunk")
+
+    def fit_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _guard(
+            len(pdf),
+            f"group {pdf[group_col].iloc[0]!r} chunk "
+            f"{int(pdf['__chunk'].iloc[0])}",
+        )
+        pdf = pdf.sort_values([x_col, y_col], kind="mergesort")
+        sums: list[float] = []
+        cnts: list[int] = []
+        ssqs: list[float] = []
+        for v in pdf[y_col].to_numpy(dtype="float64"):
+            _pava_pool(sums, cnts, ssqs, float(v), 1, float(v) * float(v))
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                "__chunk": int(pdf["__chunk"].iloc[0]),
+                "__blk": range(len(sums)),
+                "__s": sums,
+                "__c": cnts,
+                "__q": ssqs,
+            }
+        )
+
+    blk_schema = (
+        f"{group_col} {group_type}, __chunk long, __blk long, "
+        "__s double, __c long, __q double"
     )
-    return (
-        df.select(group_col, x_col, y_col)
-        .groupBy(group_col)
-        .applyInPandas(fit, out_schema)
+    blocks = (
+        proj.withColumn("__chunk", chunk_expr)
+        .groupBy(group_col, "__chunk")
+        .applyInPandas(fit_chunk, blk_schema)
     )
+
+    def merge_blocks(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _guard(len(pdf), f"group {pdf[group_col].iloc[0]!r} block set")
+        pdf = pdf.sort_values(["__chunk", "__blk"], kind="mergesort")
+        sums: list[float] = []
+        cnts: list[int] = []
+        ssqs: list[float] = []
+        for s, c, q in zip(pdf["__s"], pdf["__c"], pdf["__q"]):
+            _pava_pool(sums, cnts, ssqs, float(s), int(c), float(q))
+        n = int(sum(cnts))
+        s_tot = sum(sums)
+        q_tot = sum(ssqs)
+        mse_before = (q_tot - s_tot * s_tot / n) / n if n else None
+        # per final block: Σ(y−m)² = Σy² − (Σy)²/c, exact in moments
+        sse_after = sum(
+            q - s * s / c for s, c, q in zip(sums, cnts, ssqs)
+        )
+        mse_after = max(sse_after, 0.0) / n if n else None
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [n],
+                "n_blocks": [len(sums)],
+                "mse_before": [round(max(mse_before, 0.0), 6)],
+                "mse_after": [round(mse_after, 6)],
+            }
+        )
+
+    return blocks.groupBy(group_col).applyInPandas(merge_blocks, diag_schema)
 
 
 def ordered_prefix_sum(

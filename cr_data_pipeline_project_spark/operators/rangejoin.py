@@ -147,6 +147,55 @@ def as_of_join(
     ).drop("__rn")
 
 
+# Upper-bound seconds per calendar bucket (month/year use their
+# longest form — these bound per-row explode cost, they don't need
+# to be exact).
+_BUCKET_SECONDS = {
+    "minute": 60,
+    "hour": 3_600,
+    "day": 86_400,
+    "week": 604_800,
+    "month": 2_678_400,
+    "year": 31_622_400,
+}
+
+
+def _interval_span_stats(
+    left: DataFrame,
+    left_start: str,
+    left_end: str,
+    right: DataFrame,
+    right_start: str,
+    right_end: str,
+) -> dict[str, tuple[int, int, int]]:
+    """Per-side (min, max, p99) interval span in seconds, in ONE
+    Spark job (a tagged union feeding a 2-row aggregate — bounded by
+    contract; both scans are column-pruned to the interval bounds).
+    Sides that produced no rows are absent from the result."""
+
+    def side(df, s, e, tag):
+        span = F.unix_timestamp(F.col(e)) - F.unix_timestamp(F.col(s))
+        return df.select(F.lit(tag).alias("__side"), span.alias("__span"))
+
+    tagged = side(left, left_start, left_end, "L").unionByName(
+        side(right, right_start, right_end, "R")
+    )
+    rows = (
+        tagged.groupBy("__side")
+        .agg(
+            F.min("__span").alias("mn"),
+            F.max("__span").alias("mx"),
+            F.expr("approx_percentile(__span, 0.99)").alias("p99"),
+        )
+        .collect()
+    )
+    return {
+        r["__side"]: (int(r["mn"]), int(r["mx"]), int(r["p99"]))
+        for r in rows
+        if r["mn"] is not None
+    }
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -156,7 +205,9 @@ def interval_overlap_join(
     right_end: str,
     left_keys: list[str],
     right_keys: list[str],
-    bucket: str = "hour",
+    bucket: str = "auto",
+    max_span_buckets: int = 10_000,
+    validate: bool = True,
 ) -> DataFrame:
     """Interval-×-interval OVERLAP join — the missing sibling of the
     point-in-interval join: pairs where
@@ -176,7 +227,76 @@ def interval_overlap_join(
     (pick ``bucket`` ≈ typical interval length); the join is
     hash-partitioned on time, so load spreads over the calendar
     instead of pairing everything with everything. Keys must
-    uniquely identify each side's intervals."""
+    uniquely identify each side's intervals.
+
+    Guards (round-10 hardening):
+
+    - Column names must be disjoint across the two frames — the
+      residual predicate uses unqualified names, and a shared name
+      would either resolve ambiguously or silently compare the
+      wrong side (same contract as :func:`interval_join_bucketed`).
+    - Interval spans are validated up front in ONE bounded Spark
+      job (a tagged union → 2-row aggregate, column-pruned to the
+      four bound columns): an inverted interval (``end < start``,
+      which ``F.sequence`` rejects with a cryptic step error) or an
+      open-ended/runaway interval whose span exceeds
+      ``max_span_buckets`` buckets (which would silently explode
+      the calendar sequence — one incident row left open for a
+      year is 8,760 hour buckets) raises ``ValueError`` naming the
+      offending span. The validation pass costs one extra pruned
+      scan of each input; a caller that has already validated (or
+      derives intervals from a trusted pipeline stage) can pass
+      ``validate=False`` — which then requires an explicit
+      ``bucket``, since 'auto' needs the observed spans.
+    - ``bucket='auto'`` (default) picks the coarsest granularity
+      from the observed p99 span of BOTH sides: the smallest unit
+      whose length covers ~p99/4, so a typical interval explodes
+      into O(1–4) buckets regardless of whether the data is
+      minutes-long sessions or month-long campaigns. Pass an
+      explicit granularity to pin the plan."""
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            "interval_overlap_join needs disjoint column names; "
+            f"shared: {sorted(shared)}"
+        )
+    if not validate and bucket == "auto":
+        raise ValueError(
+            "interval_overlap_join: bucket='auto' needs the span "
+            "stats — pass an explicit bucket with validate=False"
+        )
+    if validate:
+        stats = _interval_span_stats(
+            left, left_start, left_end, right, right_start, right_end
+        )
+        l_mn, l_mx, l_p99 = stats.get("L", (0, 0, 0))
+        r_mn, r_mx, r_p99 = stats.get("R", (0, 0, 0))
+        if l_mn < 0 or r_mn < 0:
+            raise ValueError(
+                "interval_overlap_join: inverted interval (end < start): "
+                f"min left span {l_mn}s, min right span {r_mn}s"
+            )
+        if bucket == "auto":
+            p99 = max(l_p99, r_p99, 1)
+            bucket = next(
+                (b for b, s in _BUCKET_SECONDS.items() if s * 4 >= p99),
+                "year",
+            )
+    if bucket not in _BUCKET_SECONDS:
+        raise ValueError(
+            f"unsupported bucket={bucket!r}; one of "
+            f"{sorted(_BUCKET_SECONDS)} or 'auto'"
+        )
+    if validate:
+        max_span = max(l_mx, r_mx)
+        if max_span > max_span_buckets * _BUCKET_SECONDS[bucket]:
+            raise ValueError(
+                f"interval_overlap_join: max interval span {max_span}s "
+                f"exceeds {max_span_buckets} {bucket} buckets — an "
+                "open-ended interval would explode the calendar "
+                "sequence; close or clamp the interval, pick a coarser "
+                "bucket, or raise max_span_buckets"
+            )
     one = F.expr(f"INTERVAL 1 {bucket.upper()}")
     lb = left.withColumn(
         "__b",

@@ -11436,7 +11436,7 @@ def _capture_recapture_oracle() -> str:
                (sp.doc_a IS NOT NULL)::INT AS in_b
         FROM jp FULL JOIN sp
           ON jp.doc_a = sp.doc_a AND jp.doc_b = sp.doc_b)
-    SELECT SUM(in_a)::BIGINT AS n_minhash,
+    SELECT SUM(in_a)::BIGINT AS n_jaccard,
            SUM(in_b)::BIGINT AS n_simhash,
            SUM(in_a * in_b)::BIGINT AS n_both,
            ROUND(SUM(in_a * in_b)::DOUBLE
@@ -11454,23 +11454,29 @@ def q272_dedup_capture_recapture(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Two-detector dedup coverage audit with a Chapman
-    capture-recapture estimate: run BOTH near-dup detectors — q34's
-    MinHash+LSH at j≥0.7 and q35's SimHash at hamming≤6 — over the
-    same corpus, count each pair set, their overlap, the pair-set
-    Jaccard, and the Chapman estimator
+    capture-recapture estimate: run BOTH near-dup detectors — the
+    q33 n-gram Jaccard at j≥0.7 and q35's SimHash at hamming≤6 —
+    over the same corpus, count each pair set, their overlap, the
+    pair-set Jaccard, and the Chapman estimator
     (n1+1)(n2+1)/(m+1) − 1 of the total near-dup pair population —
     the dedup-QA trick for sizing what BOTH detectors miss (with the
     standard caveat, stated in the docstring a consumer reads: the
     estimator assumes independent detectors, and these two are
     positively correlated, so it UNDERESTIMATES — still the standard
-    lower-bound sanity number). Exactness: both pair sets are the
-    already-oracled exact kernels; counts are BIGINT; the estimate
-    and set-jaccard are one IEEE chain each. Scale: the two
-    detectors share the shingle projection; the overlap is a
+    lower-bound sanity number). Detector A is the EXACT Jaccard
+    kernel, not the MinHash+LSH path (ADVICE r9): the query is a
+    coverage audit, so its oracle parity must not ride on LSH
+    banding recall (≈1−4e−10 at j=0.7 on today's fixture, but a
+    fixture regeneration could plant a banding miss that fails
+    parity confusingly — q34 is where the LSH path itself is
+    attested against the same exact oracle). Exactness: both pair
+    sets are the already-oracled exact kernels; counts are BIGINT;
+    the estimate and set-jaccard are one IEEE chain each. Scale: the
+    two detectors share the shingle projection; the overlap is a
     pair-key full join of two already-small pair sets."""
     docs = table(spark, "documents", sf_dir)
-    a = dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", n=5, num_hashes=64, bands=32, threshold=0.7
+    a = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.7
     ).select("doc_a", "doc_b", F.lit(1).alias("in_a"))
     b = dedup.simhash_pairs(
         docs, "text", "doc_id", n=5, max_hamming=6
@@ -11483,13 +11489,13 @@ def q272_dedup_capture_recapture(
     n2 = F.sum("in_b").cast("long")
     m = F.sum(F.col("in_a") * F.col("in_b")).cast("long")
     agg = u.agg(
-        n1.alias("n_minhash"), n2.alias("n_simhash"), m.alias("n_both")
+        n1.alias("n_jaccard"), n2.alias("n_simhash"), m.alias("n_both")
     )
-    n1d = F.col("n_minhash").cast("double")
+    n1d = F.col("n_jaccard").cast("double")
     n2d = F.col("n_simhash").cast("double")
     md = F.col("n_both").cast("double")
     return agg.select(
-        "n_minhash",
+        "n_jaccard",
         "n_simhash",
         "n_both",
         F.round(md / (n1d + n2d - md), 4).alias("set_jaccard"),

@@ -1,0 +1,62 @@
+"""Unit tests for bench.py's drift-normalized regression warner
+(pure functions — no Spark session).
+
+Round-9 verdict: bench totals swung 209.8→251.4 s with zero code
+change, so raw per-query ratios manufacture WARNs. The calibration
+protocol divides this run's times by (calib_now / calib_prev) before
+applying the 1.5× + 0.5 s thresholds.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "bench",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+)
+bench = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(bench)
+
+
+def test_drift_factor_basics():
+    assert bench._drift_factor(0.30, 0.30) == 1.0
+    assert bench._drift_factor(0.60, 0.30) == 2.0
+    # pre-calibration history records (no calib) → no normalization
+    assert bench._drift_factor(0.30, None) == 1.0
+    assert bench._drift_factor(0.0, 0.30) == 1.0
+    # cap: a calibration fluke can't hide a huge regression
+    assert bench._drift_factor(3.0, 0.30) == 3.0
+    # floor at 1.0: a lucky (fast) probe must never INFLATE
+    # normalized ratios — observed live: a 0.147 s probe outlier vs
+    # a 0.261 s baseline turned raw-1.00× queries into WARNs
+    assert bench._drift_factor(0.147, 0.261) == 1.0
+    assert bench._drift_factor(0.01, 0.30) == 1.0
+
+
+def test_uniform_host_slowdown_produces_no_warns():
+    """A 1.7× uniformly slower host window (the round-9 failure
+    mode) must not WARN once drift-normalized."""
+    prev = {"qA": 1.0, "qB": 2.0, "qC": 0.4}
+    times = {n: t * 1.7 for n, t in prev.items()}
+    drift = bench._drift_factor(0.51, 0.30)  # 1.7
+    assert bench._regressed(times, prev, drift) == []
+    # ...while the raw (drift=1.0) comparison would have warned
+    assert bench._regressed(times, prev, 1.0) == ["qA", "qB"]
+
+
+def test_real_regression_survives_normalization():
+    """A genuine 3× regression on a stable host still warns, even
+    when the calibration says the host is 1.3× slower."""
+    prev = {"qA": 1.0, "qB": 2.0}
+    times = {"qA": 3.0, "qB": 2.1}
+    drift = bench._drift_factor(0.39, 0.30)  # 1.3
+    assert bench._regressed(times, prev, drift) == ["qA"]
+
+
+def test_thresholds_still_apply():
+    # sub-threshold absolute delta never warns regardless of ratio
+    assert bench._regressed({"q": 0.3}, {"q": 0.1}, 1.0) == []
+    # tiny previous times (<=0.05s) are noise, never a baseline
+    assert bench._regressed({"q": 5.0}, {"q": 0.04}, 1.0) == []

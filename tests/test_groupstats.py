@@ -205,3 +205,141 @@ def test_ordered_prefix_sum_matches_global_window(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_isotonic_chunked_matches_single_batch(spark):
+    """The chunked (x-range pre-split + block merge) path must equal
+    the single-batch fit: PAVA pooling is associative over
+    contiguous segments. Exact on n/n_blocks; MSEs agree to float
+    tolerance (block moments vs numpy residuals)."""
+    import random
+
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    rng = random.Random(1010)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(2000):
+            x = rng.random()
+            # noisy monotone-ish signal with plateaus and reversals
+            y = x + rng.choice((-0.4, -0.1, 0.0, 0.1, 0.4))
+            rows.append((g, round(x, 6), round(y, 6)))
+    # adversarial: strictly DECREASING group — every row pools into
+    # one block globally, but each chunk emits its own single block
+    rows += [("dec", i / 100.0, 1.0 - i / 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+
+    single = {r.g: r for r in isotonic_fit_stats(df, "g", "x", "y").collect()}
+    for k in (2, 7):
+        chunked = {
+            r.g: r
+            for r in isotonic_fit_stats(df, "g", "x", "y", n_chunks=k).collect()
+        }
+        assert set(chunked) == set(single)
+        for g, r in chunked.items():
+            s = single[g]
+            assert (r.n, r.n_blocks) == (s.n, s.n_blocks), (g, k)
+            assert r.mse_before == pytest.approx(s.mse_before, abs=2e-6)
+            assert r.mse_after == pytest.approx(s.mse_after, abs=2e-6)
+    assert single["dec"].n_blocks == 1
+
+
+def test_isotonic_giant_batch_guard_is_loud(spark):
+    """A group bigger than max_batch_rows fails LOUDLY (round-9
+    verdict #5: never silently OOM one worker) — and the same data
+    fits fine once n_chunks splits it."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i / 500.0, float(i % 7)) for i in range(500)],
+        "g string, x double, y double",
+    )
+    with pytest.raises(PythonException, match="max_batch_rows"):
+        isotonic_fit_stats(df, "g", "x", "y", max_batch_rows=100).collect()
+    ok = isotonic_fit_stats(
+        df, "g", "x", "y", n_chunks=8, max_batch_rows=200
+    ).collect()
+    assert ok[0].n == 500
+
+
+def test_isotonic_nonstring_group_key(spark):
+    """Output schema derives the group column's real type (ADVICE
+    r9): an int-keyed group round-trips as int."""
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 0.1, 0.0), (7, 0.2, 1.0), (8, 0.1, 1.0), (8, 0.2, 0.0)],
+        "g int, x double, y double",
+    )
+    out = isotonic_fit_stats(df, "g", "x", "y")
+    assert dict(out.dtypes)["g"] == "int"
+    got = {r.g: r for r in out.collect()}
+    assert got[7].n_blocks == 2 and got[8].n_blocks == 1
+
+
+def test_isotonic_chunked_property(spark):
+    """Hypothesis-style randomized sweep (seeded loop — one Spark
+    session, many small cases beats @given re-entering Spark): for
+    random (x, y) data with ties, duplicates, plateaus and random
+    chunk counts, the chunked fit must equal the single-batch fit
+    exactly on (n, n_blocks) and to float tolerance on MSEs, and
+    both must equal the pure-Python stack replica."""
+    import random
+
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    rng = random.Random(2718)
+
+    def replica(pairs):
+        pairs = sorted(pairs)
+        ys = [float(y) for _, y in pairs]
+        sums, cnts = [], []
+        for v in ys:
+            cs, cc = v, 1
+            while sums and sums[-1] * cc >= cs * cnts[-1]:
+                cs += sums.pop()
+                cc += cnts.pop()
+            sums.append(cs)
+            cnts.append(cc)
+        fitted = [s / c for s, c in zip(sums, cnts) for _ in range(c)]
+        mean = sum(ys) / len(ys)
+        before = sum((v - mean) ** 2 for v in ys) / len(ys)
+        after = sum((v - f) ** 2 for v, f in zip(ys, fitted)) / len(ys)
+        return len(ys), len(sums), before, after
+
+    for case in range(6):
+        n = rng.randint(5, 400)
+        # coarse grids force x-ties and y-plateaus (the PAVA edge
+        # cases); occasional wide y forces deep pooling
+        xg = rng.choice((5, 17, 1000))
+        yg = rng.choice((2, 3, 100))
+        rows = [
+            (f"g{case}", rng.randint(0, xg) / xg, float(rng.randint(0, yg)))
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        want = replica([(x, y) for _, x, y in rows])
+        single = isotonic_fit_stats(df, "g", "x", "y").collect()[0]
+        assert (single.n, single.n_blocks) == want[:2], case
+        assert single.mse_before == pytest.approx(want[2], abs=2e-6)
+        assert single.mse_after == pytest.approx(want[3], abs=2e-6)
+        k = rng.choice((2, 3, 5, 11))
+        chunked = isotonic_fit_stats(df, "g", "x", "y", n_chunks=k).collect()[0]
+        assert (chunked.n, chunked.n_blocks) == want[:2], (case, k)
+        assert chunked.mse_before == pytest.approx(want[2], abs=2e-6)
+        assert chunked.mse_after == pytest.approx(want[3], abs=2e-6)

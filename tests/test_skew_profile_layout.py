@@ -205,3 +205,124 @@ def test_interval_overlap_join_bounds_and_buckets(spark):
         ).collect()
     )
     assert got == naive
+
+
+def test_interval_overlap_join_guards(spark):
+    """Round-10 hardening: shared column names, inverted intervals,
+    and runaway (open-ended) spans all raise loud ValueErrors
+    instead of failing ambiguously or silently exploding the
+    calendar sequence; bucket='auto' picks a granularity from the
+    observed p99 span and still matches the naive non-equi join."""
+    import datetime as dt
+
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 7, 0), d(2024, 1, 1, 8, 0)),
+            (2, d(2024, 1, 1, 9, 30), d(2024, 1, 1, 12, 15)),
+        ],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w1", d(2024, 1, 1, 8, 0), d(2024, 1, 1, 10, 0))],
+        "rid string, rs timestamp, re timestamp",
+    )
+
+    # shared column name → loud, not an ambiguous-reference error
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(
+            left, right.withColumnRenamed("rid", "lid"),
+            "ls", "le", "rs", "re", left_keys=["lid"], right_keys=["lid"],
+        )
+
+    # inverted interval (end < start) → loud, not a cryptic
+    # F.sequence step error
+    inverted = spark.createDataFrame(
+        [(9, d(2024, 1, 1, 12, 0), d(2024, 1, 1, 7, 0))],
+        "lid int, ls timestamp, le timestamp",
+    )
+    with pytest.raises(ValueError, match="inverted"):
+        interval_overlap_join(
+            inverted, right, "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], bucket="hour",
+        )
+
+    # one pathological open-ended interval (a year-long "incident")
+    # at hour buckets → 8,760-bucket calendar explosion refused
+    open_ended = spark.createDataFrame(
+        [(7, d(2024, 1, 1, 0, 0), d(2025, 1, 1, 0, 0))],
+        "lid int, ls timestamp, le timestamp",
+    )
+    with pytest.raises(ValueError, match="span"):
+        interval_overlap_join(
+            open_ended, right, "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], bucket="hour",
+            max_span_buckets=1000,
+        )
+    # ...but a coarser bucket bounds the same data fine, and
+    # 'auto' picks one that matches the naive join
+    from pyspark.sql import functions as F
+
+    both = left.unionByName(open_ended)
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            both, right, "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], bucket="auto",
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in both.join(
+            right,
+            (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+        ).collect()
+    )
+    assert got == naive
+
+    # unknown bucket name → loud
+    with pytest.raises(ValueError, match="unsupported bucket"):
+        interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], bucket="fortnight",
+        )
+
+
+def test_interval_overlap_join_validate_opt_out(spark):
+    """validate=False skips the span-stats job but then requires an
+    explicit bucket (auto needs the observed spans); results match
+    the validated path."""
+    import datetime as dt
+
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 7, 0), d(2024, 1, 1, 8, 0))],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w1", d(2024, 1, 1, 8, 0), d(2024, 1, 1, 10, 0))],
+        "rid string, rs timestamp, re timestamp",
+    )
+    with pytest.raises(ValueError, match="explicit bucket"):
+        interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], validate=False,
+        )
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re",
+        left_keys=["lid"], right_keys=["rid"],
+        bucket="hour", validate=False,
+    ).collect()
+    assert [(r.lid, r.rid) for r in got] == [(1, "w1")]

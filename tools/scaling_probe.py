@@ -319,6 +319,17 @@ PROBES = [
     # scaling exponent. Block size is bounded by nation x balance
     # band; the pair count scales with dim size squared over block
     # count, a deployment-sizing knob, not a corpus-size one.
+    # round-10 additions: the two round-9 entries the ≥1 s rule
+    # missed (q272 also changed kernels this round — detector A is
+    # now the exact jaccard pair set), plus the two new operator
+    # families where a complexity regression would hide: the
+    # bucketed interval-overlap join (a calendar-explosion bug is
+    # exactly a scaling bug) and the chunked-PAVA applyInPandas
+    # path.
+    "q272_dedup_capture_recapture",
+    "q259_langid_cohens_kappa",
+    "q262_session_incident_overlap",
+    "q270_isotonic_calibration",
 ]
 
 

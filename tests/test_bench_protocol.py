@@ -60,3 +60,23 @@ def test_thresholds_still_apply():
     assert bench._regressed({"q": 0.3}, {"q": 0.1}, 1.0) == []
     # tiny previous times (<=0.05s) are noise, never a baseline
     assert bench._regressed({"q": 5.0}, {"q": 0.04}, 1.0) == []
+
+
+def test_compact_report_carries_calibration_and_fits_budget():
+    """The driver json-parses the final stdout line and keeps only
+    its tail — the report must carry the calibration fields (the
+    next round's normalization baseline) and stay inside the
+    line budget with the slowest queries first."""
+    import json
+
+    times = {f"q{i:03d}_x": round(0.1 + (i % 37) / 10, 3) for i in range(272)}
+    total = round(sum(times.values()), 3)
+    rep = bench._compact_report(times, total, calib=0.251)
+    line = json.dumps(rep)
+    assert len(line) <= bench._LINE_BUDGET + 200
+    assert rep["calib_sec"] == 0.251 and rep["calib_v"] == 2
+    assert rep["value"] == total
+    # slowest-first: every kept query is >= every omitted one
+    kept = list(rep["queries"].values())
+    assert kept == sorted(kept, reverse=True)
+    assert rep["omitted"]["n"] + len(kept) == len(times)

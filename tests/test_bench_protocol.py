@@ -80,3 +80,20 @@ def test_compact_report_carries_calibration_and_fits_budget():
     kept = list(rep["queries"].values())
     assert kept == sorted(kept, reverse=True)
     assert rep["omitted"]["n"] + len(kept) == len(times)
+
+
+def test_contamination_note_fires_on_window_pattern():
+    """Many queries regressing together + flat unflagged median =
+    the round-10 contention-window pattern → note emitted; a broad
+    REAL regression (unflagged median elevated too) stays silent."""
+    prev = {f"q{i}": 1.0 for i in range(40)}
+    # window pattern: 10 flagged at 3x, the other 30 flat
+    times = {f"q{i}": (3.0 if i < 10 else 0.95) for i in range(40)}
+    flagged = [f"q{i}" for i in range(10)]
+    note = bench._contamination_note(times, prev, flagged)
+    assert note and "contention window" in note
+    # too few flagged → no note
+    assert bench._contamination_note(times, prev, flagged[:3]) is None
+    # broad real regression: unflagged rest is ALSO 1.3x → no note
+    times_broad = {f"q{i}": (3.0 if i < 10 else 1.3) for i in range(40)}
+    assert bench._contamination_note(times_broad, prev, flagged) is None

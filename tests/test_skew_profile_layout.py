@@ -326,3 +326,60 @@ def test_interval_overlap_join_validate_opt_out(spark):
         bucket="hour", validate=False,
     ).collect()
     assert [(r.lid, r.rid) for r in got] == [(1, "w1")]
+
+
+def test_interval_overlap_join_random_granularity_sweep(spark):
+    """Seeded randomized sweep across bucket granularities: random
+    interval sets (seconds-long to days-long, touching endpoints,
+    containment, zero-length points) must match the naive non-equi
+    join at EVERY granularity coarse enough for the span guard —
+    a bucket-boundary bug (truncation vs sequence step mismatch)
+    shows up as a missing or duplicated pair at exactly one
+    granularity."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(262)
+    base = dt.datetime(2024, 3, 1)
+
+    def intervals(n, max_span_s):
+        out = []
+        for i in range(n):
+            start = base + dt.timedelta(seconds=rng.randrange(14 * 86400))
+            span = rng.choice(
+                (0, 1, 59, 60, 3599, 3600, rng.randrange(max_span_s + 1))
+            )
+            out.append((i, start, start + dt.timedelta(seconds=span)))
+        return out
+
+    left = spark.createDataFrame(
+        intervals(60, 6 * 3600), "lid int, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        [(f"r{i}", s, e) for i, s, e in intervals(25, 2 * 86400)],
+        "rid string, rs timestamp, re timestamp",
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+        ).collect()
+    )
+    assert naive  # the fixture must actually overlap
+    for bucket in ("minute", "hour", "day", "week", "auto"):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re",
+                left_keys=["lid"], right_keys=["rid"],
+                bucket=bucket, max_span_buckets=10_000,
+            ).collect()
+        )
+        assert got == naive, bucket

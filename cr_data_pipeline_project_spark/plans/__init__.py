@@ -34,19 +34,72 @@ GATE_SLOTS = 50
 # Oracled queries deliberately registered past the gate window.
 # With more oracled queries than slots this set is ROTATED each
 # round, so every query gets a driver-green attestation on a fixed
-# cadence (roughly every fifth round now that 223 oracled queries
-# share 50 slots). Round 10: the 20 GATE_PENDING first-timers
-# (q251-q268/q271/q272 oracled round-9 additions, never
-# driver-attested) take the window along with the 30
-# longest-parked returners — the 23 remaining r05-attested names
-# (q59…q114, parked since round 6) plus the head of the
-# r06-attested block (q01/q02/q09/q10/q15/q22/q24). Everything
-# else parks here: the 50 queries the r09 window attested, the 50
-# r08-attested ones, the 50 r07-attested ones, and the 43
-# remaining r06-attested ones. All parked queries stay covered
+# cadence (roughly every fifth round now that 243 oracled queries
+# share 50 slots — that count is asserted against the real surface
+# by tests/test_gate_window.py::test_cadence_comment_count, so it
+# can no longer drift). Round 11: no first-timers are pending, so
+# the window is pure returners — the whole 43-name r06-attested
+# block (q25…q120, the longest-parked) plus the 7-name head of the
+# next-oldest (r07-attested) block (q03-q08, q11). Everything else
+# parks here: the 50 queries the r10 window attested, the 50
+# r09-attested ones, the 50 r08-attested ones, and the 43
+# remaining r07-attested ones. All parked queries stay covered
 # every round by tests/test_oracle_parity.py and
 # tools/check_oracle.py, which run the FULL surface.
 GATE_OVERFLOW: tuple[str, ...] = (
+    # parked round 11 (driver-green in r10): the 50 queries the
+    # r10 window attested (the 20 q251-q272 first-timers + the 30
+    # q01-q114 returners)
+    "q01_pricing_summary",
+    "q02_brand_usage_wins",
+    "q09_anti_join_new_keys",
+    "q10_semi_join_kept_keys",
+    "q15_range_join_season",
+    "q22_priority_share",
+    "q24_merge_upsert",
+    "q59_last_completed_seasons",
+    "q60_current_plus_seasons",
+    "q113_shipping_priority",
+    "q114_local_supplier_volume",
+    "q65_int8_quantize",
+    "q69_doc_length_deciles",
+    "q71_event_percentiles",
+    "q75_tfidf_top_terms",
+    "q76_winnow_fingerprints",
+    "q77_cluster_centroid_sums",
+    "q79_frame_sample_plan",
+    "q80_per_source_dup_stats",
+    "q81_event_funnel",
+    "q82_rolling_daily_events",
+    "q83_cross_source_leakage",
+    "q84_incremental_neardup",
+    "q103_neardup_index_build",
+    "q104_neardup_probe",
+    "q106_scd2_asof_snapshot",
+    "q107_retention_cohorts",
+    "q108_verbatim_decontamination",
+    "q111_contamination_report",
+    "q112_neardup_dedup_export",
+    "q251_mjpeg_mp4_frame_extract",
+    "q252_kruskal_wallis",
+    "q253_mann_whitney_u",
+    "q254_kendall_tau_b",
+    "q255_theil_sen_trend",
+    "q256_t_closeness_audit",
+    "q257_copurchase_clustering",
+    "q258_url_domain_census",
+    "q259_langid_cohens_kappa",
+    "q260_ab_mde_power",
+    "q261_langid_class_prf",
+    "q262_session_incident_overlap",
+    "q263_readability_census",
+    "q264_winsorized_means",
+    "q265_jaccard_threshold_sweep",
+    "q266_durbin_watson",
+    "q267_leadlag_crosscorrelation",
+    "q268_forecast_backtest",
+    "q271_budget_greedy_selection",
+    "q272_dedup_capture_recapture",
     # parked round 10 (driver-green in r09): the 50 queries the
     # r09 window attested (the 12 q21-q58 returners + the 38
     # q212-q250 first-timers)
@@ -153,15 +206,11 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q209_chisq_source_lang",
     "q210_effective_tokens_per_source",
     "q211_rfm_segmentation",
-    # parked round 8 (driver-green in r07): the 50 queries the r07
-    # window attested
-    "q03_player_win_rate",
-    "q04_recent_rankings_top100",
-    "q05_player_clan_view",
-    "q06_distinct_single",
-    "q07_dedup_by_key",
-    "q08_dedup_composite_count",
-    "q11_union_dedup",
+    # parked round 8 (driver-green in r07): the 43 still-parked
+    # queries of the 50 the r07 window attested (q03-q08/q11
+    # rotated back in as round-11 returners to top up the window
+    # past the 43-name r06-attested block); these are now the
+    # longest-parked block and return first in round 12
     "q97_adaptive_length_gate",
     "q98_shard_manifest",
     "q99_ppm_decode_meta",
@@ -205,54 +254,6 @@ GATE_OVERFLOW: tuple[str, ...] = (
     "q165_robust_outlier_stats",
     "q166_pps_token_sample",
     "q167_cusum_changepoint",
-    # parked round 7 (driver-green in r06): the 43 still-parked
-    # queries of the 50 the r06 window attested (q01/q02/q09/q10/
-    # q15/q22/q24 rotated back in as round-10 returners); these
-    # are now the longest-parked block and return first in
-    # round 11
-    "q25_insert_if_absent",
-    "q26_cascade_delete",
-    "q28_tumbling_window",
-    "q29_sessionization",
-    "q31_dedup_exact_groups",
-    "q32_dedup_fingerprint_keep",
-    "q33_ngram_jaccard_pairs",
-    "q34_minhash_lsh_pairs",
-    "q35_simhash_pairs",
-    "q37_embedding_neardup",
-    "q38_text_quality",
-    "q39_lang_id",
-    "q40_token_count",
-    "q41_fingerprint",
-    "q43_multimodal_meta",
-    "q45_nested_flatten",
-    "q52_hash_split",
-    "q53_group_zscore",
-    "q55_curation_pipeline",
-    "q57_dataset_mixing",
-    "q61_repetition_ratio",
-    "q62_pii_redaction",
-    "q63_stratified_sample",
-    "q64_sequence_packing",
-    "q66_dedup_clusters",
-    "q67_event_pivot",
-    "q68_audience_setops",
-    "q70_term_doc_freq",
-    "q86_bloom_prefilter_gate",
-    "q87_chunk_dedup",
-    "q88_ngram_decontamination",
-    "q89_scd2_intervals",
-    "q90_stratified_sample_scale",
-    "q92_cluster_representatives",
-    "q93_decontaminated_export",
-    "q94_wav_decode_meta",
-    "q95_state_at_event",
-    "q96_snapshot_diff",
-    "q116_windowed_heavy_hitters",
-    "q117_embedding_standardize",
-    "q118_grouped_correlation",
-    "q119_stickiness_dau_wau",
-    "q120_quality_tier_budgets",
 )
 
 # Newly-added oracled queries queued for their FIRST driver
@@ -264,15 +265,13 @@ GATE_OVERFLOW: tuple[str, ...] = (
 # overflow names must carry a PAST driver-green row, pending names
 # must carry NONE (both machine-checked in test_gate_window.py — a
 # query with a driver row hiding here would dodge re-attestation).
-# Round 10 rotation promoted all 20 round-9 first-timers
-# (q251-q268, q271, q272) into the window along with the 30
-# longest-parked returners (the 23 remaining r05-attested names
-# q59-q114 plus q01/q02/q09/q10/q15/q22/q24 from the head of the
-# r06-attested block), emptying the queue at round start. Oracled
-# queries added during round 10 queue here as they land.
-# Round-11 plan: promote all pending first-timers plus enough of
-# the longest-parked returners (the head of the r06-attested
-# block, starting at q25) to fill the 50 slots.
+# Round 11 had no pending first-timers (round 10 added zero new
+# queries by design), so the rotation is pure returners: the whole
+# 43-name r06-attested block plus the 7-name head of the
+# r07-attested block. Oracled queries added during round 11 queue
+# here as they land. Round-12 plan: promote all pending
+# first-timers plus the longest-parked returners (the remaining
+# r07-attested block, starting at q97) to fill the 50 slots.
 GATE_PENDING: tuple[str, ...] = ()
 
 

@@ -101,6 +101,32 @@ def test_pending_queries_never_driver_attested():
     )
 
 
+def test_cadence_comment_count():
+    """The rotation-cadence comment in plans/__init__.py states the
+    oracled-query count in prose ("… N oracled queries share 50
+    slots"). That number drifted three rounds in a row (r8-r10
+    ADVICE), so parse it out of the source and assert it against the
+    real surface: len(GATE_OVERFLOW) + GATE_SLOTS must equal the
+    total oracled count, and the prose number must match both."""
+    import cr_data_pipeline_project_spark.plans as plansmod
+
+    src_path = plansmod.__file__
+    with open(src_path) as f:
+        src = f.read()
+    m = re.search(r"(\d+) oracled queries\s*#?\s*\n?#? ?share", src)
+    assert m, "cadence comment ('N oracled queries share …') missing"
+    stated = int(m.group(1))
+    oracled = len(plansmod.all_oracles())
+    assert stated == oracled, (
+        f"plans/__init__.py cadence comment says {stated} oracled "
+        f"queries but the surface has {oracled} — update the comment"
+    )
+    assert len(GATE_OVERFLOW) + len(GATE_PENDING) + GATE_SLOTS == oracled, (
+        f"window arithmetic drifted: {len(GATE_OVERFLOW)} parked + "
+        f"{len(GATE_PENDING)} pending + {GATE_SLOTS} slots != {oracled}"
+    )
+
+
 def test_pending_registered_right_after_window():
     """Pending queries sit immediately after the gate window (so the
     next rotation naturally pulls them in) and are all oracled."""

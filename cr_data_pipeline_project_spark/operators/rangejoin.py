@@ -167,11 +167,15 @@ def _interval_span_stats(
     right: DataFrame,
     right_start: str,
     right_end: str,
-) -> dict[str, tuple[int, int, int]]:
-    """Per-side (min, max, p99) interval span in seconds, in ONE
-    Spark job (a tagged union feeding a 2-row aggregate — bounded by
-    contract; both scans are column-pruned to the interval bounds).
-    Sides that produced no rows are absent from the result."""
+) -> dict[str, tuple[int, int, int, int]]:
+    """Per-side (min, max, p99, null_bound_rows) interval span in
+    seconds, in ONE Spark job (a tagged union feeding a 2-row
+    aggregate — bounded by contract; both scans are column-pruned to
+    the interval bounds). A NULL start or end makes ``__span`` null —
+    min/max/percentile skip it, so it is counted separately (round-10
+    ADVICE: such rows would otherwise pass validation and then be
+    silently dropped by the null ``F.sequence``). Sides that produced
+    no rows are absent from the result."""
 
     def side(df, s, e, tag):
         span = F.unix_timestamp(F.col(e)) - F.unix_timestamp(F.col(s))
@@ -186,13 +190,18 @@ def _interval_span_stats(
             F.min("__span").alias("mn"),
             F.max("__span").alias("mx"),
             F.expr("approx_percentile(__span, 0.99)").alias("p99"),
+            F.count_if(F.col("__span").isNull()).alias("nulls"),
         )
         .collect()
     )
     return {
-        r["__side"]: (int(r["mn"]), int(r["mx"]), int(r["p99"]))
+        r["__side"]: (
+            int(r["mn"]) if r["mn"] is not None else 0,
+            int(r["mx"]) if r["mx"] is not None else 0,
+            int(r["p99"]) if r["p99"] is not None else 0,
+            int(r["nulls"]),
+        )
         for r in rows
-        if r["mn"] is not None
     }
 
 
@@ -243,9 +252,15 @@ def interval_overlap_join(
       ``max_span_buckets`` buckets (which would silently explode
       the calendar sequence — one incident row left open for a
       year is 8,760 hour buckets) raises ``ValueError`` naming the
-      offending span. The validation pass costs one extra pruned
-      scan of each input; a caller that has already validated (or
-      derives intervals from a trusted pipeline stage) can pass
+      offending span. Rows with NULL bounds also fail validation
+      (they are counted in the same aggregate): a null
+      ``F.sequence`` would otherwise DROP them from the join with
+      no signal. The validation pass runs EAGERLY at plan-build
+      time (one extra pruned Spark job per call, even if the
+      returned plan is never executed) — that is the point: bad
+      intervals fail at the call site, not deep inside a later
+      action. A caller that has already validated (or derives
+      intervals from a trusted pipeline stage) can pass
       ``validate=False`` — which then requires an explicit
       ``bucket``, since 'auto' needs the observed spans.
     - ``bucket='auto'`` (default) picks the coarsest granularity
@@ -269,8 +284,16 @@ def interval_overlap_join(
         stats = _interval_span_stats(
             left, left_start, left_end, right, right_start, right_end
         )
-        l_mn, l_mx, l_p99 = stats.get("L", (0, 0, 0))
-        r_mn, r_mx, r_p99 = stats.get("R", (0, 0, 0))
+        l_mn, l_mx, l_p99, l_nulls = stats.get("L", (0, 0, 0, 0))
+        r_mn, r_mx, r_p99, r_nulls = stats.get("R", (0, 0, 0, 0))
+        if l_nulls or r_nulls:
+            raise ValueError(
+                "interval_overlap_join: rows with NULL interval "
+                f"bounds ({l_nulls} left, {r_nulls} right) — a null "
+                "F.sequence would silently DROP them from the join; "
+                "filter or repair the bounds upstream (round-10 "
+                "ADVICE: null bounds must never pass validation)"
+            )
         if l_mn < 0 or r_mn < 0:
             raise ValueError(
                 "interval_overlap_join: inverted interval (end < start): "

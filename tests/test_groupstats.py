@@ -249,8 +249,9 @@ def test_isotonic_chunked_matches_single_batch(spark):
 
 
 def test_isotonic_giant_batch_guard_is_loud(spark):
-    """A group bigger than max_batch_rows fails LOUDLY (round-9
-    verdict #5: never silently OOM one worker) — and the same data
+    """With auto_chunk off, a group bigger than max_batch_rows fails
+    LOUDLY (round-9 verdict #5: never silently OOM one worker) and
+    the error carries a usable n_chunks hint — and the same data
     fits fine once n_chunks splits it."""
     import pytest
     from pyspark.errors.exceptions.captured import PythonException
@@ -263,12 +264,110 @@ def test_isotonic_giant_batch_guard_is_loud(spark):
         [("g", i / 500.0, float(i % 7)) for i in range(500)],
         "g string, x double, y double",
     )
-    with pytest.raises(PythonException, match="max_batch_rows"):
-        isotonic_fit_stats(df, "g", "x", "y", max_batch_rows=100).collect()
+    with pytest.raises(PythonException, match=r"n_chunks=10"):
+        isotonic_fit_stats(
+            df, "g", "x", "y", max_batch_rows=100, auto_chunk=False
+        ).collect()
     ok = isotonic_fit_stats(
         df, "g", "x", "y", n_chunks=8, max_batch_rows=200
     ).collect()
     assert ok[0].n == 500
+
+
+def test_isotonic_auto_chunk_self_heals(spark):
+    """Round-10 verdict #3: an over-limit group must succeed WITHOUT
+    the caller passing n_chunks — the default auto_chunk pre-pass
+    derives it from the largest group's row count, and the result
+    equals the unconstrained single-batch fit."""
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    import random
+
+    rng = random.Random(1102)
+    rows = [
+        ("big", rng.random(), rng.random()) for _ in range(900)
+    ] + [("small", i / 10.0, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    want = {
+        r.g: r for r in isotonic_fit_stats(df, "g", "x", "y").collect()
+    }
+    healed = {
+        r.g: r
+        for r in isotonic_fit_stats(
+            df, "g", "x", "y", max_batch_rows=200
+        ).collect()
+    }
+    assert set(healed) == {"big", "small"}
+    for g, r in healed.items():
+        s = want[g]
+        assert (r.n, r.n_blocks) == (s.n, s.n_blocks), g
+        assert r.mse_before == pytest.approx(s.mse_before, abs=2e-6)
+        assert r.mse_after == pytest.approx(s.mse_after, abs=2e-6)
+
+
+def test_isotonic_null_x_raises_both_paths(spark):
+    """Round-10 ADVICE: null x ordered differently in the two paths
+    (pandas sorts NaN last; the chunk router sent it to chunk 0) —
+    now BOTH paths reject null x (and null y, which would silently
+    poison the moment sums) loudly."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    rows = [("g", float(i), float(i % 3)) for i in range(50)]
+    df_nullx = spark.createDataFrame(
+        rows + [("g", None, 1.0)], "g string, x double, y double"
+    )
+    df_nully = spark.createDataFrame(
+        rows + [("g", 3.5, None)], "g string, x double, y double"
+    )
+    for df in (df_nullx, df_nully):
+        with pytest.raises(PythonException, match="null"):
+            isotonic_fit_stats(df, "g", "x", "y").collect()
+        with pytest.raises(PythonException, match="null"):
+            isotonic_fit_stats(df, "g", "x", "y", n_chunks=4).collect()
+
+
+def test_isotonic_chunked_large_mean_no_cancellation(spark):
+    """Round-10 ADVICE: raw moments Σy² − (Σy)²/n cancel
+    catastrophically when |mean(y)| >> spread; the chunked path now
+    centers y on a global pivot before accumulating, so it must
+    match the single-batch numpy-residual MSEs at 6 dp even with
+    y ≈ 1e8 and unit spread."""
+    import random
+
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.groupstats import (
+        isotonic_fit_stats,
+    )
+
+    rng = random.Random(4242)
+    base = 1.0e8
+    rows = [
+        ("g", round(rng.random(), 6), base + round(rng.random(), 6))
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    single = isotonic_fit_stats(df, "g", "x", "y").collect()[0]
+    for k in (3, 9):
+        chunked = isotonic_fit_stats(
+            df, "g", "x", "y", n_chunks=k
+        ).collect()[0]
+        assert (chunked.n, chunked.n_blocks) == (single.n, single.n_blocks)
+        assert chunked.mse_before == pytest.approx(
+            single.mse_before, abs=2e-6
+        )
+        assert chunked.mse_after == pytest.approx(single.mse_after, abs=2e-6)
+    # sanity: the spread really is unit-scale against a 1e8 offset
+    assert 0.0 < single.mse_before < 1.0
 
 
 def test_isotonic_nonstring_group_key(spark):

@@ -294,6 +294,50 @@ def test_interval_overlap_join_guards(spark):
         )
 
 
+def test_interval_overlap_join_null_bounds_refused(spark):
+    """Round-10 ADVICE: rows with NULL start/end previously sailed
+    through validation (min/max skip nulls) and were then silently
+    dropped by the null F.sequence — a caller trusting validate=True
+    lost rows with no signal. Null bounds on EITHER side must now
+    fail validation loudly, counted per side."""
+    import datetime as dt
+
+    import pytest
+
+    from cr_data_pipeline_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 7, 0), d(2024, 1, 1, 8, 0)),
+            (2, None, d(2024, 1, 1, 9, 0)),
+        ],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w1", d(2024, 1, 1, 8, 0), d(2024, 1, 1, 10, 0))],
+        "rid string, rs timestamp, re timestamp",
+    )
+    with pytest.raises(ValueError, match="NULL interval bounds"):
+        interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], bucket="hour",
+        )
+    # null end on the RIGHT side is caught too
+    right_null = spark.createDataFrame(
+        [("w1", d(2024, 1, 1, 8, 0), None)],
+        "rid string, rs timestamp, re timestamp",
+    )
+    with pytest.raises(ValueError, match="1 right"):
+        interval_overlap_join(
+            left.where("ls is not null"), right_null,
+            "ls", "le", "rs", "re",
+            left_keys=["lid"], right_keys=["rid"], bucket="hour",
+        )
+
+
 def test_interval_overlap_join_validate_opt_out(spark):
     """validate=False skips the span-stats job but then requires an
     explicit bucket (auto needs the observed spans); results match

@@ -233,6 +233,24 @@ def _append_history(times: dict[str, float], total: float, calib: float) -> None
         pass
 
 
+def _parse_driver_bench(
+    rec: dict, sf: float
+) -> tuple[dict[str, float], float | None]:
+    """Extract (queries, calib) from a driver BENCH_r*.json record.
+    The driver file is a WRAPPER around the printed JSON line — the
+    per-query numbers and calibration live under its ``parsed`` key
+    (round-11 finding: reading the top level returned nothing, so a
+    fresh clone silently lost the driver baseline); a bare record
+    (the line itself, as in local history) also works. Returns
+    ({}, None) on a scale-factor mismatch; calib only from
+    ``calib_v`` 2 records (v1 min-of-3 probes poison the ratio)."""
+    inner = rec.get("parsed") or rec
+    if not isinstance(inner, dict) or inner.get("sf") != sf:
+        return {}, None
+    calib = inner.get("calib_sec") if inner.get("calib_v") == 2 else None
+    return inner.get("queries") or {}, calib
+
+
 def _load_prev() -> tuple[dict[str, float], float | None, str | None]:
     """Most recent same-sf per-query record (+ its calibration time,
     None for pre-calibration records): local history first (the
@@ -266,10 +284,10 @@ def _load_prev() -> tuple[dict[str, float], float | None, str | None]:
     try:
         with open(benches[-1]) as f:
             rec = json.load(f)
-        if rec.get("sf") != _sf_from_dir(SF_DIR):
-            return {}, None, None  # different scale factor — not comparable
-        calib = rec.get("calib_sec") if rec.get("calib_v") == 2 else None
-        return rec.get("queries", {}), calib, os.path.basename(benches[-1])
+        queries, calib = _parse_driver_bench(rec, _sf_from_dir(SF_DIR))
+        if not queries:
+            return {}, None, None
+        return queries, calib, os.path.basename(benches[-1])
     except (OSError, ValueError):
         return {}, None, None
 

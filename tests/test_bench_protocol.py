@@ -82,6 +82,56 @@ def test_compact_report_carries_calibration_and_fits_budget():
     assert rep["omitted"]["n"] + len(kept) == len(times)
 
 
+def test_driver_wrapper_format_parses():
+    """The driver's BENCH_r*.json is a WRAPPER: the printed JSON line
+    lives under its ``parsed`` key. Reading the top level returns
+    nothing (round-11 finding) — _parse_driver_bench must unwrap it,
+    and BENCH_r10.json is pinned as the first driver artifact
+    carrying calib_v 2, so its calibration must round-trip."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_r10.json")) as f:
+        rec = json.load(f)
+    queries, calib = bench._parse_driver_bench(rec, 0.1)
+    assert queries and calib == 0.273
+    assert queries["q103_neardup_index_build"] == 6.886
+    # scale-factor mismatch → not comparable
+    assert bench._parse_driver_bench(rec, 0.01) == ({}, None)
+    # a bare line record (local-history shape) parses too
+    bare = {"sf": 0.1, "calib_sec": 0.2, "calib_v": 2, "queries": {"q": 1.0}}
+    assert bench._parse_driver_bench(bare, 0.1) == ({"q": 1.0}, 0.2)
+    # v1 / missing calib_v → queries usable, calib ignored
+    v1 = {"sf": 0.1, "calib_sec": 0.2, "queries": {"q": 1.0}}
+    assert bench._parse_driver_bench(v1, 0.1) == ({"q": 1.0}, None)
+
+
+def test_driver_r10_baseline_warn_pair():
+    """Round-10 verdict #7, exactly as ordered: against the driver's
+    own calib_v2 record (BENCH_r10), a synthetic next run that is
+    uniformly 1.3× slower (probe slowed the same) produces ZERO
+    WARNs, while a single-query 2× regression on a flat host still
+    fires — and only that query."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_r10.json")) as f:
+        prev, prev_calib = bench._parse_driver_bench(json.load(f), 0.1)
+    assert prev and prev_calib
+
+    # uniform 1.3× slowdown, probe drifts with it → no WARNs
+    slow = {n: round(t * 1.3, 3) for n, t in prev.items()}
+    drift = bench._drift_factor(prev_calib * 1.3, prev_calib)
+    assert bench._regressed(slow, prev, drift) == []
+
+    # single-query 2× on a flat host → exactly that query
+    culprit = max(prev, key=prev.get)  # big enough to clear 0.5 s
+    real = dict(prev)
+    real[culprit] = round(prev[culprit] * 2, 3)
+    drift = bench._drift_factor(prev_calib, prev_calib)
+    assert bench._regressed(real, prev, drift) == [culprit]
+
+
 def test_contamination_note_fires_on_window_pattern():
     """Many queries regressing together + flat unflagged median =
     the round-10 contention-window pattern → note emitted; a broad

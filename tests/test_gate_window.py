@@ -125,6 +125,16 @@ def test_cadence_comment_count():
         f"window arithmetic drifted: {len(GATE_OVERFLOW)} parked + "
         f"{len(GATE_PENDING)} pending + {GATE_SLOTS} slots != {oracled}"
     )
+    # COVERAGE.md states the parked count in prose too — same drift
+    # class (round-11: it said 173 while GATE_OVERFLOW held 193)
+    with open(os.path.join(REPO, "docs", "COVERAGE.md")) as f:
+        cov = f.read()
+    m = re.search(r"the (\d+) oracled\s*\n?queries past the window", cov)
+    assert m, "COVERAGE.md parked-count sentence missing"
+    assert int(m.group(1)) == len(GATE_OVERFLOW), (
+        f"COVERAGE.md says {m.group(1)} parked oracled queries but "
+        f"GATE_OVERFLOW holds {len(GATE_OVERFLOW)}"
+    )
 
 
 def test_pending_registered_right_after_window():

@@ -7954,7 +7954,8 @@ def q232_ngram_overlap_scores(
     """
     WITH pts AS (
         SELECT DISTINCT p_retailprice AS price, p_size AS size
-        FROM part)
+        FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
     SELECT price, size
     FROM pts p
     WHERE NOT EXISTS (
@@ -7980,9 +7981,19 @@ def q233_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the window input is the DISTINCT point projection, bounded by
     value cardinality, not row count; at extreme point cardinality
     swap in the angular-partition skyline, same sweep per
-    partition + a frontier merge)."""
+    partition + a frontier merge).
+
+    Null contract (round-11 null adversary): a point with a missing
+    coordinate has no defined dominance relation — SQL's NOT-EXISTS
+    would put EVERY null-size point on the frontier (all its
+    comparisons are UNKNOWN) while the sweep-line would drop them,
+    so both sides EXCLUDE null-coordinate points explicitly."""
     pts = (
         table(spark, "part", sf_dir)
+        .where(
+            F.col("p_retailprice").isNotNull()
+            & F.col("p_size").isNotNull()
+        )
         .select(
             F.col("p_retailprice").alias("price"),
             F.col("p_size").alias("size"),
@@ -9975,9 +9986,11 @@ def q255_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q256_t_closeness_audit",
     """
     WITH c AS (
-        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        SELECT c_nationkey AS nk,
+               COALESCE(c_mktsegment, '(null)') AS seg,
                FLOOR(c_acctbal / 1000.0)::BIGINT AS band
-        FROM customer),
+        FROM customer
+        WHERE c_acctbal IS NOT NULL),
     cells AS (
         SELECT nk, seg, band, COUNT(*)::BIGINT AS n_gb
         FROM c GROUP BY nk, seg, band),
@@ -10035,11 +10048,24 @@ def q256_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t=0.2, and the row mass they hold. Scale: one partial-combining
     aggregate reduces the table to QI×band cells (bounded domain);
     the densified grid, windows and folds all run on that
-    metadata-sized table."""
-    c = table(spark, "customer", sf_dir).select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_mktsegment").alias("seg"),
-        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    metadata-sized table.
+
+    Null contract (round-11 null adversary): a null SENSITIVE value
+    (c_acctbal) is excluded — the t-closeness distribution is over
+    known values, and a null band otherwise lands at a different end
+    of the cumulative order on each engine; a null QI value
+    (c_mktsegment) coalesces to its own '(null)' equivalence class —
+    dropping it would hide those rows from the audit, and leaving it
+    raw would make the group's cells vanish from the densified grid
+    (null never equi-joins), reporting a fake worst-case EMD."""
+    c = (
+        table(spark, "customer", sf_dir)
+        .where(F.col("c_acctbal").isNotNull())
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("(null)")).alias("seg"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+        )
     )
     d1 = "decimal(38,0)"
     cells = c.groupBy("nk", "seg", "band").agg(

@@ -1472,7 +1472,7 @@ def q130_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n
-        FROM events GROUP BY 1, 2)
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
     SELECT window_start, event_type, n, rnk FROM (
         SELECT window_start, event_type, n,
                (ROW_NUMBER() OVER (PARTITION BY window_start
@@ -1490,8 +1490,18 @@ def q116_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the rank window partitions by window_start — thousands
     of independent partitions of |event_types| rows each, never a
     global window. Streaming twin: windowed_event_counts → rank in
-    foreachBatch."""
-    ev = table(spark, "events", sf_dir)
+    foreachBatch.
+
+    Null contract (round-11 null adversary): NULL event_type is
+    excluded in both engine and oracle — the label census ranks
+    KNOWN labels, and a null label otherwise lands at a different
+    end of the rank tiebreak on each engine (Spark sorts nulls
+    first ascending, DuckDB last), shifting every rank below it. A
+    monitor that must see unlabeled spikes would coalesce to a
+    '(null)' label instead; excluding is this query's contract."""
+    ev = table(spark, "events", sf_dir).where(
+        F.col("event_type").isNotNull()
+    )
     counts = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2865,7 +2875,7 @@ def q165_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS c
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
     tot AS (
         SELECT event_type, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s
         FROM daily GROUP BY 1),
@@ -2904,11 +2914,19 @@ def q167_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (a groupBy+join would plan a second events scan), so
     the cumulative sum, the totals, and the per-type argmax all
     share the one event_type exchange; raw events scan ONCE and
-    never shuffle."""
+    never shuffle.
+
+    Null contract (round-11 null adversary): NULL event_type is
+    excluded in both engine and oracle — the engine's window
+    formulation kept a null-type group that the oracle's
+    JOIN USING (event_type) silently dropped; a change-point for an
+    unlabeled stream is undefined anyway."""
     ev = table(spark, "events", sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     wall = Window.partitionBy("event_type")
     wcum = (
         Window.partitionBy("event_type")
@@ -2953,9 +2971,18 @@ def _daily_calendar(ev: DataFrame) -> DataFrame:
     per-weekday denominators wrong in ways an observed-days-only
     oracle twin can't catch. Scale: the spine explodes from a
     |types|-row bounds aggregate, so it is dim-sized; the fact
-    table collapses once and never re-shuffles."""
-    obs = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("c")
+    table collapses once and never re-shuffles.
+
+    Null contract (round-11 null adversary): rows with a NULL
+    event_type are EXCLUDED — a null key never survives the
+    spine-to-counts equi-join, so the null group's series came back
+    all-zero and q170's seasonal index divided by zero (ANSI crash);
+    a time-series statistic over an unlabeled stream is undefined.
+    The oracle twins carry the same IS NOT NULL."""
+    obs = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     spine = (
         obs.groupBy("event_type")
@@ -3020,7 +3047,7 @@ def q168_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH obs AS (
         SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS c
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
     spine AS (
         SELECT event_type,
                unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
@@ -3112,7 +3139,7 @@ def q169_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH obs AS (
         SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS c
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
     spine AS (
         SELECT event_type,
                unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,

@@ -8,12 +8,18 @@ part.p_size, orders.o_orderpriority — tools/nullify_fixtures.py) and
 oracle parity re-checked for the null-PRONE subset: every query that
 aggregates, windows, joins, bands, or groups over a nulled column.
 
-This adversary found two REAL divergences on first run (round 11):
-q233's SQL NOT-EXISTS put every null-size point on the Pareto
-frontier while the Spark sweep dropped them, and q256's cumulative
-EMD ordered null bands differently per engine (plus a shared flaw —
-a null-QI group's cells silently vanished from the densified grid).
-Both now carry an explicit null contract, pinned here.
+This adversary found FIVE real divergences in round 11. Attribute
+nulls: q233's SQL NOT-EXISTS put every null-size point on the
+Pareto frontier while the Spark sweep dropped them; q256's
+cumulative EMD ordered null bands differently per engine (plus a
+shared flaw — a null-QI group's cells silently vanished from the
+densified grid). Label nulls (event_type): q170 CRASHED with an
+ANSI divide-by-zero (the null-type group's calendar spine never
+re-joined its counts), q167's oracle JOIN USING dropped the
+null-type group the engine's window kept, and q116's rank tiebreak
+put the null label at opposite ends per engine (Spark nulls-first
+asc, DuckDB nulls-last), shifting every rank below it. Each now
+carries an explicit null contract, pinned here.
 """
 
 from __future__ import annotations
@@ -41,10 +47,12 @@ check_oracle = _load_tool("check_oracle")
 
 # Queries that aggregate/window/band/group over a nulled column:
 # events.value (percentiles, z-scores, windows, anomaly tripwire),
-# events.props (JSON extraction), documents.lang (lang joins, MI,
-# kappa truth), customer.c_acctbal + c_mktsegment (governance
-# triptych, idle-premium threshold), part.p_size (skyline, Q16/Q19
-# shapes), orders.o_orderpriority (priority shares/splits).
+# events.props (JSON extraction), events.event_type (label censuses,
+# calendar spines, rank tiebreaks — the round-11 catches),
+# documents.lang + source (lang joins, MI, kappa truth, per-source
+# rollups), customer.c_acctbal + c_mktsegment (governance triptych,
+# idle-premium threshold), part.p_size (skyline, Q16/Q19 shapes),
+# orders.o_orderpriority (priority shares/splits).
 NULL_PRONE = [
     "q17_json_extract",
     "q22_priority_share",
@@ -52,11 +60,18 @@ NULL_PRONE = [
     "q46_rollup",
     "q53_group_zscore",
     "q71_event_percentiles",
+    "q81_event_funnel",
+    "q116_windowed_heavy_hitters",
+    "q126_source_token_mix",
     "q137_daily_event_anomaly",
     "q150_disjunctive_parts_revenue",
     "q152_idle_premium_customers",
     "q159_supplier_part_breadth",
+    "q167_cusum_changepoint",
+    "q169_daily_autocorrelation",
+    "q170_dow_seasonality",
     "q175_kanon_census",
+    "q203_event_transition_matrix",
     "q224_source_lang_mutual_info",
     "q233_pareto_frontier",
     "q249_l_diversity_census",
@@ -74,7 +89,9 @@ def nullified_dir(tmp_path_factory):
     # the adversary must be real: nulls actually landed in the
     # event/document/customer/part/order attribute columns
     assert injected.get("events.value", 0) > 0
+    assert injected.get("events.event_type", 0) > 0
     assert injected.get("documents.lang", 0) > 0
+    assert injected.get("documents.source", 0) > 0
     assert injected.get("customer.c_acctbal", 0) > 0
     assert injected.get("part.p_size", 0) > 0
     assert injected.get("orders.o_orderpriority", 0) > 0

@@ -10,16 +10,21 @@ input — any disagreement is a real bug hiding behind clean fixtures
 (a pandas kernel that chokes on NaN, an un-coalesced division, a
 comparison that silently drops null rows on one engine only).
 
-Scope: seeded ~`frac` nulls into OPTIONAL ATTRIBUTE columns only —
-    events.value, events.props, documents.lang,
+Scope: seeded ~`frac` nulls into OPTIONAL ATTRIBUTE and CATEGORY
+LABEL columns —
+    events.value, events.props, events.event_type,
+    documents.lang, documents.source,
     customer.c_acctbal, customer.c_mktsegment,
     supplier.s_acctbal, part.p_size, orders.o_orderpriority
 Join keys, ids, timestamps, the revenue measures that define the
 TPC-H shapes, and text/embedding payloads stay non-null: nulling
 those changes the QUESTION (what does a null join key even mean?),
-not the robustness of the answer; the attribute columns above are
-where upstream nulls actually arrive (a missing balance, an unknown
-segment, an unsent metric).
+not the robustness of the answer. Category labels (event_type,
+source) ARE in scope — an unlabeled event or an unattributed crawl
+page is routine upstream, and the label columns drive
+groupBy/window/rank paths where the engines' null-ordering and
+null-join semantics genuinely differ (this axis caught q116, q167
+and q170 in round 11; each now carries an explicit null contract).
 
     python tools/nullify_fixtures.py --src /root/testdata/sf0.001 \
         --dst /tmp/sf0.001_nullified
@@ -45,8 +50,8 @@ TABLES = (
 
 # table -> columns that may plausibly arrive null from upstream
 NULLABLE = {
-    "events": ["value", "props"],
-    "documents": ["lang"],
+    "events": ["value", "props", "event_type"],
+    "documents": ["lang", "source"],
     "orders": ["o_orderpriority"],
     "customer": ["c_acctbal", "c_mktsegment"],
     "supplier": ["s_acctbal"],

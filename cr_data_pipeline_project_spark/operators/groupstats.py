@@ -45,15 +45,20 @@ def group_moments(df: DataFrame, key: str, value: str) -> DataFrame:
 
 
 def zscore_exact(df: DataFrame, key: str, value: str, id_col: str) -> DataFrame:
-    stats = group_moments(df, key, value)
+    # zero-dispersion contract: a group whose every value is identical
+    # has no standardization (stddev = 0 → z undefined) — NULL, pinned
+    # on both engines. Without the guard ANSI mode CRASHES on the first
+    # stuck-sensor group (const adversary, round 11).
     return (
-        df.join(F.broadcast(stats), key)
+        df.join(F.broadcast(group_moments(df, key, value)), key)
         .select(
             id_col,
             key,
-            F.round(
-                (F.col(value) - F.col("mean")) / F.col("stddev"), 6
-            ).alias("zscore"),
+            F.when(F.col("stddev") == 0, F.lit(None))
+            .otherwise(
+                F.round((F.col(value) - F.col("mean")) / F.col("stddev"), 6)
+            )
+            .alias("zscore"),
         )
     )
 
@@ -63,10 +68,14 @@ def zscore_pandas(df: DataFrame, key: str, value: str, id_col: str) -> DataFrame
     import pandas as pd
 
     def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        v = pdf[value]
-        z = (v - v.mean()) / v.std(ddof=1)
+        s = pdf[value].std(ddof=1)
+        # same zero-dispersion contract as zscore_exact: NULL, not NaN/inf
+        if s == 0:
+            z = pd.Series(float("nan"), index=pdf.index, dtype="float64")
+        else:
+            z = ((pdf[value] - pdf[value].mean()) / s).round(6)
         return pd.DataFrame(
-            {id_col: pdf[id_col], key: pdf[key], "zscore": z.round(6)}
+            {id_col: pdf[id_col], key: pdf[key], "zscore": z}
         )
 
     return df.select(id_col, key, value).groupBy(key).applyInPandas(

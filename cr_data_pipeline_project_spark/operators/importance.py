@@ -119,9 +119,16 @@ def dsir_scores(
     docf: DataFrame, lam: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, n_grams, dsir_score): occurrence-weighted mean lambda
-    per document. BIGINT sums of c*lam5 products; the score is one
-    IEEE division, rounded once — hash-exact given the same lambda
-    table (which is the point of pinning it)."""
+    per document. BIGINT sums of c*lam5 products; the 6-digit
+    half-up rounding of wsum5/(n_grams*1e5) is computed as exact
+    BIGINT rational arithmetic — round_half_up(x, 6) with x =
+    wsum5*10/n_grams means (20*wsum5 + n_grams) div (2*n_grams),
+    sign-split so truncating div is away-from-zero like both
+    engines' ROUND. Rounding the IEEE quotient instead is 1-ulp
+    luck: a corpus whose score lands exactly on a half boundary
+    (wsum5=47943, n_grams=60 → 0.0079905 — const adversary, round
+    11) rounds differently per engine. The final r/1e6 division is
+    one exact small-integer IEEE op, identical everywhere."""
     w = (
         docf.join(F.broadcast(lam), "f")
         .groupBy(id_col)
@@ -130,12 +137,12 @@ def dsir_scores(
             F.sum(F.col("c") * F.col("lam5")).alias("wsum5"),
         )
     )
+    r6 = F.when(
+        F.col("wsum5") >= 0,
+        F.expr("(20 * wsum5 + n_grams) div (2 * n_grams)"),
+    ).otherwise(-F.expr("(20 * -wsum5 + n_grams) div (2 * n_grams)"))
     return w.select(
         id_col,
         "n_grams",
-        F.round(
-            F.col("wsum5").cast("double")
-            / (F.col("n_grams").cast("double") * F.lit(float(LAMBDA_SCALE))),
-            6,
-        ).alias("dsir_score"),
+        (r6.cast("double") / F.lit(1_000_000.0)).alias("dsir_score"),
     )

@@ -368,8 +368,11 @@ def q48_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SUM((value*value)::DECIMAL(38,12)))::DOUBLE AS ss
         FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
-           ROUND((e.value - t.s / t.n)
-                 / sqrt((t.ss - t.s * t.s / t.n) / (t.n - 1)), 6) AS zscore
+           CASE WHEN sqrt((t.ss - t.s * t.s / t.n) / (t.n - 1)) = 0
+                THEN NULL
+                ELSE ROUND((e.value - t.s / t.n)
+                     / sqrt((t.ss - t.s * t.s / t.n) / (t.n - 1)), 6)
+           END AS zscore
     FROM events e JOIN stats t ON e.event_type = t.event_type
     """,
 )
@@ -4019,8 +4022,10 @@ def q166_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(c * lam5)::BIGINT AS wsum5
         FROM docf JOIN lam USING (f) GROUP BY doc_id)
     SELECT doc_id, n_grams,
-           ROUND(wsum5::DOUBLE / (n_grams::DOUBLE * 100000.0), 6)
-               AS dsir_score
+           (CASE WHEN wsum5 >= 0
+                 THEN (20 * wsum5 + n_grams) // (2 * n_grams)
+                 ELSE -((20 * -wsum5 + n_grams) // (2 * n_grams))
+            END)::DOUBLE / 1000000.0 AS dsir_score
     FROM w ORDER BY dsir_score DESC, doc_id LIMIT 200
     """,
 )

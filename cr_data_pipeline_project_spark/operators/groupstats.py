@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, functions as F
 
 def group_moments(df: DataFrame, key: str, value: str) -> DataFrame:
     """Per-key (n, mean, stddev) from decimal-exact sums (sample
-    stddev, n-1 denominator)."""
+    stddev, n-1 denominator). A singleton group has no SAMPLE stddev
+    at all (n-1 = 0 — under ANSI the unguarded division is a CRASH,
+    singleton adversary, round 11): stddev is NULL for n < 2, and the
+    CASE guard keeps the division unevaluated for those rows."""
     sum_d = F.sum(F.col(value).cast("decimal(28,6)")).cast("double")
     sumsq_d = F.sum((F.col(value) * F.col(value)).cast("decimal(38,12)")).cast(
         "double"
@@ -40,15 +43,18 @@ def group_moments(df: DataFrame, key: str, value: str) -> DataFrame:
         key,
         "n",
         mean.alias("mean"),
-        F.sqrt(var).alias("stddev"),
+        F.when(F.col("n") < 2, F.lit(None))
+        .otherwise(F.sqrt(var))
+        .alias("stddev"),
     )
 
 
 def zscore_exact(df: DataFrame, key: str, value: str, id_col: str) -> DataFrame:
     # zero-dispersion contract: a group whose every value is identical
-    # has no standardization (stddev = 0 → z undefined) — NULL, pinned
-    # on both engines. Without the guard ANSI mode CRASHES on the first
-    # stuck-sensor group (const adversary, round 11).
+    # (stddev = 0, const adversary) or has a single row (stddev NULL
+    # from group_moments, singleton adversary) has no standardization —
+    # z-score NULL, pinned on both engines. Without the guard ANSI
+    # mode CRASHES on the first stuck-sensor group (round 11).
     return (
         df.join(F.broadcast(group_moments(df, key, value)), key)
         .select(
@@ -69,8 +75,9 @@ def zscore_pandas(df: DataFrame, key: str, value: str, id_col: str) -> DataFrame
 
     def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
         s = pdf[value].std(ddof=1)
-        # same zero-dispersion contract as zscore_exact: NULL, not NaN/inf
-        if s == 0:
+        # same contract as zscore_exact: zero-dispersion (s == 0) and
+        # singleton (n < 2 → s is NaN) groups get NULL, not NaN/inf
+        if len(pdf) < 2 or s == 0:
             z = pd.Series(float("nan"), index=pdf.index, dtype="float64")
         else:
             z = ((pdf[value] - pdf[value].mean()) / s).round(6)

@@ -368,7 +368,8 @@ def q48_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SUM((value*value)::DECIMAL(38,12)))::DOUBLE AS ss
         FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
-           CASE WHEN sqrt((t.ss - t.s * t.s / t.n) / (t.n - 1)) = 0
+           CASE WHEN t.n < 2 THEN NULL
+                WHEN sqrt((t.ss - t.s * t.s / t.n) / (t.n - 1)) = 0
                 THEN NULL
                 ELSE ROUND((e.value - t.s / t.n)
                      / sqrt((t.ss - t.s * t.s / t.n) / (t.n - 1)), 6)
@@ -6035,8 +6036,11 @@ def q206_pps_sample_per_source(
     SELECT event_type, n, n_rest,
            ROUND(m1, 6) AS mean_type,
            ROUND(m2, 6) AS mean_rest,
-           ROUND((m1 - m2) / sqrt(v1 / n::DOUBLE + v2 / n_rest::DOUBLE), 6)
-               AS welch_t
+           CASE WHEN n < 2 OR n_rest < 2 THEN NULL
+                WHEN sqrt(v1 / n::DOUBLE + v2 / n_rest::DOUBLE) = 0 THEN NULL
+                ELSE ROUND((m1 - m2)
+                     / sqrt(v1 / n::DOUBLE + v2 / n_rest::DOUBLE), 6)
+           END AS welch_t
     FROM w ORDER BY event_type
     """,
 )
@@ -6078,14 +6082,21 @@ def q207_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = (
         (F.col("ts2") - F.col("s2")).cast("double") - rs1 * rs1 / nr
     ) / (nr - 1)
-    t = (m1 - m2) / F.sqrt(v1 / n + v2 / nr)
+    # a side with n < 2 has no Bessel-corrected variance (n-1 = 0 is
+    # an ANSI crash — singleton adversary, round 11) and a zero
+    # standard error has no t at all: NULL in both engines, with the
+    # CASE guard keeping the n-1 divisions unevaluated on those rows.
+    se = F.sqrt(v1 / n + v2 / nr)
+    t = F.when((F.col("n") < 2) | (F.col("tn") - F.col("n") < 2), F.lit(None)).otherwise(
+        F.when(se == 0, F.lit(None)).otherwise(F.round((m1 - m2) / se, 6))
+    )
     return j.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
         (F.col("tn") - F.col("n")).cast("bigint").alias("n_rest"),
         F.round(m1, 6).alias("mean_type"),
         F.round(m2, 6).alias("mean_rest"),
-        F.round(t, 6).alias("welch_t"),
+        t.alias("welch_t"),
     ).orderBy("event_type")
 
 

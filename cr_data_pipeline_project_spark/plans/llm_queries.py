@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..functions import fastdec
 from ..operators import (
     dedup,
     multimodal,
@@ -3041,17 +3042,22 @@ def q118_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the flag cardinality."""
     li = table(spark, "lineitem", sf_dir)
     dec = "decimal(28,6)"
+    # fastdec long-scaled sums for the four moments whose magnitude
+    # and intrinsic granularity admit them (quantity is integral,
+    # q*p is a 2dp product <= ~5e6); price**2 (~1.2e10) sits at the
+    # double's 6dp precision edge and keeps the decimal cast — see
+    # functions/fastdec.py for the measured contract
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        fastdec.dec_sum(F.col("l_quantity")).cast("double").alias("sx"),
+        fastdec.dec_sum(F.col("l_extendedprice")).cast("double").alias("sy"),
+        fastdec.dec_sum(F.col("l_quantity") * F.col("l_quantity"))
         .cast("double")
         .alias("sxx"),
         F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec))
         .cast("double")
         .alias("syy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        fastdec.dec_sum(F.col("l_quantity") * F.col("l_extendedprice"))
         .cast("double")
         .alias("sxy"),
     )
@@ -6394,7 +6400,7 @@ def q211_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recency"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+        fastdec.dec_sum(F.col("o_totalprice")).alias(
             "monetary"
         ),
     ).localCheckpoint()
@@ -7187,7 +7193,7 @@ def q222_revenue_concentration(
     no sorts, survives 10⁹ customers unchanged (the q211 posture)."""
     o = table(spark, "orders", sf_dir)
     rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("revenue")
+        fastdec.dec_sum(F.col("o_totalprice")).alias("revenue")
     ).localCheckpoint()
     cuts = rev.agg(
         F.percentile(F.col("revenue").cast("double"), 0.25).alias("c1"),
@@ -7612,17 +7618,22 @@ def q228_grouped_ols_regression(
     count."""
     li = table(spark, "lineitem", sf_dir)
     dec = "decimal(28,6)"
+    # fastdec long-scaled sums for the four moments whose magnitude
+    # and intrinsic granularity admit them (quantity is integral,
+    # q*p is a 2dp product <= ~5e6); price**2 (~1.2e10) sits at the
+    # double's 6dp precision edge and keeps the decimal cast — see
+    # functions/fastdec.py for the measured contract
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        fastdec.dec_sum(F.col("l_quantity")).cast("double").alias("sx"),
+        fastdec.dec_sum(F.col("l_extendedprice")).cast("double").alias("sy"),
+        fastdec.dec_sum(F.col("l_quantity") * F.col("l_quantity"))
         .cast("double")
         .alias("sxx"),
         F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec))
         .cast("double")
         .alias("syy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        fastdec.dec_sum(F.col("l_quantity") * F.col("l_extendedprice"))
         .cast("double")
         .alias("sxy"),
     )
@@ -9046,8 +9057,15 @@ def q245_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     B·rows, zero shuffles of row data beyond the 16-group
     aggregate."""
     from ..operators.sampling import bootstrap_weight
+    from ..operators.similarity import ensure_parallelism
 
-    o = table(spark, "orders", sf_dir)
+    # the md5-lottery weight is ~16 hash evaluations per order row —
+    # compute-dense enough that a single-split scan (one local
+    # parquet file) serializes the whole pass; spread the NARROW
+    # input first (no-op on a real multi-split warehouse scan)
+    o = ensure_parallelism(
+        table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    )
     exploded = o.select(
         "o_orderkey",
         "o_totalprice",
@@ -9063,10 +9081,8 @@ def q245_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("wgt").cast("bigint").alias("n_eff"),
             F.round(
-                F.sum(
-                    (F.col("wgt") * F.col("o_totalprice")).cast(
-                        "decimal(28,6)"
-                    )
+                fastdec.dec_sum(
+                    F.col("wgt") * F.col("o_totalprice")
                 ).cast("double")
                 / F.sum("wgt").cast("double"),
                 6,
@@ -9964,7 +9980,7 @@ def q255_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
         .cast("long")
         .alias("di")
-    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("s"))
+    ).agg(fastdec.dec_sum(F.col("value")).alias("s"))
     a, b = daily.alias("a"), daily.alias("b")
     # bounded-by-contract non-equi self-join: |daily| = calendar days
     slopes = a.join(
@@ -11012,7 +11028,7 @@ def q266_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("di")
     ).agg(
-        F.sum(F.col("value").cast("decimal(28,6)"))
+        fastdec.dec_sum(F.col("value"))
         .cast("double")
         .alias("y")
     )
@@ -11218,7 +11234,7 @@ def q268_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
         .cast("long")
         .alias("di")
-    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("y"))
+    ).agg(fastdec.dec_sum(F.col("value")).alias("y"))
     mx = daily.agg(F.max("di").alias("mdi"))
     models = spark.createDataFrame(
         [("naive_1d", 1), ("seasonal_7d", 7)], "model string, h int"

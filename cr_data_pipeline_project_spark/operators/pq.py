@@ -59,17 +59,14 @@ def _sub_rows(v: DataFrame, m: int, sub_d: int) -> DataFrame:
     return clean.select(F.col("_id"), F.posexplode(slices).alias("sub", "sv"))
 
 
-def _assign_all_subs(rows: DataFrame, books: DataFrame, carry_sv: bool):
-    """Assign every (sub, _id, sv) row to its own subspace's nearest
-    centroid in one Arrow pass — all m codebooks ship in the task
-    closure (m·k sub-vectors, tiny by construction). Ties break
-    toward the smallest cid (codebooks sort by cid before the GEMM),
-    matching the flat assigner's contract."""
+def _pack_books(book_rows) -> dict:
+    """(sub, cid, cv) rows → {sub: (cids, C, |C|²)} numpy tables for
+    the Arrow assignment kernel. Accepts any iterable of Row-likes
+    (a collected codebook DataFrame or the fit loop's own list)."""
     import numpy as np
-    import pandas as pd
 
-    tables: dict[int, tuple] = {}
-    for r in books.collect():  # bounded: m·k rows
+    tables: dict[int, list] = {}
+    for r in book_rows:
         tables.setdefault(int(r["sub"]), []).append(
             (int(r["cid"]), list(r["cv"]))
         )
@@ -79,6 +76,23 @@ def _assign_all_subs(rows: DataFrame, books: DataFrame, carry_sv: bool):
         cids = np.array([c for c, _ in ent], dtype=np.int64)
         C = np.array([cv for _, cv in ent], dtype=np.float64)
         packed[s] = (cids, C, (C * C).sum(axis=1))
+    return packed
+
+
+def _assign_all_subs(rows: DataFrame, books, carry_sv: bool):
+    """Assign every (sub, _id, sv) row to its own subspace's nearest
+    centroid in one Arrow pass — all m codebooks ship in the task
+    closure (m·k sub-vectors, tiny by construction). Ties break
+    toward the smallest cid (codebooks sort by cid before the GEMM),
+    matching the flat assigner's contract. ``books`` is either a
+    codebook DataFrame (collected here — bounded; job-free when the
+    fit returned its LocalRelation form) or an already-packed dict
+    from :func:`_pack_books` (the fit loop's path: zero extra jobs
+    per iteration)."""
+    import numpy as np
+    import pandas as pd
+
+    packed = books if isinstance(books, dict) else _pack_books(books.collect())
 
     id_type = dict(rows.dtypes)["_id"]
     schema = f"sub int, _id {id_type}, cid int" + (
@@ -138,7 +152,8 @@ def pq_fit(
     # partial-combining aggregate over sizes) — sniffing the first
     # row would crash on a null first row or, worse, lock onto a
     # malformed short vector and drop every valid one in the guard
-    # below
+    # below. The same row carries the clean-vector COUNT, so the
+    # separate rows.count() job the sampler used to run is free.
     drow = (
         df.where(F.col(vec_col).isNotNull())
         .groupBy(F.size(F.col(vec_col)).alias("__d"))
@@ -173,7 +188,9 @@ def pq_fit(
     # centroids, which every consumer tolerates — see the return
     # contract.)
     seed_hash = F.xxhash64("_id", F.lit(seed) + F.col("sub"))
-    n_per_sub = rows.count() // m  # one cheap scan of the checkpoint
+    # clean-vector count from the dominant-size aggregate above —
+    # every kept row has the dominant size, so rows/m == that count
+    n_per_sub = int(drow["count"])
     target = max(128, 8 * k)
     pool = rows
     if n_per_sub > target:
@@ -181,7 +198,7 @@ def pq_fit(
         cut = int(-(2**63) + frac * 2**64)
         pool = rows.where(seed_hash < F.lit(cut))
     w = Window.partitionBy("sub").orderBy(seed_hash, F.col("_id"))
-    books = (
+    seed_books = (
         pool.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select(
@@ -189,8 +206,8 @@ def pq_fit(
             (F.col("__rn") - F.lit(1)).cast("int").alias("cid"),
             F.col("sv").alias("cv"),
         )
-        .localCheckpoint(eager=True)
     )
+    books = seed_books.localCheckpoint(eager=True)
 
     for _ in range(n_iter):
         assigned = _assign_all_subs(rows, books, carry_sv=True)
@@ -220,13 +237,20 @@ def pq_encode(
     (id_col, codes array<int>[m]). One fused Arrow assignment pass
     over the exploded subspace rows, then one groupBy-id shuffle
     carrying m small ints per vector."""
-    m = codebooks.select("sub").distinct().count()
-    sub_d = len(codebooks.select("cv").first()[0])
+    # one bounded collect (job-free on the fit's LocalRelation form)
+    # yields m, sub_d AND the packed assignment tables — the
+    # distinct().count() + first() metadata jobs this ran before
+    # were two extra scheduler round-trips per encode
+    book_rows = codebooks.collect()  # bounded: m·k rows
+    if not book_rows:
+        raise ValueError("empty codebook")
+    m = len({int(r["sub"]) for r in book_rows})
+    sub_d = len(book_rows[0]["cv"])
     v = df.select(
         F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("_v")
     )
     assigned = _assign_all_subs(
-        _sub_rows(v, m, sub_d), codebooks, carry_sv=False
+        _sub_rows(v, m, sub_d), _pack_books(book_rows), carry_sv=False
     )
     return (
         assigned.groupBy("_id")

@@ -35,6 +35,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges (src < dst): items are
+    adjacent when they share a group (parts in one order, tokens in
+    one doc). ONE aggregation by group folds each group's DISTINCT
+    items into a sorted array and the ordered pairs explode in-row —
+    the plan shape of dedup._bucket_pairs. The equivalent self-join
+    (a ⋈ b ON group WHERE a.item < b.item, then DISTINCT) shuffles
+    the fact rows twice and sorts both sides; this shuffles them
+    once into a hash aggregate whose partial (map) side already
+    folds per-group sets. Group fan-out is bounded by the group size
+    (order line count here — single digits); for unbounded groups
+    use the capped dedup pairing instead. Returns (src, dst)."""
+    grouped = (
+        df.groupBy(group_col)
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("__its"))
+        .where(F.size("__its") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__its"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__its"), i + F.lit(2), F.size(F.col("__its"))
+                ),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.src", "__p.dst")
+        .distinct()
+    )
+
+
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected edge list -> both directions, self-loops dropped."""
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -402,13 +439,16 @@ def _degrees(und: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_sum(und: DataFrame) -> int:
+def _triangle_sum(und: DataFrame, deg: DataFrame | None = None) -> int:
     """Degree-ordered triangle total of a (persisted) canonical edge
     set — the eager compact-forward core shared by
     :func:`triangle_count` and :func:`clustering_stats`. The caller
-    owns the persist/unpersist of ``und``; the intermediate oriented
-    set is persisted and unpersisted here."""
-    deg = _degrees(und)
+    owns the persist/unpersist of ``und`` (and of ``deg`` when it
+    passes one — clustering_stats reuses its wedge-count degree
+    table here instead of recomputing the union+groupBy); the
+    intermediate oriented set is persisted and unpersisted here."""
+    if deg is None:
+        deg = _degrees(und)
     # orient from lower (degree, id) to higher (degree, id)
     ranked = (
         und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
@@ -467,12 +507,16 @@ def clustering_stats(
     rounded at 1e-6. Returns 1 row: (n_edges, n_wedges,
     n_triangles, global_cc)."""
     und = _canonical_edges(edges, src, dst).persist()
+    deg = _degrees(und).persist()
     try:
         # ONE pass over the degree table yields both edge and wedge
         # counts (Σd = 2|E|, Σ d(d-1)/2 = wedges) — no separate
-        # count() action
+        # count() action; the SAME persisted degree table then feeds
+        # the triangle core's orientation joins (it used to be
+        # recomputed there: one fewer union+groupBy pass over the
+        # edge set)
         row = (
-            _degrees(und)
+            deg
             .agg(
                 F.expr("sum(d) div 2").cast("bigint").alias("m"),
                 F.coalesce(
@@ -485,8 +529,9 @@ def clustering_stats(
         )
         n_edges = row["m"] or 0
         n_wedges = row["w"]
-        n_tri = _triangle_sum(und)
+        n_tri = _triangle_sum(und, deg)
     finally:
+        deg.unpersist()
         und.unpersist()
     cc = (3.0 * n_tri / n_wedges) if n_wedges else None
     return edges.sparkSession.createDataFrame(

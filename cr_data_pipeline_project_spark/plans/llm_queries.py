@@ -7801,19 +7801,15 @@ def q231_copurchase_triangles(
     the single BIGINT. Scale: edge gen is an order-key equi-join
     (never all-pairs), then two key-only shuffles; no adjacency list
     ever materializes on one node."""
-    from ..operators.graph import triangle_count
+    from ..operators.graph import cooccurrence_edges, triangle_count
 
     li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    # one groupBy-orderkey aggregation + in-row ordered pair explode —
+    # the same DISTINCT least/greatest pair set the oracle's
+    # self-join produces, without shuffling lineitem twice into a
+    # sort-merge join (order sizes are single-digit, so the in-row
+    # fan-out is bounded)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return triangle_count(edges)
 
 
@@ -10200,19 +10196,13 @@ def q257_copurchase_clustering(
     outputs. Scale: linear-by-contract in edges like q231 (the
     probe generator holds average degree constant); no adjacency
     ever exceeds the O(√m) oriented bound."""
-    from ..operators.graph import clustering_stats
+    from ..operators.graph import clustering_stats, cooccurrence_edges
 
     li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    # groupBy + in-row pair explode replaces the lineitem self-join —
+    # same distinct (least, greatest) edge set, one shuffle of the
+    # fact rows instead of two plus a join (q231's note)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return clustering_stats(edges)
 
 

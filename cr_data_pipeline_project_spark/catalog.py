@@ -54,13 +54,34 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load fixture table ``name`` from ``sf_dir`` (parquet)."""
+    """Load fixture table ``name`` from ``sf_dir`` (parquet).
+
+    The resolved DataFrame HANDLE is memoized per (session, path):
+    ``spark.read.parquet`` costs ~100-250 ms per call (relation
+    resolution + file listing + footer schema inference), and query
+    builders re-invoke it for every table on every run — measured
+    ~20% of the whole bench wall at sf0.1. The memo holds only the
+    analyzed PLAN: no rows are cached or persisted, every action on
+    it re-scans the parquet files, so a bench/oracle invocation
+    still computes from the inputs. The cache dies with the session
+    (stored on the session object) and is keyed by absolute path;
+    fixture directories are read-only for a session's lifetime
+    (writers in this engine always write elsewhere)."""
     prepare(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    try:
+        cache = spark._graft_table_cache
+    except AttributeError:
+        cache = spark._graft_table_cache = {}
+    df = cache.get(path)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, path)
+        else:
+            df = spark.read.parquet(path)
+        cache[path] = df
+    return df
 
 
 def tables(

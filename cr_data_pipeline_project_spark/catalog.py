@@ -69,7 +69,10 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     (writers in this engine always write elsewhere)."""
     prepare(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    # abspath enforces the "keyed by absolute path" contract: a
+    # relative sf_dir plus a cwd change must not alias two different
+    # directories onto one cache entry (ADVICE r11).
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     try:
         cache = spark._graft_table_cache
     except AttributeError:
@@ -82,6 +85,30 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
             df = spark.read.parquet(path)
         cache[path] = df
     return df
+
+
+def invalidate_table_cache(
+    spark: SparkSession, sf_dir: str | None = None, name: str | None = None
+) -> None:
+    """Escape hatch for the handle memo: drop every cached handle (no
+    args), every handle under ``sf_dir``, or one table's handle — for
+    the (out-of-contract) case of a fixture path being rewritten
+    in-session, where the memoized InMemoryFileIndex would otherwise
+    serve a stale file listing (ADVICE r11)."""
+    cache = getattr(spark, "_graft_table_cache", None)
+    if not cache:
+        return
+    if sf_dir is None:
+        cache.clear()
+        return
+    if name is not None:
+        cache.pop(
+            os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")), None
+        )
+        return
+    prefix = os.path.abspath(sf_dir) + os.sep
+    for key in [k for k in cache if k.startswith(prefix)]:
+        cache.pop(key, None)
 
 
 def tables(

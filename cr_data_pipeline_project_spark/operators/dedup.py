@@ -183,6 +183,17 @@ def _jaccard_on_pairs(
     sets_ = shingles.groupBy(id_col).agg(
         F.collect_set(F.xxhash64("shingle")).alias("__sh")
     )
+    return _jaccard_on_sets(pairs, sets_, id_col)
+
+
+def _jaccard_on_sets(
+    pairs: DataFrame, sets_: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs given an already-folded
+    (id, __sh array<bigint>) set table — the verification join of
+    :func:`_jaccard_on_pairs`, split out so callers that fold the
+    set inside another aggregate (minhash_lsh_pairs' fused
+    signature+set pass) skip the refold."""
     a = sets_.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
     b = sets_.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -519,22 +530,33 @@ def minhash_lsh_pairs(
 
     The sublinear scale path: corpus never self-joins — only LSH
     buckets do."""
-    rows_per_band = num_hashes // bands
+    # ONE fused groupBy-id aggregate yields the minhash signature AND
+    # the verification shingle set (the build_neardup_index_frame
+    # fusion, guide §2.4): the round-11 shape persisted the exploded
+    # shingle table and ran two aggregation passes over it (64 mins +
+    # a collect_set). The fused table is persisted instead — one row
+    # per doc (sig + set array), the same payload the materialized
+    # index stores — and feeds band explode + both verify sides.
     # Same persist-hygiene pattern as ngram_jaccard_pairs: eager
-    # small result out, shingle cache dropped before returning.
-    sh = shingle_set(df, text_col, id_col, n).persist()
+    # small result out, cache dropped before returning.
+    idx = build_neardup_index_frame(
+        df, text_col, id_col, n, num_hashes, bands, seed
+    ).persist()
     try:
-        sigs = minhash_signatures(
-            df, text_col, id_col, n, num_hashes, seed, shingles=sh
+        exploded = idx.select(
+            F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
         )
-        cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+        cand = _bucket_pairs(
+            exploded, ["band_idx", "band_hash"], id_col, 1000
+        )
+        sets_ = idx.select(F.col(id_col), F.col("shingles").alias("__sh"))
         return (
-            _jaccard_on_pairs(cand, sh, id_col)
+            _jaccard_on_sets(cand, sets_, id_col)
             .where(F.col("jaccard") >= threshold)
             .localCheckpoint()
         )
     finally:
-        sh.unpersist(blocking=False)
+        idx.unpersist(blocking=False)
 
 
 # ------------------------------------------------------------------ #
@@ -887,35 +909,66 @@ def build_neardup_index(
     element types (the probe normalizes either encoding via
     :func:`normalize_index_shingles`; migrate by rewriting the index
     offline)."""
+    return build_neardup_index_frame(
+        df, text_col, id_col, n, num_hashes, bands, seed, hash_shingles
+    ).localCheckpoint()
+
+
+def build_neardup_index_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Lazy plan behind :func:`build_neardup_index`: ONE fused
+    groupBy-id aggregate computes the 64 minhash minima AND the
+    shingle set from a single projection of the shingle table — the
+    round-11 shape ran two aggregation passes over a persisted
+    shingle cache (minhash_signatures + a collect_set) and joined
+    them back on id; both aggregates group by the SAME key, so they
+    are one aggregate (optimization round 12, guide §2.4 "two
+    operations keyed the same way share one exchange"). Band hashes
+    are identical: xxhash64 over the same BIGINT minima. Exposed
+    separately so the plan tool can dump the executed shape
+    (plans/r12)."""
     rows_per_band = num_hashes // bands
-    sh = shingle_set(df, text_col, id_col, n).persist()
-    try:
-        sigs = minhash_signatures(
-            df, text_col, id_col, n, num_hashes, seed, shingles=sh
-        )
-        band_arr = F.array(
-            *[
-                F.xxhash64(
-                    *[
-                        F.col("sig")[j * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ]
-                )
-                for j in range(bands)
-            ]
-        )
-        sets_ = sh.groupBy(id_col).agg(
-            F.collect_set(
-                F.xxhash64("shingle") if hash_shingles else F.col("shingle")
-            ).alias("shingles")
-        )
-        return (
-            sigs.select(F.col(id_col), band_arr.alias("bands"))
-            .join(sets_, id_col)
-            .localCheckpoint()
-        )
-    finally:
-        sh.unpersist(blocking=False)
+    sh = shingle_set(df, text_col, id_col, n)
+    # project the 64-bit hash once; the 32-bit base for the universal
+    # hashes derives from it exactly as minhash_signatures does
+    proj = sh.select(
+        F.col(id_col),
+        F.xxhash64("shingle").alias("__h"),
+        *([] if hash_shingles else [F.col("shingle")]),
+    ).withColumn("__h32", F.pmod(F.col("__h"), F.lit(1 << 32)))
+    coeffs = _perm_coeffs(num_hashes, seed)
+    mins = [
+        F.min(
+            F.pmod(
+                F.lit(a) * F.col("__h32") + F.lit(b), F.lit(_MERSENNE_P)
+            )
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    set_agg = F.collect_set(
+        F.col("__h") if hash_shingles else F.col("shingle")
+    ).alias("shingles")
+    agg = proj.groupBy(id_col).agg(*mins, set_agg)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"__m{j * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            )
+            for j in range(bands)
+        ]
+    )
+    return agg.select(F.col(id_col), band_arr.alias("bands"), "shingles")
 
 
 def normalize_index_shingles(index: DataFrame) -> DataFrame:

@@ -280,16 +280,79 @@ def textrank_scores(
     after consuming ``ranks`` (an explicit pair, not an attribute a
     transformation would silently drop); ``textrank_topk`` wraps
     exactly that for the bounded top-k serve path."""
-    fwd = weighted_edges.select(
+    base = weighted_edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).alias("w"),
-    )
-    rev = weighted_edges.select(
-        F.col(dst).alias("src"), F.col(src).alias("dst"),
-        F.col(weight).alias("w"),
-    )
+    ).persist()
+
+    # Small-graph fast path (the connected_components posture): a
+    # word co-occurrence graph is vocab-bounded, and ten sequential
+    # Spark iterations over a sub-driver-heap edge table are pure
+    # stage-scheduling overhead (~0.5 s/iteration at fixture scale).
+    # One count job over the RAW directed edges decides (|sym| ≤
+    # 2·|input|, so the bound is conservative); at or under it the
+    # raw list collects (budget ~100 B/Row of driver heap when
+    # raising the bound) and symmetrization, the probability
+    # quantization AND the integer recurrence all run driver-local —
+    # the round-11 shape still planned the 3-exchange normalization
+    # chain (union + two aggregations + a join) on the cluster
+    # before collecting, pure scheduling overhead at this size
+    # (optimization round 12, guide §1.2). Python ints replicate
+    # BIGINT floor division on positives exactly and the per-edge
+    # products are vocab-bounded (module header), so scores are
+    # hash-identical to the distributed loop and the SQL oracle
+    # either way (asserted in tests/test_graph.py).
+    if 2 * base.count() <= small_graph_max:
+        raw = base.collect()
+        base.unpersist()
+        sym: dict = {}
+        for row in raw:
+            s, d, w = row["src"], row["dst"], row["w"]
+            if s == d:
+                continue
+            sym[(s, d)] = sym.get((s, d), 0) + w
+            sym[(d, s)] = sym.get((d, s), 0) + w
+        wout: dict = {}
+        for (s, _), w in sym.items():
+            wout[s] = wout.get(s, 0) + w
+        # vectorized integer recurrence: int64 // on non-negatives IS
+        # floor division and np.add.at accumulates exactly — the
+        # overflow bound is the module header's (safe through a
+        # 1e6-token vocabulary), identical to the BIGINT Spark path
+        import numpy as np
+
+        toks = sorted(wout)
+        idx = {t: i for i, t in enumerate(toks)}
+        keys = list(sym)
+        src_i = np.array([idx[s] for s, _ in keys], dtype=np.int64)
+        dst_i = np.array([idx[d] for _, d in keys], dtype=np.int64)
+        p = np.array(
+            [
+                (sym[k] * TEXTRANK_PROB_SCALE) // wout[k[0]]
+                for k in keys
+            ],
+            dtype=np.int64,
+        )
+        r = np.full(len(toks), TEXTRANK_SCALE, dtype=np.int64)
+        for _ in range(n_iter):
+            acc = np.zeros(len(toks), dtype=np.int64)
+            np.add.at(acc, dst_i, (r[src_i] * p) // TEXTRANK_PROB_SCALE)
+            r = TEXTRANK_BASE + (TEXTRANK_DAMP_NUM * acc) // 100
+        spark = weighted_edges.sparkSession
+        ranks = spark.createDataFrame(
+            [(t, int(r[i])) for i, t in enumerate(toks)],
+            "token string, r bigint",
+        )
+        return ranks, []
+
     edges = (
-        fwd.union(rev)
+        base.union(
+            base.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "w",
+            )
+        )
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("bigint").alias("w"))
@@ -305,42 +368,11 @@ def textrank_scores(
         .persist()
     )
 
-    # Small-graph fast path (the connected_components posture): a
-    # word co-occurrence graph is vocab-bounded, and ten sequential
-    # Spark iterations over a sub-driver-heap edge table are pure
-    # stage-scheduling overhead (~0.5 s/iteration at fixture scale).
-    # One count job decides; at or under the bound the normalized
-    # edge list collects (budget ~100 B/Row of driver heap when
-    # raising it) and the SAME integer recurrence runs in Python —
-    # unbounded ints replicate BIGINT floor division on positives
-    # exactly, so scores are hash-identical to the distributed loop
-    # and the SQL oracle either way.
-    if e.count() <= small_graph_max:
-        local = e.collect()
-        r: dict = {}
-        for row in local:
-            r[row["src"]] = TEXTRANK_SCALE
-        for _ in range(n_iter):
-            acc = dict.fromkeys(r, 0)
-            for row in local:
-                acc[row["dst"]] += (
-                    r[row["src"]] * row["p"]
-                ) // TEXTRANK_PROB_SCALE
-            r = {
-                tok: TEXTRANK_BASE + (TEXTRANK_DAMP_NUM * s) // 100
-                for tok, s in acc.items()
-            }
-        spark = weighted_edges.sparkSession
-        ranks = spark.createDataFrame(
-            list(r.items()), "token string, r bigint"
-        )
-        return ranks, [e]
-
     ranks = e.select("src").distinct().select(
         F.col("src").alias("token"),
         F.lit(TEXTRANK_SCALE).cast("bigint").alias("r"),
     ).persist()
-    gens = [e, ranks]
+    gens = [base, e, ranks]
     for _ in range(n_iter):
         contrib = e.join(ranks, e["src"] == ranks["token"]).select(
             F.col("dst"),
@@ -376,7 +408,10 @@ def textrank_topk(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Global triangle count over an undirected simple graph — the
     clustering-coefficient numerator and the standard density probe
@@ -405,8 +440,20 @@ def triangle_count(
     accumulating until ContextCleaner reclaims them; everything
     downstream is two |E|-row joins keyed on a vertex id plus one
     partial-combining sum — no vertex ever holds more than its own
-    O(√m) out-neighborhood."""
-    und = _canonical_edges(edges, src, dst).persist()
+    O(√m) out-neighborhood.
+
+    ``assume_canonical=True`` skips the least/greatest + distinct
+    normalization when the caller's edge set already guarantees
+    ``src < dst`` distinct rows (``cooccurrence_edges`` does by
+    construction) — one fewer full exchange+aggregate over the edge
+    set (optimization round 12, guide §2.4)."""
+    # deg is NOT persisted here: its two uses inside the adjacency's
+    # orientation joins dedupe through ReusedExchange over the same
+    # persisted ``und``, and an explicit deg cache measured SLOWER
+    # (A/B at sf0.1: 2.85 s adj-persist-only vs 3.86 s deg+adj) —
+    # clustering_stats still persists deg because its wedge aggregate
+    # is a separate eager action.
+    und = _canonical_edges(edges, src, dst, assume_canonical).persist()
     try:
         n = _triangle_sum(und)
     finally:
@@ -416,10 +463,20 @@ def triangle_count(
     )
 
 
-def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _canonical_edges(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Canonical undirected simple edge set: (min, max) endpoints,
-    self-loops dropped, distinct."""
+    self-loops dropped, distinct. ``assume_canonical`` renames only —
+    for producers whose output is already (src < dst, distinct) by
+    construction, where the distinct would re-shuffle the whole edge
+    set to deduplicate nothing."""
     a, b = F.col(src), F.col(dst)
+    if assume_canonical:
+        return edges.select(a.alias("u"), b.alias("v"))
     return (
         edges.select(
             F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
@@ -439,17 +496,9 @@ def _degrees(und: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_sum(und: DataFrame, deg: DataFrame | None = None) -> int:
-    """Degree-ordered triangle total of a (persisted) canonical edge
-    set — the eager compact-forward core shared by
-    :func:`triangle_count` and :func:`clustering_stats`. The caller
-    owns the persist/unpersist of ``und`` (and of ``deg`` when it
-    passes one — clustering_stats reuses its wedge-count degree
-    table here instead of recomputing the union+groupBy); the
-    intermediate oriented set is persisted and unpersisted here."""
-    if deg is None:
-        deg = _degrees(und)
-    # orient from lower (degree, id) to higher (degree, id)
+def _adjacency(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Oriented out-adjacency of a canonical edge set: each vertex's
+    SORTED array of higher-(degree, id) neighbors → (lo, nbrs)."""
     ranked = (
         und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
@@ -460,36 +509,69 @@ def _triangle_sum(und: DataFrame, deg: DataFrame | None = None) -> int:
     oriented = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
-    ).persist()
-    adj = oriented.groupBy("lo").agg(
+    )
+    return oriented.groupBy("lo").agg(
         F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
-    try:
-        return (
-            oriented.join(
-                adj.select(F.col("lo").alias("lo"), F.col("nbrs").alias("nu")),
-                "lo",
-            )
-            .join(
-                adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
-                "hi",
-            )
-            .select(
-                F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("k")
-            )
-            .agg(
-                F.coalesce(F.sum("k"), F.lit(0))
-                .cast("bigint")
-                .alias("n_triangles")
-            )
-            .collect()[0][0]  # bounded: the global aggregate is 1 row
+
+
+def _triangle_sum_frame(adj: DataFrame) -> DataFrame:
+    """The 1-row triangle aggregate over a (persisted) oriented
+    adjacency table: every oriented edge u→v is re-derived IN-ROW by
+    exploding adj(u)'s neighbor array — which carries ``nu`` along
+    for free — so only ONE adjacency join (attach adj(v) on hi)
+    remains. The previous shape kept a persisted oriented edge list
+    and joined it back to adj twice (on lo, then on hi): the lo-side
+    join re-shuffled the whole |E|-row edge set to attach an array
+    the groupBy had just built from those very rows (optimization
+    round 12, guide §2.4 — two operations keyed the same way share
+    one exchange). Wire volume of the remaining hi-join is unchanged:
+    Σ d_out² array elements either way."""
+    left = adj.select(
+        F.col("nbrs").alias("nu"), F.explode("nbrs").alias("hi")
+    )
+    return (
+        left.join(
+            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")),
+            "hi",
         )
+        .select(
+            F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("k")
+        )
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
+    )
+
+
+def _triangle_sum(und: DataFrame, deg: DataFrame | None = None) -> int:
+    """Degree-ordered triangle total of a (persisted) canonical edge
+    set — the eager compact-forward core shared by
+    :func:`triangle_count` and :func:`clustering_stats`. The caller
+    owns the persist/unpersist of ``und`` (and of ``deg`` when it
+    passes one — both callers now reuse one persisted degree table
+    here instead of recomputing the union+groupBy); the intermediate
+    ADJACENCY table is persisted and unpersisted here (it is
+    referenced on both sides of the intersection join; it replaces
+    the round-11 oriented-edge persist, holding the same Σ d_out
+    payload in |V| array rows instead of |E| pair rows)."""
+    if deg is None:
+        deg = _degrees(und)
+    adj = _adjacency(und, deg).persist()
+    try:
+        # bounded: the global aggregate is 1 row
+        return _triangle_sum_frame(adj).collect()[0][0]
     finally:
-        oriented.unpersist()
+        adj.unpersist()
 
 
 def clustering_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Global (transitivity-style) clustering coefficient:
     ``3·triangles / wedges`` with ``wedges = Σ_v d_v(d_v−1)/2`` —
@@ -505,16 +587,19 @@ def clustering_stats(
     return; both reductions are eager 1-row collects (bounded by
     contract). The coefficient itself is the one IEEE division,
     rounded at 1e-6. Returns 1 row: (n_edges, n_wedges,
-    n_triangles, global_cc)."""
-    und = _canonical_edges(edges, src, dst).persist()
+    n_triangles, global_cc). ``assume_canonical`` as in
+    :func:`triangle_count`."""
+    und = _canonical_edges(edges, src, dst, assume_canonical).persist()
     deg = _degrees(und).persist()
     try:
         # ONE pass over the degree table yields both edge and wedge
         # counts (Σd = 2|E|, Σ d(d-1)/2 = wedges) — no separate
         # count() action; the SAME persisted degree table then feeds
-        # the triangle core's orientation joins (it used to be
-        # recomputed there: one fewer union+groupBy pass over the
-        # edge set)
+        # the triangle core's orientation joins. (A single-action
+        # crossJoin of the wedge and triangle aggregates was measured
+        # and REVERTED in round 12: q257 4.97 s / 23 jobs vs this
+        # shape's 3.31 s / 17 jobs — the fused plan defeated the
+        # cache-aware scheduling instead of sharing exchanges.)
         row = (
             deg
             .agg(

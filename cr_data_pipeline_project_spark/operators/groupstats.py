@@ -172,7 +172,7 @@ def daily_count_anomaly(daily: DataFrame, z_threshold: int = 2) -> DataFrame:
 
 def grouped_doubled_ranks(
     counts: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     value_col: str,
     count_col: str,
     out_col: str = "r2",
@@ -198,33 +198,40 @@ def grouped_doubled_ranks(
        nparts·|groups|, never |groups|, and it shuffles only the
        distinct (group, value) rows, never the fact rows.
 
-    Returns ``(group_col, value_col, count_col, out_col)`` where
+    Returns ``(group_col..., value_col, count_col, out_col)`` where
     ``out_col`` is the BIGINT doubled average rank of ``value_col``
     among the group's ROWS (weight = cnt). Bit-identical to the
-    window formulation — same integers, any engine."""
+    window formulation — same integers, any engine, and independent
+    of the range-partition boundaries (offsets are per-(partition,
+    group) exact prefix sums). ``group_col`` may be a LIST of
+    columns — consumers ranking several variables fuse them into ONE
+    pass by union-tagging a variable column into the group key
+    (q239: one repartitionByRange + window sweep instead of two,
+    optimization round 12, guide §1.2/§2.4)."""
     from pyspark.sql import Window
 
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     nparts = counts.sparkSession.sparkContext.defaultParallelism
     tagged = (
-        counts.repartitionByRange(nparts, group_col, value_col)
-        .sortWithinPartitions(group_col, value_col)
+        counts.repartitionByRange(nparts, *groups, value_col)
+        .sortWithinPartitions(*groups, value_col)
         .select("*", F.spark_partition_id().alias("__pid"))
     )
-    ptot = tagged.groupBy("__pid", group_col).agg(
+    ptot = tagged.groupBy("__pid", *groups).agg(
         F.sum(F.col(count_col)).cast("long").alias("__ptot")
     )
     w_off = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*groups)
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = ptot.select(
         "__pid",
-        group_col,
+        *groups,
         F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
     )
     w_local = (
-        Window.partitionBy("__pid", group_col)
+        Window.partitionBy("__pid", *groups)
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -235,9 +242,9 @@ def grouped_doubled_ranks(
                 F.sum(F.col(count_col)).over(w_local).cast("long"), F.lit(0)
             ),
         )
-        .join(F.broadcast(offsets), ["__pid", group_col])
+        .join(F.broadcast(offsets), ["__pid", *groups])
         .select(
-            group_col,
+            *groups,
             value_col,
             count_col,
             (

@@ -7810,7 +7810,10 @@ def q231_copurchase_triangles(
     # sort-merge join (order sizes are single-digit, so the in-row
     # fan-out is bounded)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return triangle_count(edges)
+    # cooccurrence_edges output is distinct (src < dst) by
+    # construction — skip the triangle core's re-canonicalization
+    # (a full exchange+distinct that would deduplicate nothing)
+    return triangle_count(edges, assume_canonical=True)
 
 
 @q(
@@ -8472,21 +8475,59 @@ def q239_spearman_correlation(
     li = table(spark, "lineitem", sf_dir).select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    gqp = li.groupBy(
-        "l_returnflag", "l_quantity", "l_extendedprice"
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt3"))
+    # The contingency table feeds BOTH per-variable marginals AND the
+    # final moment join — without the eager checkpoint its subtree
+    # (a full lineitem scan + aggregate) appeared three times in the
+    # plan (5 parquet scans total, no ReusedExchange fired); the
+    # checkpointed table is distinct-(flag, qty, price)-bounded,
+    # orders of magnitude under the fact rows (optimization round
+    # 12, guide §3.3 materialize shared intermediates).
+    gqp = (
+        li.groupBy("l_returnflag", "l_quantity", "l_extendedprice")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt3"))
+        .localCheckpoint()
+    )
     cq = gqp.groupBy("l_returnflag", "l_quantity").agg(
         F.sum("cnt3").cast("long").alias("cnt")
     )
     cp = gqp.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum("cnt3").cast("long").alias("cnt")
     )
-    rq = grouped_doubled_ranks(
-        cq, "l_returnflag", "l_quantity", "cnt", out_col="rx2"
-    ).drop("cnt")
-    rp = grouped_doubled_ranks(
-        cp, "l_returnflag", "l_extendedprice", "cnt", out_col="ry2"
-    ).drop("cnt")
+    # ONE fused rank pass over both variables (union-tagged group
+    # key) instead of two repartitionByRange + window sweeps; the
+    # checkpoint stops the two join branches from re-running the
+    # rank machinery. Ranks are bit-identical to the per-variable
+    # calls: the doubled rank is a function of (group, value) alone
+    # and __var separates the variables inside the group key.
+    tag = grouped_doubled_ranks(
+        cq.select(
+            "l_returnflag",
+            F.lit("q").alias("__var"),
+            F.col("l_quantity").alias("__val"),
+            "cnt",
+        ).unionByName(
+            cp.select(
+                "l_returnflag",
+                F.lit("p").alias("__var"),
+                F.col("l_extendedprice").alias("__val"),
+                "cnt",
+            )
+        ),
+        ["l_returnflag", "__var"],
+        "__val",
+        "cnt",
+        out_col="r2",
+    ).localCheckpoint()
+    rq = tag.where(F.col("__var") == "q").select(
+        "l_returnflag",
+        F.col("__val").alias("l_quantity"),
+        F.col("r2").alias("rx2"),
+    )
+    rp = tag.where(F.col("__var") == "p").select(
+        "l_returnflag",
+        F.col("__val").alias("l_extendedprice"),
+        F.col("r2").alias("ry2"),
+    )
     joined = gqp.join(rq, ["l_returnflag", "l_quantity"]).join(
         rp, ["l_returnflag", "l_extendedprice"]
     )
@@ -9651,6 +9692,10 @@ def q252_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("val"),
     )
     d1 = "decimal(38,0)"
+    # (Optimization round 12: a checkpointed (g, val) contingency
+    # table feeding both marginals was measured SLOWER — 2.13-2.61 s
+    # vs 1.68-2.16 s same-session — the three cheap fact aggregates
+    # beat the materialization + extra exchanges; kept as-is.)
     cnt_v = li.groupBy("val").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     r2 = grouped_doubled_ranks(
         cnt_v.withColumn("g1", F.lit(1)), "g1", "val", "cnt", out_col="r2"
@@ -10203,7 +10248,8 @@ def q257_copurchase_clustering(
     # same distinct (least, greatest) edge set, one shuffle of the
     # fact rows instead of two plus a join (q231's note)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return clustering_stats(edges)
+    # distinct (src < dst) by construction — see q231's note
+    return clustering_stats(edges, assume_canonical=True)
 
 
 @q(

@@ -51,39 +51,56 @@ class PCAModel:
         return int(self.components.shape[0])
 
 
-def _moment_sums(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
-    """Distributed (n, Σx, vec(ΣxᵀX)) as a flat (1+d+d²) vector."""
-    width = 1 + dim + dim * dim
+def _moment_sums_by_dim(df: DataFrame, vec_col: str) -> dict[int, np.ndarray]:
+    """Distributed (n, Σx, vec(ΣxᵀX)) per vector-LENGTH class, one
+    pass, no upfront dimension: {d: flat (1+d+d²) vector}. Folding
+    the length census into the moment pass removes the separate
+    dominant-size probe job fit_pca ran first (optimization round 12,
+    guide §1.2). Per-class accumulation order matches the old
+    fixed-dim kernel exactly (same rows, same batch order), and the
+    output stays bounded: Σ_classes (1+d+d²) rows."""
 
     def partials(batches):
-        acc = np.zeros(width, dtype=np.float64)
-        seen = False
+        accs: dict[int, np.ndarray] = {}
         for pdf in batches:
-            vs = [
-                np.asarray(v, dtype=np.float64)
-                for v in pdf[vec_col]
-                if v is not None and len(v) == dim
-            ]
-            if not vs:
-                continue
-            X = np.stack(vs)
-            acc[0] += len(X)
-            acc[1 : 1 + dim] += X.sum(axis=0)
-            acc[1 + dim :] += (X.T @ X).ravel()
-            seen = True
-        if seen:
-            yield pd.DataFrame({"p": [acc.tolist()]})
+            groups: dict[int, list] = {}
+            for v in pdf[vec_col]:
+                if v is None:
+                    continue
+                groups.setdefault(len(v), []).append(
+                    np.asarray(v, dtype=np.float64)
+                )
+            for d, vs in groups.items():
+                acc = accs.get(d)
+                if acc is None:
+                    acc = accs[d] = np.zeros(
+                        1 + d + d * d, dtype=np.float64
+                    )
+                X = np.stack(vs) if d else np.zeros((len(vs), 0))
+                acc[0] += len(X)
+                acc[1 : 1 + d] += X.sum(axis=0)
+                acc[1 + d :] += (X.T @ X).ravel()
+        if accs:
+            yield pd.DataFrame(
+                {
+                    "d": list(accs),
+                    "p": [a.tolist() for a in accs.values()],
+                }
+            )
 
-    part = df.select(vec_col).mapInPandas(partials, "p array<double>")
+    part = df.select(vec_col).mapInPandas(partials, "d int, p array<double>")
     summed = (
-        part.select(F.posexplode("p").alias("idx", "v"))
-        .groupBy("idx")
+        part.select("d", F.posexplode("p").alias("idx", "v"))
+        .groupBy("d", "idx")
         .agg(F.sum("v").alias("s"))
-        .collect()  # bounded: exactly 1+d+d² rows by construction
+        .collect()  # bounded: Σ_length-classes (1+d+d²) rows
     )
-    out = np.zeros(width, dtype=np.float64)
+    out: dict[int, np.ndarray] = {}
     for r in summed:
-        out[r["idx"]] = r["s"]
+        d = int(r["d"])
+        if d not in out:
+            out[d] = np.zeros(1 + d + d * d, dtype=np.float64)
+        out[d][r["idx"]] = r["s"]
     return out
 
 
@@ -97,21 +114,19 @@ def fit_pca(
     each component's largest-|coordinate| entry positive."""
     # dimension = the corpus's MOST COMMON vector size (the pq_fit
     # convention): sniffing the first row would lock onto a malformed
-    # minority-width vector and silently drop every valid one in the
-    # _moment_sums width guard
-    drow = (
-        df.where(F.col(vec_col).isNotNull())
-        .groupBy(F.size(F.col(vec_col)).alias("__d"))
-        .count()
-        .orderBy(F.desc("count"), F.col("__d"))
-        .first()
-    )
-    if drow is None:
+    # minority-width vector and silently drop every valid one. The
+    # length census rides the moment pass itself (one job, not two);
+    # the dominance tie-break (higher count, then smaller dim)
+    # matches the old ORDER BY count DESC, size ASC probe.
+    by_dim = _moment_sums_by_dim(df, vec_col)
+    if not by_dim:
         raise ValueError("empty corpus: no non-null vectors to fit")
-    dim = int(drow["__d"])
+    dim = min(
+        by_dim, key=lambda d: (-int(by_dim[d][0]), d)
+    )
     if k is None:
         k = dim
-    m = _moment_sums(df, vec_col, dim)
+    m = by_dim[dim]
     n = int(m[0])
     if n < 2:
         raise ValueError(f"need >=2 vectors to fit PCA, got {n}")

@@ -207,23 +207,40 @@ def pq_fit(
             F.col("sv").alias("cv"),
         )
     )
-    books = seed_books.localCheckpoint(eager=True)
+    if n_iter <= 0:
+        return seed_books.localCheckpoint(eager=True)
 
-    for _ in range(n_iter):
-        assigned = _assign_all_subs(rows, books, carry_sv=True)
-        books = (
-            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(F.avg("x").alias("mu"))
-            .groupBy("sub", "cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm")
-            )
-            .select(
-                "sub", "cid", F.transform("pm", lambda s: s["mu"]).alias("cv")
-            )
-            .localCheckpoint(eager=True)
+    # Lloyd loop, scheduler-round-trip-trimmed (optimization round
+    # 12, guide §1.2): the codebook is m·k rows by construction, so
+    # intermediate generations COLLECT straight into the packed
+    # assignment tables the kernel ships anyway — the round-11 form
+    # localCheckpoint'ed every generation and then collected it
+    # again inside _assign_all_subs (2 jobs per iteration, plus a
+    # seed checkpoint consumed only by that collect). Lineage stays
+    # bounded because each generation's plan is rooted at the
+    # CHECKPOINTED rows table, never at the previous generation.
+    # Only the FINAL generation checkpoints (the returned DataFrame,
+    # same downstream form as round 11 — a full driver-local loop
+    # returning a parallelized codebook was measured slower there
+    # and stays out). The centroid update is ONE groupBy(sub, cid)
+    # with one avg per position instead of the posexplode +
+    # groupBy(sub, cid, pos) + refold pair (one fewer shuffle per
+    # iteration; same ulp-tolerant float-avg contract).
+    packed = _pack_books(seed_books.collect())
+    books = None
+    avgs = [F.avg(F.col("sv")[i]).alias(f"__a{i}") for i in range(sub_d)]
+    arr = F.array(*[F.col(f"__a{i}") for i in range(sub_d)])
+    for i in range(n_iter):
+        assigned = _assign_all_subs(rows, packed, carry_sv=True)
+        upd = (
+            assigned.groupBy("sub", "cid")
+            .agg(*avgs)
+            .select("sub", "cid", arr.alias("cv"))
         )
+        if i < n_iter - 1:
+            packed = _pack_books(upd.collect())
+        else:
+            books = upd.localCheckpoint(eager=True)
     return books
 
 

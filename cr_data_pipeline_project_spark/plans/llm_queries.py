@@ -3676,7 +3676,13 @@ def q141_opq_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     model = fit_opq_rotation(emb, "embedding", m=8)
-    rotated = rotate_vectors(emb, model, "embedding", out_col="rotated")
+    # checkpoint the rotated corpus: the opq-variant fit/encode/decode
+    # chain drives ~6 downstream jobs, and each re-ran the scan +
+    # rotation GEMM through the Python boundary without this
+    # (optimization round 12, guide §1.2/§4 — pay the boundary once)
+    rotated = rotate_vectors(
+        emb, model, "embedding", out_col="rotated"
+    ).select("vec_id", "rotated").localCheckpoint()
 
     def mse(df, vec_col):
         rep = pqmod.pq_reconstruction_report(
@@ -3687,12 +3693,32 @@ def q141_opq_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("recon_err"), 6).alias("mean_recon_err"),
         )
 
-    raw = mse(emb, "embedding").select(
-        F.lit("raw").alias("variant"), "n_vecs", "mean_recon_err"
-    )
-    opq = mse(rotated.select("vec_id", "rotated"), "rotated").select(
-        F.lit("opq").alias("variant"), "n_vecs", "mean_recon_err"
-    )
+    # The two variants' fits are INDEPENDENT iterative jobs whose
+    # stages are all 1-task at metadata size — wall is scheduler
+    # round trips, not compute. Build them on two driver threads so
+    # one variant's jobs back-fill the other's idle gaps (guide
+    # §2.6 overlap independent jobs); each builder's eager actions
+    # (codebook collects, checkpoints) run concurrently, results are
+    # plain DataFrames. InheritableThread propagates the JVM-side
+    # job-group/description thread-locals.
+    from pyspark import inheritable_thread_target
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_raw = pool.submit(
+            inheritable_thread_target(lambda: mse(emb, "embedding"))
+        )
+        f_opq = pool.submit(
+            inheritable_thread_target(
+                lambda: mse(rotated.select("vec_id", "rotated"), "rotated")
+            )
+        )
+        raw = f_raw.result().select(
+            F.lit("raw").alias("variant"), "n_vecs", "mean_recon_err"
+        )
+        opq = f_opq.result().select(
+            F.lit("opq").alias("variant"), "n_vecs", "mean_recon_err"
+        )
     return raw.unionByName(opq).orderBy("variant")
 
 
@@ -11569,12 +11595,31 @@ def q272_dedup_capture_recapture(
     two detectors share the shingle projection; the overlap is a
     pair-key full join of two already-small pair sets."""
     docs = table(spark, "documents", sf_dir)
-    a = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.7
-    ).select("doc_a", "doc_b", F.lit(1).alias("in_a"))
-    b = dedup.simhash_pairs(
-        docs, "text", "doc_id", n=5, max_hamming=6
-    ).select("doc_a", "doc_b", F.lit(1).alias("in_b"))
+    # the two detectors are independent — run both kernels eagerly on
+    # two driver threads so their stages overlap instead of running
+    # back to back (guide §2.6; the jaccard kernel already ends in a
+    # localCheckpoint, the simhash side gets one so the thread
+    # actually materializes it)
+    from pyspark import inheritable_thread_target
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_a = pool.submit(
+            inheritable_thread_target(
+                lambda: dedup.ngram_jaccard_pairs(
+                    docs, "text", "doc_id", n=5, threshold=0.7
+                )
+            )
+        )
+        f_b = pool.submit(
+            inheritable_thread_target(
+                lambda: dedup.simhash_pairs(
+                    docs, "text", "doc_id", n=5, max_hamming=6
+                ).localCheckpoint()
+            )
+        )
+        a = f_a.result().select("doc_a", "doc_b", F.lit(1).alias("in_a"))
+        b = f_b.result().select("doc_a", "doc_b", F.lit(1).alias("in_b"))
     u = a.join(b, ["doc_a", "doc_b"], "full").select(
         F.coalesce("in_a", F.lit(0)).alias("in_a"),
         F.coalesce("in_b", F.lit(0)).alias("in_b"),

@@ -216,7 +216,12 @@ def cosine_neardup_pairs(
             ny += y[i] * y[i]
         import math
 
-        return d / (math.sqrt(nx) * math.sqrt(ny))
+        den = math.sqrt(nx) * math.sqrt(ny)
+        if den == 0.0:
+            # JVM double division yields NaN (0/0) where Python
+            # raises — preserve the expression-engine value
+            return float("nan")
+        return d / den
 
     def per_combo(left: "pd.DataFrame", right: "pd.DataFrame"):
         out_a, out_b, out_c = [], [], []
@@ -227,12 +232,18 @@ def cosine_neardup_pairs(
             llen = left["v"].map(len)
             rlen = right["v2"].map(len)
             for d in sorted(set(llen.unique()) & set(rlen.unique())):
-                if d == 0:
-                    continue
                 la = left[llen == d]
                 rb = right[rlen == d]
-                A = np.stack(la["v"].values)
-                B = np.stack(rb["v2"].values)
+                A = (
+                    np.stack(la["v"].values)
+                    if d
+                    else np.zeros((len(la), 0))
+                )
+                B = (
+                    np.stack(rb["v2"].values)
+                    if d
+                    else np.zeros((len(rb), 0))
+                )
                 ia = la["id"].values
                 ib = rb["id2"].values
                 an = np.sqrt((A * A).sum(axis=1))
@@ -240,8 +251,16 @@ def cosine_neardup_pairs(
                 blk = max(1, _GEMM_BLOCK_ELEMS // max(1, len(rb)))
                 for i0 in range(0, len(la), blk):
                     i1 = min(i0 + blk, len(la))
-                    S = (A[i0:i1] @ B.T) / np.outer(an[i0:i1], bn)
-                    mask = S >= pre
+                    # Zero-norm (all-zero or empty) vectors score NaN
+                    # in the JVM fold, and Spark's filter NaN-is-
+                    # greatest ordering EMITS those pairs (DuckDB
+                    # agrees) — keep that contract: a NaN cell (0/0
+                    # here too) passes the prefilter and re-scores to
+                    # NaN (ADVICE r11; pinned in tests/
+                    # test_similarity_nan_contract.py).
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = (A[i0:i1] @ B.T) / np.outer(an[i0:i1], bn)
+                    mask = (S >= pre) | np.isnan(S)
                     if same_block:
                         # unordered combo (i,i): keep id_a < id_b once
                         mask &= ia[i0:i1, None] < ib[None, :]
@@ -251,7 +270,9 @@ def cosine_neardup_pairs(
                     for rr, cc in zip(r.tolist(), c.tolist()):
                         xa, xb = ia[i0 + rr], ib[cc]
                         cs = exact_cos(A[i0 + rr], B[cc])
-                        if cs >= threshold:
+                        # Spark `cos >= t` is TRUE for NaN (NaN sorts
+                        # greatest); Python's is False — spell it out
+                        if cs >= threshold or cs != cs:
                             lo, hi = (xa, xb) if xa < xb else (xb, xa)
                             out_a.append(lo)
                             out_b.append(hi)
@@ -260,15 +281,31 @@ def cosine_neardup_pairs(
             {"vec_a": out_a, "vec_b": out_b, "cos": out_c}
         )
 
+    # Pin the combo distribution with an explicit-width repartition:
+    # HashPartitioning(ba, bb) satisfies the cogroup's clustering
+    # requirement, and a REPARTITION_BY_NUM shuffle is exempt from
+    # AQE coalescing — the documented "AQE trap" (tiny-byte block
+    # shuffles fusing and serializing the O(N²) GEMM) stays guarded
+    # instead of riding the default parallelismFirst floor
+    # (ADVICE r11).
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        a.groupBy("ba", "bb")
-        .cogroup(b.groupBy("ba", "bb"))
+        a.repartition(nparts, "ba", "bb")
+        .groupBy("ba", "bb")
+        .cogroup(b.repartition(nparts, "ba", "bb").groupBy("ba", "bb"))
         .applyInPandas(
             per_combo, f"vec_a {id_type}, vec_b {id_type}, cos double"
         )
     )
+    # the Arrow boundary maps the kernel's NaN floats to NULL (pandas
+    # NaN-as-missing); no other None can reach this column, so the
+    # coalesce restores the JVM chain's NaN scores exactly
     return pairs.select(
-        "vec_a", "vec_b", F.round("cos", 6).alias("score")
+        "vec_a",
+        "vec_b",
+        F.round(
+            F.coalesce(F.col("cos"), F.lit(float("nan"))), 6
+        ).alias("score"),
     )
 
 

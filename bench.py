@@ -194,6 +194,10 @@ def _write_detail(times: dict[str, float], total: float, calib: float) -> None:
                     "calib_sec": calib,
                     "queries": times,
                     "sf": _sf_from_dir(SF_DIR),
+                    # which core count produced this detail file —
+                    # round-11 verdict: the 8-core scaling run
+                    # silently overwrote the 32-core detail
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
                 },
                 f,
                 indent=1,
@@ -218,6 +222,11 @@ def _append_history(times: dict[str, float], total: float, calib: float) -> None
                 json.dumps(
                     {
                         "sf": _sf_from_dir(SF_DIR),
+                        # per-record core count so a low-core scaling
+                        # run never becomes the WARN baseline for a
+                        # full-width run (round-11: the 8-core sweep
+                        # manufactured 4 spurious WARNs)
+                        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
                         "total": total,
                         # calib_v 2 = median-of-5 probe; v1 (min-of-3)
                         # records are ignored as normalization
@@ -262,11 +271,18 @@ def _load_prev() -> tuple[dict[str, float], float | None, str | None]:
     prev: dict[str, float] = {}
     prev_calib: float | None = None
     src = None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     try:
         with open(_HISTORY) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec.get("sf") == _sf_from_dir(SF_DIR) and rec.get("queries"):
+                if (
+                    rec.get("sf") == _sf_from_dir(SF_DIR)
+                    and rec.get("queries")
+                    # a record from a different core count is not a
+                    # regression baseline (pre-cpus records pass)
+                    and rec.get("cpus", cpus) == cpus
+                ):
                     prev, src = rec["queries"], os.path.basename(_HISTORY)
                     prev_calib = (
                         rec.get("calib") if rec.get("calib_v") == 2 else None

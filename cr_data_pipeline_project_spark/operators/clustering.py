@@ -125,15 +125,27 @@ def kmeans_fit(
         .localCheckpoint(eager=True)
     )
 
+    # centroid update: ONE groupBy(cid) with a per-position avg each
+    # (map-side partial-combining, k×dim aggregate state) instead of
+    # the posexplode + (cid, pos) aggregate + refold — the explode
+    # fanned every vector into dim rows and shuffled them per
+    # iteration (optimization round 12, guide §2.3 "aggregate before
+    # you shuffle"). try_element_at keeps the ragged-vector
+    # semantics of the per-pos form: a position absent from a short
+    # vector is NULL and avg() skips it. dim comes from the seed
+    # table (k rows, checkpointed — one bounded job).
+    dim = int(cents.agg(F.max(F.size("cv"))).first()[0])
+    avgs = [
+        F.avg(F.try_element_at(F.col("vd"), F.lit(i + 1))).alias(f"__a{i}")
+        for i in range(dim)
+    ]
+    arr = F.array(*[F.col(f"__a{i}") for i in range(dim)])
     for _ in range(n_iter):
         assigned = _assign(vecs, cents, engine=engine)
         cents = (
-            assigned.select("cid", F.posexplode("vd").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            assigned.groupBy("cid")
+            .agg(*avgs)
+            .select("cid", arr.alias("cv"))
             .localCheckpoint(eager=True)
         )
     return cents

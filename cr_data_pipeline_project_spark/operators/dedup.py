@@ -1276,11 +1276,20 @@ def ngram_contamination(
     join (test corpora are small — benchmarks, not crawls — so the
     per-gram join is one shuffle of hashed keys, and with a small
     enough test set Spark's runtime bloom / broadcast handles it
-    map-side). Train grams shuffle as (gram, id) projections only."""
-    tr = shingle_set(train, text_col, id_col, n)
-    te = shingle_set(test, text_col, id_col, n).select("shingle").distinct()
+    map-side). Both sides key on ``xxhash64(shingle)`` — the q34
+    discipline (distinct grams ↔ distinct hashes, ~2⁻⁶⁴ per pair):
+    the join exchanges move 8-byte keys, never n-gram strings
+    (optimization round 12, guide §2.3)."""
+    tr = shingle_set(train, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("__h")
+    )
+    te = (
+        shingle_set(test, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("__h"))
+        .distinct()
+    )
     return (
-        tr.join(te, "shingle")
+        tr.join(te, "__h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -3969,15 +3969,19 @@ def q163_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is one partial-combining aggregate on the shingle key (the
     q70 shape); the join back carries (shingle, df=1?) bits to the
     doc-keyed rollup; shingle text never leaves the exchange that
-    the inverted-index family already pays. At 100 TB, hash the
-    shingle to a 64-bit key before the df aggregate (the q34
-    discipline) so the exchange moves 8-byte keys, not strings."""
+    the inverted-index family already pays. The df aggregate and the
+    join back key on xxhash64(shingle) — the q34 discipline: distinct
+    strings map to distinct hashes (collision ~2⁻⁶⁴ per pair), so the
+    BIGINT counts are unchanged while both exchanges move 8-byte
+    keys, not n-gram strings (optimization round 12, guide §2.3)."""
     docs = table(spark, "documents", sf_dir)
-    sh = dedup.shingle_set(docs, "text", "doc_id", n=3)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sh = dedup.shingle_set(docs, "text", "doc_id", n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("__h")
+    )
+    dfreq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     novel = F.when(F.col("__df") == 1, 1).otherwise(0)
     return (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "__h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -4169,10 +4173,16 @@ def q173_dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, never corpus-global; docs with zero dup spans rejoin via
     the doc-keyed left join, costing a dim-sized exchange."""
     docs = table(spark, "documents", sf_dir)
-    gp = dedup.ngram_positions(docs, "text", "doc_id", n=8)
-    occ = gp.groupBy("gram").agg(F.count(F.lit(1)).alias("occ"))
+    # occurrence counts and the join back key on xxhash64(gram) — the
+    # q34 discipline (distinct grams ↔ distinct hashes, ~2⁻⁶⁴): the
+    # exchange moves 8-byte keys instead of 8-word strings
+    # (optimization round 12, guide §2.3)
+    gp = dedup.ngram_positions(docs, "text", "doc_id", n=8).select(
+        "doc_id", "pos", "n_tokens", F.xxhash64("gram").alias("__g")
+    )
+    occ = gp.groupBy("__g").agg(F.count(F.lit(1)).alias("occ"))
     dup = (
-        gp.join(occ, "gram")
+        gp.join(occ, "__g")
         .where(F.col("occ") >= 2)
         .select(
             "doc_id",
@@ -6663,6 +6673,10 @@ def q215_top_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded by contract (same WHERE in both engines)."""
     docs = table(spark, "documents", sf_dir)
     tok = textstats.tokens("text")
+    # gram identity as xxhash64(a, b) — the q34 discipline (distinct
+    # pairs ↔ distinct hashes, ~2⁻⁶⁴): the (doc, gram) exchange moves
+    # an 8-byte key instead of two token strings; counts unchanged
+    # (optimization round 12, guide §2.3)
     pc = (
         docs.where(F.size(tok) >= 2)
         .select(
@@ -6670,7 +6684,9 @@ def q215_top_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(textstats.adjacent_pairs(tok)).alias("p"),
         )
-        .groupBy("doc_id", "source", "p.a", "p.b")
+        .groupBy(
+            "doc_id", "source", F.xxhash64("p.a", "p.b").alias("__g")
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     pd = pc.groupBy("doc_id", "source").agg(

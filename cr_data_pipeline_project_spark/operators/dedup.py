@@ -74,7 +74,16 @@ def shingle_set(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document:
     (id_col, shingle). Documents shorter than ``n`` words contribute
-    their full text as one shingle."""
+    their full text as one shingle.
+
+    Precondition: ``id_col`` is a KEY (one row per id) — every
+    caller passes the corpus primary key, and the adversary fixtures
+    keep ids non-null/unique by contract. Under it, per-row
+    ``array_distinct`` already makes (id, shingle) globally unique,
+    so no cross-row distinct is needed (one was carried until
+    optimization round 12 — a pure no-op hash aggregate over the
+    exploded rows, measured ~0.1 s per evaluation at sf0.1 across
+    the ~15 queries that consume this table)."""
     # Tokenize into a projected column FIRST: referenced directly
     # inside the transform lambda, split(text) would be re-evaluated
     # once per shingle (~|doc|/token times per row) — HOF lambdas get
@@ -110,7 +119,6 @@ def shingle_set(
             F.col(id_col),
             F.explode(F.array_distinct(shingles)).alias("shingle"),
         )
-        .distinct()
     )
 
 

@@ -114,7 +114,7 @@ def kmeans_fit(
 
     # deterministic seeds, numbered 0..k-1 in hash order (k rows on
     # the driver-side window is trivial)
-    cents = (
+    seeds = (
         vecs.select(F.xxhash64(F.col("_id"), F.lit(seed)).alias("_h"), "vd")
         .orderBy("_h")
         .limit(k)
@@ -122,32 +122,59 @@ def kmeans_fit(
             (F.row_number().over(Window.orderBy("_h")) - F.lit(1)).alias("cid"),
             F.col("vd").alias("cv"),
         )
-        .localCheckpoint(eager=True)
     )
+    if n_iter <= 0:
+        return seeds.localCheckpoint(eager=True)
 
-    # centroid update: ONE groupBy(cid) with a per-position avg each
+    # Centroid update: ONE groupBy(cid) with a per-position avg each
     # (map-side partial-combining, k×dim aggregate state) instead of
     # the posexplode + (cid, pos) aggregate + refold — the explode
     # fanned every vector into dim rows and shuffled them per
     # iteration (optimization round 12, guide §2.3 "aggregate before
     # you shuffle"). try_element_at keeps the ragged-vector
     # semantics of the per-pos form: a position absent from a short
-    # vector is NULL and avg() skips it. dim comes from the seed
-    # table (k rows, checkpointed — one bounded job).
+    # vector is NULL and avg() skips it.
+    def _update(assigned, dim):
+        avgs = [
+            F.avg(
+                F.try_element_at(F.col("vd"), F.lit(i + 1))
+            ).alias(f"__a{i}")
+            for i in range(dim)
+        ]
+        arr = F.array(*[F.col(f"__a{i}") for i in range(dim)])
+        return assigned.groupBy("cid").agg(*avgs).select(
+            "cid", arr.alias("cv")
+        )
+
+    if engine == "arrow":
+        # Lloyd generations stay DRIVER-SIDE between iterations (the
+        # pq_fit round-12 trim): the k-row codebook is collect-
+        # bounded by the same contract the Arrow assigner already
+        # relies on (it ships the table in the task closure), so the
+        # seed checkpoint, the per-iteration generation checkpoints
+        # AND the assigner's per-iteration re-collect all fold into
+        # one collect per generation; dim rides the seed collect.
+        # Only the FINAL generation checkpoints (the returned
+        # DataFrame keeps its round-11 form).
+        rows = seeds.collect()
+        if not rows:
+            return seeds.localCheckpoint(eager=True)
+        dim = max(len(r["cv"]) for r in rows)
+        cents = None
+        for i in range(n_iter):
+            assigned = _assign(vecs, rows, engine="arrow")
+            upd = _update(assigned, dim)
+            if i < n_iter - 1:
+                rows = upd.collect()
+            else:
+                cents = upd.localCheckpoint(eager=True)
+        return cents
+
+    cents = seeds.localCheckpoint(eager=True)
     dim = int(cents.agg(F.max(F.size("cv"))).first()[0])
-    avgs = [
-        F.avg(F.try_element_at(F.col("vd"), F.lit(i + 1))).alias(f"__a{i}")
-        for i in range(dim)
-    ]
-    arr = F.array(*[F.col(f"__a{i}") for i in range(dim)])
     for _ in range(n_iter):
         assigned = _assign(vecs, cents, engine=engine)
-        cents = (
-            assigned.groupBy("cid")
-            .agg(*avgs)
-            .select("cid", arr.alias("cv"))
-            .localCheckpoint(eager=True)
-        )
+        cents = _update(assigned, dim).localCheckpoint(eager=True)
     return cents
 
 

@@ -941,8 +941,15 @@ def nearest_centroids(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # ``cents`` may be a pre-collected list of (cid, cv) rows — the
+    # kmeans_fit Lloyd loop keeps generations driver-side between
+    # iterations (optimization round 12, the pq_fit trim) and skips
+    # the per-iteration collect job this would otherwise run
     rows = sorted(
-        cents.select("cid", "cv").collect(), key=lambda r: r["cid"]
+        cents
+        if isinstance(cents, list)
+        else cents.select("cid", "cv").collect(),
+        key=lambda r: r["cid"],
     )  # bounded: k×dim doubles
 
     id_field = vecs.schema[id_col]

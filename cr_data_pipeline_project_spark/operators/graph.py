@@ -447,17 +447,15 @@ def triangle_count(
     ``src < dst`` distinct rows (``cooccurrence_edges`` does by
     construction) — one fewer full exchange+aggregate over the edge
     set (optimization round 12, guide §2.4)."""
-    # deg is NOT persisted here: its two uses inside the adjacency's
-    # orientation joins dedupe through ReusedExchange over the same
-    # persisted ``und``, and an explicit deg cache measured SLOWER
-    # (A/B at sf0.1: 2.85 s adj-persist-only vs 3.86 s deg+adj) —
-    # clustering_stats still persists deg because its wedge aggregate
-    # is a separate eager action.
-    und = _canonical_edges(edges, src, dst, assume_canonical).persist()
-    try:
-        n = _triangle_sum(und)
-    finally:
-        und.unpersist()
+    # Neither und nor deg is persisted here: the whole count is ONE
+    # action, so every re-reference dedupes through ReusedExchange
+    # over the canonical edge set's exchange, and both explicit
+    # caches measured SLOWER same-session (und+adj 2.77-3.53 s vs
+    # adj-only 2.21-2.30 s; deg+adj 3.86 s) — clustering_stats still
+    # persists both because its wedge aggregate is a separate eager
+    # action (no cross-action exchange reuse).
+    und = _canonical_edges(edges, src, dst, assume_canonical)
+    n = _triangle_sum(und)
     return edges.sparkSession.createDataFrame(
         [(int(n),)], "n_triangles bigint"
     )

@@ -3706,10 +3706,10 @@ def q141_opq_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_raw = pool.submit(
-            inheritable_thread_target(lambda: mse(emb, "embedding"))
+            inheritable_thread_target(spark)(lambda: mse(emb, "embedding"))
         )
         f_opq = pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: mse(rotated.select("vec_id", "rotated"), "rotated")
             )
         )
@@ -11621,14 +11621,14 @@ def q272_dedup_capture_recapture(
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_a = pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: dedup.ngram_jaccard_pairs(
                     docs, "text", "doc_id", n=5, threshold=0.7
                 )
             )
         )
         f_b = pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(spark)(
                 lambda: dedup.simhash_pairs(
                     docs, "text", "doc_id", n=5, max_hamming=6
                 ).localCheckpoint()
